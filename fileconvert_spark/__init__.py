@@ -1,0 +1,29 @@
+"""fileconvert_spark — a PySpark-native per-column lightweight-compression engine.
+
+Brand-new engine (NOT a port) with the capabilities of the reference
+``renesugar/FileConvert`` (a C/C++ CSV<->Parquet converter; see SURVEY.md §0 —
+the reference checkout was empty, so capability citations are to
+BASELINE.json): scan an Iceberg-style table of source-code files, encode every
+column with an auto-selected lightweight codec (dictionary, RLE, FSST,
+frame-of-reference + bit-packing, delta), decode bit-identical, at total
+compressed size <= a Parquet/Snappy baseline, with per-partition lineage
+manifests, checkpoint/resume, and explicit skew-aware partitioning.
+
+Layout:
+  functions/   pure NumPy/Arrow codec kernels (no Spark imports) + text/sim fns
+  operators/   Spark operators: encode/decode executors, partitioning, dedup, knn
+  sources/     IO seams: Iceberg-ish table layout, CSV<->Parquet converter
+  plans/       job-level planning: manifests, checkpoint/resume, metrics
+  streaming/   incremental (Trigger.AvailableNow) encode
+"""
+
+__version__ = "0.1.0"
+
+import os as _os
+
+# On this host, first-touch page faults dominate NumPy kernel cost: glibc
+# munmaps large freed buffers and re-faults them on the next allocation.
+# Keeping large allocations on the heap makes warm encode kernels ~4x faster.
+# Must be set before the JVM / Python workers fork so children inherit it.
+_os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+_os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")

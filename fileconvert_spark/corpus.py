@@ -1,0 +1,192 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+Table ``codefiles(repo:string, path:string, commit:string, lang:string,
+content:string)`` — the engine input shape fixed by BASELINE.json line 15.
+Seeded PCG64, fully deterministic given ``n_rows``. Zipf-skewed repos
+(exercises salting / size-balanced partitioning), shared-prefix paths and
+hex commits (FSST targets), 10-language dict target, language-templated
+line-repetitive content (line-dictionary / FSST target, ~10%% exact dups).
+
+Mandatory edge rows are appended (empty content, 1-byte, CRLF/tab/unicode,
+a single 2 MiB line, a 100-row identical run, one null lang).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+SEED = 42
+
+LANGS = ["py", "js", "java", "c", "cpp", "go", "rs", "md", "json", "yaml"]
+LANG_W = [0.22, 0.18, 0.12, 0.10, 0.10, 0.08, 0.06, 0.08, 0.04, 0.02]
+EXT = {
+    "py": "py", "js": "js", "java": "java", "c": "c", "cpp": "cc",
+    "go": "go", "rs": "rs", "md": "md", "json": "json", "yaml": "yaml",
+}
+
+_DIR_VOCAB = [
+    "src", "lib", "tests", "internal", "pkg", "cmd", "app", "core", "util",
+    "utils", "common", "server", "client", "api", "web", "ui", "data",
+    "model", "models", "views", "controllers", "services", "handlers",
+    "middleware", "config", "scripts", "tools", "build", "dist", "docs",
+    "examples", "bench", "proto", "schema", "migrations", "assets", "static",
+    "templates", "components", "hooks", "store", "router", "auth", "db",
+    "cache", "queue", "worker", "jobs", "tasks", "events", "metrics",
+    "logging", "tracing", "net", "http", "grpc", "io", "fs", "os", "sys",
+    "runtime", "compiler", "parser", "lexer",
+]
+
+_FILE_VOCAB = [
+    "main", "index", "app", "server", "client", "utils", "helpers", "types",
+    "errors", "constants", "settings", "setup", "test_core", "test_api",
+    "handler", "service", "model", "view", "controller", "router", "auth",
+    "session", "cache", "pool", "codec", "reader", "writer", "encoder",
+    "decoder", "buffer", "stream", "batch",
+]
+
+
+def _line_pool(lang: str) -> list[str]:
+    """~160 templated lines per language; heavy repetition across files."""
+    rng = np.random.Generator(np.random.PCG64(SEED + hash(lang) % 1000))
+    idents = [f"{w}_{i}" for i, w in enumerate(_FILE_VOCAB)]
+    pool: list[str] = [""]  # blank line is common
+    if lang == "py":
+        heads = [f"import {m}" for m in ("os", "sys", "json", "re", "time", "math")]
+        heads += [f"from {m} import {n}" for m in ("typing", "collections") for n in ("Any", "List", "deque")]
+        body = [
+            "def {f}({a}):", "    return {a} + 1", "    return None",
+            "    if {a} is None:", "        raise ValueError({a!r})",
+            "class {F}:", "    def __init__(self, {a}):",
+            "        self.{a} = {a}", "    @property",
+            "for i in range(len({a})):", "    {a}[i] = i * 2",
+            "logger.info('processing %s', {a})", "# TODO: fix this",
+            "if __name__ == '__main__':", "    main()",
+        ]
+    elif lang in ("c", "cpp", "java", "js", "go", "rs"):
+        heads = {
+            "c": ["#include <stdio.h>", "#include <stdlib.h>", "#include <string.h>"],
+            "cpp": ["#include <vector>", "#include <string>", "#include <memory>"],
+            "java": ["import java.util.List;", "import java.util.Map;", "package com.example.app;"],
+            "js": ["'use strict';", "const fs = require('fs');", "import { useState } from 'react';"],
+            "go": ["package main", 'import "fmt"', 'import "os"'],
+            "rs": ["use std::collections::HashMap;", "use std::io::Read;", "#[derive(Debug, Clone)]"],
+        }[lang]
+        body = [
+            "int {f}(int {a}) {{", "    return {a} + 1;", "}}",
+            "void {f}() {{", "    // noop", "}}",
+            "if ({a} == NULL) {{", "    return -1;", "}}",
+            "for (int i = 0; i < n; i++) {{", "    sum += {a}[i];",
+            "let {a} = {f}();", "const {a} = [];",
+            "func {f}({a} int) int {{", "fn {f}({a}: u64) -> u64 {{",
+            "printf(\"%d\\n\", {a});",
+        ]
+    elif lang == "md":
+        heads = ["# Overview", "## Usage", "## Installation"]
+        body = [
+            "This module implements {f}.", "See `{f}` for details.",
+            "- item {a}", "```", "```python", "Run `make test` to verify.",
+        ]
+    else:  # json / yaml
+        heads = ["{{", "}}"] if lang == "json" else ["version: 2", "services:"]
+        body = (
+            ['  "{a}": "{f}",', '  "{a}": 1,', '  "{a}": true,', '  "{a}": [],']
+            if lang == "json"
+            else ["  {a}: {f}", "  {a}: 1", "  - name: {a}", "    image: {f}:latest"]
+        )
+    pool.extend(heads)
+    for t in body:
+        for _ in range(8):
+            a = idents[rng.integers(0, len(idents))]
+            f = idents[rng.integers(0, len(idents))]
+            pool.append(
+                t.replace("{a!r}", repr(a)).replace("{a}", a)
+                .replace("{f}", f).replace("{F}", f.title().replace("_", ""))
+            )
+    return pool
+
+
+def make_codefiles(n_rows: int, with_edge_rows: bool = True) -> pd.DataFrame:
+    """Deterministic corpus; (repo, path, commit) unique by construction."""
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    n = int(n_rows)
+    n_repos = max(20, n // 500)
+
+    z = (rng.zipf(1.3, size=n).astype(np.int64) - 1) % n_repos  # heavy skew
+    repos = np.array([f"org{zi % 37}/repo{zi}" for zi in z], dtype=object)
+
+    lang_idx = rng.choice(len(LANGS), size=n, p=LANG_W)
+    langs = np.array(LANGS, dtype=object)[lang_idx]
+
+    # paths: 1-6 shared-vocab dir segments + unique filename (row id suffix)
+    n_seg = rng.integers(1, 7, size=n)
+    seg_idx = rng.integers(0, len(_DIR_VOCAB), size=(n, 6))
+    fname_idx = rng.integers(0, len(_FILE_VOCAB), size=n)
+    dirs = np.array(_DIR_VOCAB, dtype=object)
+    files = np.array(_FILE_VOCAB, dtype=object)
+    paths = np.empty(n, dtype=object)
+    for i in range(n):
+        segs = [dirs[seg_idx[i, j]] for j in range(n_seg[i])]
+        paths[i] = "/".join(segs) + f"/{files[fname_idx[i]]}{i}.{EXT[langs[i]]}"
+
+    K = 25  # ~25 rows share a commit
+    commits = np.array(
+        [hashlib.sha1(f"{repos[i]}:{i // K}".encode()).hexdigest() for i in range(n)],
+        dtype=object,
+    )
+
+    pools = {lang: np.array(_line_pool(lang), dtype=object) for lang in LANGS}
+    n_lines = np.clip(rng.lognormal(3.6, 1.0, size=n), 1, 4000).astype(np.int64)
+    contents = np.empty(n, dtype=object)
+    for i in range(n):
+        pool = pools[langs[i]]
+        idx = rng.integers(0, len(pool), size=n_lines[i])
+        contents[i] = "\n".join(pool[j] for j in idx)
+    # ~10% duplicate an earlier row's content (cross-file duplication)
+    dup_mask = rng.random(n) < 0.10
+    dup_src = rng.integers(0, n, size=n)
+    for i in range(1, n):
+        if dup_mask[i]:
+            contents[i] = contents[dup_src[i] % i]
+
+    df = pd.DataFrame(
+        {"repo": repos, "path": paths, "commit": commits, "lang": langs, "content": contents}
+    )
+
+    if with_edge_rows:
+        edge_rows = []
+
+        def edge(i: int, content: str, lang: str | None = "py") -> dict:
+            return {
+                "repo": "org0/edge",
+                "path": f"edge/case{i}.py",
+                "commit": hashlib.sha1(f"edge:{i}".encode()).hexdigest(),
+                "lang": lang,
+                "content": content,
+            }
+
+        edge_rows.append(edge(0, ""))                      # empty content
+        edge_rows.append(edge(1, "x"))                     # 1-byte content
+        edge_rows.append(edge(2, "a\r\nb\tc\r\n"))         # CRLF + tab
+        edge_rows.append(edge(3, "π≈3.14 — ✓ ∑(x²)"))      # multibyte utf-8
+        edge_rows.append(edge(4, "A" * (2 * 1024 * 1024)))  # single 2 MiB line
+        for j in range(100):                               # identical run (RLE)
+            edge_rows.append(edge(100 + j, "IDENTICAL CONTENT RUN\n" * 3))
+        edge_rows.append(edge(999, "null-lang row", lang=None))
+        df = pd.concat([df, pd.DataFrame(edge_rows)], ignore_index=True)
+
+    return df
+
+
+def write_codefiles_parquet(path: str, n_rows: int, with_edge_rows: bool = True,
+                            row_group_size: int = 20000) -> int:
+    """Write the corpus as a single parquet file; returns total content bytes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = make_codefiles(n_rows, with_edge_rows)
+    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    pq.write_table(table, path, row_group_size=row_group_size)
+    return int(pdf["content"].str.len().fillna(0).sum())

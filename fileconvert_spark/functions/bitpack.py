@@ -1,0 +1,113 @@
+"""Bit-packing primitives + string-blob serialization (pure NumPy/Arrow).
+
+These are the shared building blocks of every codec: fixed-width bit-packing
+of unsigned ints (frame-of-reference reduces ints to small unsigned deltas
+first), and a compact length-prefixed UTF-8 blob for string sets (offsets
+stored as bit-packed lengths).
+
+All formats are little-endian and self-describing enough to decode given the
+codec metadata. No per-row Python in any hot path: packing is a NumPy
+bit-matrix + ``np.packbits``; blobs ride on Arrow buffers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+U32 = struct.Struct("<I")
+U64 = struct.Struct("<Q")
+
+
+def bitwidth_for(max_val: int) -> int:
+    """Bits needed to represent values in [0, max_val]."""
+    if max_val < 0:
+        raise ValueError("bitwidth_for expects unsigned range")
+    return int(max_val).bit_length()
+
+
+def pack_uints(vals: np.ndarray, width: int) -> bytes:
+    """Pack unsigned ints (< 2**width) at fixed ``width`` bits, MSB-first."""
+    n = len(vals)
+    if width == 0 or n == 0:
+        return b""
+    if width > 64:
+        raise ValueError(f"width {width} > 64")
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_uints(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
+    """Inverse of :func:`pack_uints`; returns uint64 array of length n."""
+    if width == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
+    bits = bits.reshape(n, width).astype(np.uint64)
+    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+
+
+def packed_size(n: int, width: int) -> int:
+    return (n * width + 7) // 8
+
+
+def pack_uints_framed(vals: np.ndarray) -> bytes:
+    """Self-describing packed ints: [u32 n][u8 width][packed bits]."""
+    n = len(vals)
+    width = bitwidth_for(int(vals.max())) if n else 0
+    return U32.pack(n) + bytes([width]) + pack_uints(vals, width)
+
+
+def unpack_uints_framed(buf: memoryview) -> tuple[np.ndarray, int]:
+    """Returns (values, bytes_consumed)."""
+    n = U32.unpack_from(buf, 0)[0]
+    width = buf[4]
+    nbytes = packed_size(n, width)
+    vals = unpack_uints(buf[5 : 5 + nbytes], width, n)
+    return vals, 5 + nbytes
+
+
+# ---------------------------------------------------------------- str blobs
+
+def str_blob_encode(arr: pa.Array) -> bytes:
+    """Serialize a non-null pyarrow string array: lengths bit-packed + data.
+
+    Layout: [u32 n][u64 data_len][framed packed lengths][utf8 data bytes]
+    """
+    if arr.null_count:
+        raise ValueError("str_blob_encode expects a null-free array")
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=len(arr) + 1, offset=arr.offset * 4)
+    data_buf = arr.buffers()[2]
+    data = data_buf.to_pybytes()[offsets[0]: offsets[-1]] if data_buf is not None else b""
+    lengths = np.diff(offsets).astype(np.uint64)
+    return U32.pack(len(arr)) + U64.pack(len(data)) + pack_uints_framed(lengths) + data
+
+
+def str_blob_decode(buf: bytes | memoryview) -> pa.Array:
+    buf = memoryview(buf)
+    n = U32.unpack_from(buf, 0)[0]
+    data_len = U64.unpack_from(buf, 4)[0]
+    lengths, consumed = unpack_uints_framed(buf[12:])
+    data = bytes(buf[12 + consumed : 12 + consumed + data_len])
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)
+    )
+
+
+def validity_pack(mask: np.ndarray) -> bytes:
+    """Pack a boolean validity mask (True = non-null)."""
+    return np.packbits(mask.astype(np.uint8)).tobytes()
+
+
+def validity_unpack(data: bytes, n: int) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n).astype(bool)

@@ -1,0 +1,406 @@
+"""Per-column-chunk lightweight codecs + auto-selection (pure NumPy/Arrow).
+
+The codec family mandated by the north rule (BASELINE.json line 14):
+dictionary, RLE, FSST, frame-of-reference + bit-packing, delta — plus two
+compositions: ``linedict`` (dictionary over *lines* of a text column, its
+line dictionary itself FSST- or raw-encoded, indices bit-packed) and ``raw``
+as the universal fallback. Selection is per (column, chunk): estimate the
+encoded size of every eligible codec from exact chunk statistics (FSST via a
+trial encode on a row sample), pick the minimum, and fall back to ``raw`` if
+the winner's actual output is larger.
+
+Capability parity: the reference (renesugar/FileConvert — empty checkout, see
+SURVEY.md §0; cited via BASELINE.json line 6) gets these effects implicitly
+from parquet-cpp page encodings (dictionary, RLE/bit-pack levels, Snappy
+pages). Here they are explicit, introspectable engine codecs whose total
+output must be <= the reference's Parquet/Snappy size.
+
+No Spark imports; every function operates on a single null-free chunk
+(validity handled by the wrapper in operators/encode.py). No per-row Python
+in any hot path — Arrow C++ (dictionary_encode / take / split_pattern /
+binary_join) and NumPy do the work; FSST's token scan is bounded by
+compressed size (see functions/fsst.py).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import fsst
+from .bitpack import (
+    U32,
+    bitwidth_for,
+    pack_uints,
+    pack_uints_framed,
+    packed_size,
+    str_blob_decode,
+    str_blob_encode,
+    unpack_uints,
+    unpack_uints_framed,
+)
+
+# dict-blob flag bytes: how a string dictionary payload is itself encoded
+_BLOB_RAW = 0
+_BLOB_FSST = 1
+
+# try FSST on dictionary blobs above this size
+_FSST_BLOB_MIN = 2048
+# rows sampled for FSST / linedict size estimation
+_EST_SAMPLE_ROWS = 64
+
+
+# --------------------------------------------------------------------------
+# flagged string blobs (used for dict / rle / linedict dictionaries)
+# --------------------------------------------------------------------------
+
+def _flagged_blob_encode(arr: pa.Array) -> bytes:
+    raw = str_blob_encode(arr)
+    if len(raw) >= _FSST_BLOB_MIN:
+        payload, table_blob = fsst.fsst_encode_array(arr)
+        fs = U32.pack(len(table_blob)) + table_blob + payload
+        if len(fs) < len(raw):
+            return bytes([_BLOB_FSST]) + fs
+    return bytes([_BLOB_RAW]) + raw
+
+
+def _flagged_blob_decode(blob: bytes | memoryview) -> pa.Array:
+    blob = memoryview(blob)
+    flag = blob[0]
+    body = blob[1:]
+    if flag == _BLOB_RAW:
+        return str_blob_decode(body)
+    tlen = U32.unpack_from(body, 0)[0]
+    table_blob = bytes(body[4 : 4 + tlen])
+    return fsst.fsst_decode_array(body[4 + tlen :], table_blob)
+
+
+def _string_buffers(arr: pa.Array) -> tuple[np.ndarray, int]:
+    """(lengths, total_bytes) of a null-free string array, zero-copy."""
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=len(arr) + 1, offset=arr.offset * 4)
+    lengths = np.diff(offsets)
+    return lengths, int(offsets[-1] - offsets[0])
+
+
+# --------------------------------------------------------------------------
+# string codecs — encode(arr) -> (payload, dict_blob|None, meta_dict)
+# --------------------------------------------------------------------------
+
+def enc_raw_str(arr: pa.Array):
+    return str_blob_encode(arr), None, {}
+
+
+def dec_raw_str(payload, dict_blob, meta, n):
+    return str_blob_decode(payload)
+
+
+def enc_dict_str(arr: pa.Array, de: pa.Array | None = None):
+    de = de if de is not None else pc.dictionary_encode(arr)
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    payload = pack_uints_framed(idx)
+    dict_blob = _flagged_blob_encode(de.dictionary)
+    return payload, dict_blob, {"k": len(de.dictionary)}
+
+
+def dec_dict_str(payload, dict_blob, meta, n):
+    idx, _ = unpack_uints_framed(memoryview(payload))
+    uniques = _flagged_blob_decode(dict_blob)
+    return pc.take(uniques, pa.array(idx.astype(np.int64)))
+
+
+def enc_rle_str(arr: pa.Array):
+    n = len(arr)
+    if n == 0:
+        return pack_uints_framed(np.empty(0, np.uint64)), _flagged_blob_encode(arr), {"r": 0}
+    neq = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+    change = np.concatenate(
+        [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+    starts = np.flatnonzero(change)
+    run_lengths = np.diff(np.concatenate([starts, [n]])).astype(np.uint64)
+    run_values = arr.take(starts)
+    payload = pack_uints_framed(run_lengths)
+    return payload, _flagged_blob_encode(run_values), {"r": len(starts)}
+
+
+def dec_rle_str(payload, dict_blob, meta, n):
+    run_lengths, _ = unpack_uints_framed(memoryview(payload))
+    run_values = _flagged_blob_decode(dict_blob)
+    idx = np.repeat(np.arange(len(run_lengths), dtype=np.int64),
+                    run_lengths.astype(np.int64))
+    return pc.take(run_values, pa.array(idx))
+
+
+def enc_fsst_str(arr: pa.Array, table: list[bytes] | None = None):
+    payload, table_blob = fsst.fsst_encode_array(arr, table)
+    return payload, table_blob, {}
+
+
+def dec_fsst_str(payload, dict_blob, meta, n):
+    return fsst.fsst_decode_array(payload, bytes(dict_blob))
+
+
+def enc_linedict_str(arr: pa.Array):
+    """Dictionary over text *lines*: split rows on '\\n', dict-encode the
+    flattened lines, bit-pack per-row line counts + line indices; the unique
+    line dictionary is itself FSST- or raw-encoded (whichever is smaller).
+    Exact reconstruction via join('\\n'), including trailing/CRLF content.
+    """
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    lines = pc.split_pattern(arr, "\n")
+    flat = lines.values if isinstance(lines, pa.ListArray) else lines.combine_chunks().values
+    list_offs = np.frombuffer(lines.buffers()[1], dtype=np.int32,
+                              count=len(arr) + 1, offset=lines.offset * 4)
+    counts = np.diff(list_offs).astype(np.uint64)
+    de = pc.dictionary_encode(flat)
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    payload = pack_uints_framed(counts) + pack_uints_framed(idx)
+    dict_blob = _flagged_blob_encode(de.dictionary)
+    return payload, dict_blob, {"k": len(de.dictionary), "nl": int(len(flat))}
+
+
+def dec_linedict_str(payload, dict_blob, meta, n):
+    buf = memoryview(payload)
+    counts, consumed = unpack_uints_framed(buf)
+    idx, _ = unpack_uints_framed(buf[consumed:])
+    uniques = _flagged_blob_decode(dict_blob)
+    values = pc.take(uniques, pa.array(idx.astype(np.int64)))
+    offs = np.zeros(n + 1, dtype=np.int32)
+    offs[1:] = np.cumsum(counts).astype(np.int32)
+    lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), values)
+    return pc.binary_join(lst, "\n")
+
+
+# --------------------------------------------------------------------------
+# int codecs — operate on np.int64 arrays (other types adapted by wrapper)
+# --------------------------------------------------------------------------
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return ((v << 1) ^ (v >> 63)).astype(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64)
+    return ((u >> np.uint64(1)) ^ (~(u & np.uint64(1)) + np.uint64(1))).astype(np.int64)
+
+
+def enc_raw_int(vals: np.ndarray):
+    return vals.astype("<i8").tobytes(), None, {}
+
+
+def dec_raw_int(payload, dict_blob, meta, n):
+    return np.frombuffer(payload, dtype="<i8").copy()
+
+
+def _for_pack(vals: np.ndarray) -> tuple[bytes, int, int]:
+    """frame-of-reference: subtract min, bit-pack. Returns (bytes, min, width)."""
+    if len(vals) == 0:
+        return b"", 0, 0
+    vmin = int(vals.min())
+    shifted = (vals.astype(np.int64) - vmin).astype(np.uint64)
+    width = bitwidth_for(int(shifted.max()))
+    return pack_uints(shifted, width), vmin, width
+
+
+def enc_for_int(vals: np.ndarray):
+    data, vmin, width = _for_pack(vals)
+    return data, None, {"min": vmin, "w": width}
+
+
+def dec_for_int(payload, dict_blob, meta, n):
+    u = unpack_uints(payload, meta["w"], n)
+    return (u.astype(np.int64) + np.int64(meta["min"]))
+
+
+def enc_delta_int(vals: np.ndarray):
+    if len(vals) == 0:
+        return b"", None, {"first": 0, "min": 0, "w": 0}
+    first = int(vals[0])
+    d = np.diff(vals.astype(np.int64))
+    data, vmin, width = _for_pack(d) if len(d) else (b"", 0, 0)
+    return data, None, {"first": first, "min": vmin, "w": width}
+
+
+def dec_delta_int(payload, dict_blob, meta, n):
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    d = unpack_uints(payload, meta["w"], n - 1).astype(np.int64) + np.int64(meta["min"])
+    out = np.empty(n, dtype=np.int64)
+    out[0] = meta["first"]
+    np.cumsum(d, out=out[1:]) if n > 1 else None
+    if n > 1:
+        out[1:] += meta["first"]
+    return out
+
+
+def enc_rle_int(vals: np.ndarray):
+    n = len(vals)
+    if n == 0:
+        return pack_uints_framed(np.empty(0, np.uint64)), None, {"min": 0, "w": 0, "r": 0}
+    change = np.concatenate([[True], vals[1:] != vals[:-1]])
+    starts = np.flatnonzero(change)
+    run_lengths = np.diff(np.concatenate([starts, [n]])).astype(np.uint64)
+    rv_data, vmin, width = _for_pack(vals[starts])
+    payload = pack_uints_framed(run_lengths) + rv_data
+    return payload, None, {"min": vmin, "w": width, "r": len(starts)}
+
+
+def dec_rle_int(payload, dict_blob, meta, n):
+    buf = memoryview(payload)
+    run_lengths, consumed = unpack_uints_framed(buf)
+    r = len(run_lengths)
+    rv = unpack_uints(buf[consumed:], meta["w"], r).astype(np.int64) + np.int64(meta["min"])
+    return np.repeat(rv, run_lengths.astype(np.int64))
+
+
+def enc_dict_int(vals: np.ndarray):
+    uniques, inverse = np.unique(vals, return_inverse=True)
+    payload = pack_uints_framed(inverse.astype(np.uint64))
+    dv, vmin, width = _for_pack(uniques)
+    dict_blob = U32.pack(len(uniques)) + dv
+    return payload, dict_blob, {"min": vmin, "w": width, "k": len(uniques)}
+
+
+def dec_dict_int(payload, dict_blob, meta, n):
+    idx, _ = unpack_uints_framed(memoryview(payload))
+    buf = memoryview(dict_blob)
+    k = U32.unpack_from(buf, 0)[0]
+    uniques = unpack_uints(buf[4:], meta["w"], k).astype(np.int64) + np.int64(meta["min"])
+    return uniques[idx.astype(np.int64)]
+
+
+STR_CODECS = {
+    "raw": (enc_raw_str, dec_raw_str),
+    "dict": (enc_dict_str, dec_dict_str),
+    "rle": (enc_rle_str, dec_rle_str),
+    "fsst": (enc_fsst_str, dec_fsst_str),
+    "linedict": (enc_linedict_str, dec_linedict_str),
+}
+
+INT_CODECS = {
+    "raw": (enc_raw_int, dec_raw_int),
+    "for": (enc_for_int, dec_for_int),
+    "delta": (enc_delta_int, dec_delta_int),
+    "rle": (enc_rle_int, dec_rle_int),
+    "dict": (enc_dict_int, dec_dict_int),
+}
+
+
+# --------------------------------------------------------------------------
+# codec auto-selection (SURVEY.md §2 B9): estimate -> pick min -> encode
+# --------------------------------------------------------------------------
+
+def chunk_stats_str(arr: pa.Array, de=None) -> dict:
+    lengths, n_bytes = _string_buffers(arr)
+    n = len(arr)
+    de = de if de is not None else pc.dictionary_encode(arr)
+    idx = de.indices.to_numpy(zero_copy_only=False)
+    runs = 1 + int(np.count_nonzero(np.diff(idx))) if n > 1 else min(n, 1)
+    return {
+        "n": n, "n_bytes": n_bytes, "k": len(de.dictionary),
+        "runs": runs, "avg_len": (n_bytes / n) if n else 0.0,
+        "_de": de,
+    }
+
+
+def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict]:
+    n = len(arr)
+    if n == 0:
+        payload, dict_blob, meta = enc_raw_str(arr)
+        return "raw", payload, dict_blob, meta
+    st = chunk_stats_str(arr)
+    de = st.pop("_de")
+    n_bytes = st["n_bytes"]
+    k, runs = st["k"], st["runs"]
+    dict_strings = de.dictionary
+    _, dict_bytes = _string_buffers(dict_strings)
+
+    est: dict[str, float] = {}
+    est["raw"] = n_bytes + packed_size(n, 20) + 16
+    idx_w = bitwidth_for(max(k - 1, 0))
+    # dictionary blob may itself FSST-compress; assume modest 0.7 if large
+    blob_est = dict_bytes * (0.7 if dict_bytes >= _FSST_BLOB_MIN else 1.0) + k * 2
+    est["dict"] = packed_size(n, idx_w) + blob_est + 24
+    if runs <= n // 2 or runs <= 4:
+        rv = arr.take(np.flatnonzero(
+            np.concatenate([[True], np.diff(de.indices.to_numpy(zero_copy_only=False)) != 0])))
+        _, rv_bytes = _string_buffers(rv)
+        est["rle"] = packed_size(runs, 32) + rv_bytes * 0.9 + runs * 2 + 24
+    # fsst: trial-encode a sample (only sensible when values are mostly unique)
+    if k > max(4, n // 16) and st["avg_len"] >= 4:
+        ratio, _tbl = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
+        est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
+    # linedict: only for multi-line text; trial on a sample
+    if st["avg_len"] >= 40:
+        step = max(1, n // _EST_SAMPLE_ROWS)
+        sample = arr.take(np.arange(0, n, step))
+        sp, sd, sm = enc_linedict_str(sample)
+        _, sample_bytes = _string_buffers(sample)
+        if sample_bytes > 0:
+            # dict dedup only improves with more rows; sample ratio is an
+            # upper bound on the real ratio
+            est["linedict"] = (len(sp) + len(sd)) / sample_bytes * n_bytes
+
+    winner = min(est, key=lambda c: est[c])
+    if winner == "dict":
+        payload, dict_blob, meta = enc_dict_str(arr, de)
+    else:
+        payload, dict_blob, meta = STR_CODECS[winner][0](arr)
+    enc_size = len(payload) + (len(dict_blob) if dict_blob else 0)
+    if winner != "raw" and enc_size >= est["raw"]:
+        payload, dict_blob, meta = enc_raw_str(arr)
+        winner = "raw"
+    meta.update({k2: v for k2, v in st.items()})
+    return winner, payload, dict_blob, meta
+
+
+def select_and_encode_int(vals: np.ndarray) -> tuple[str, bytes, bytes | None, dict]:
+    n = len(vals)
+    if n == 0:
+        payload, dict_blob, meta = enc_raw_int(vals)
+        return "raw", payload, dict_blob, meta
+    v = vals.astype(np.int64)
+    vmin, vmax = int(v.min()), int(v.max())
+    est: dict[str, float] = {"raw": n * 8}
+    for_w = bitwidth_for(vmax - vmin) if vmax > vmin else 0
+    est["for"] = packed_size(n, for_w) + 24
+    if n > 1:
+        d = np.diff(v)
+        dmin, dmax = int(d.min()), int(d.max())
+        delta_w = bitwidth_for(dmax - dmin) if dmax > dmin else 0
+        est["delta"] = packed_size(n - 1, delta_w) + 32
+        runs = 1 + int(np.count_nonzero(d))
+    else:
+        runs = 1
+    if runs <= max(n // 3, 1):
+        est["rle"] = packed_size(runs, 32) + packed_size(runs, for_w) + 32
+    # dict only pays off when k small and FoR width is large
+    if for_w >= 8:
+        k = len(np.unique(v[:: max(1, n // 256)]))  # sampled cardinality
+        if k <= 256:
+            k_full = len(np.unique(v))
+            est["dict"] = packed_size(n, bitwidth_for(max(k_full - 1, 0))) \
+                + packed_size(k_full, for_w) + 32
+    winner = min(est, key=lambda c: est[c])
+    payload, dict_blob, meta = INT_CODECS[winner][0](v)
+    enc_size = len(payload) + (len(dict_blob) if dict_blob else 0)
+    if winner != "raw" and enc_size >= n * 8:
+        payload, dict_blob, meta = enc_raw_int(v)
+        winner = "raw"
+    meta.update({"n": n, "min": meta.get("min", vmin)})
+    return winner, payload, dict_blob, meta
+
+
+def decode_str(codec: str, payload, dict_blob, meta: dict, n: int) -> pa.Array:
+    return STR_CODECS[codec][1](payload, dict_blob, meta, n)
+
+
+def decode_int(codec: str, payload, dict_blob, meta: dict, n: int) -> np.ndarray:
+    return INT_CODECS[codec][1](payload, dict_blob, meta, n)

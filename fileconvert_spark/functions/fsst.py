@@ -1,0 +1,383 @@
+"""FSST — Fast Static Symbol Table string compression, from scratch.
+
+Implements the algorithm of Boncz, Neumann & Freitag, "FSST: Fast Random
+Access String Compression" (VLDB 2020) in NumPy: a table of up to 255
+symbols of 1–8 bytes is trained on a bounded sample by iterative
+gain-maximization (gain = frequency × length, candidates = current symbols
+plus concatenations of adjacent matches), then the full buffer is encoded by
+greedy longest-match with code 255 reserved as a one-byte escape for bytes
+not covered by the table. Each string is encoded independently (no token
+spans a string boundary), preserving FSST's per-string random access.
+
+Hot path is vectorized: candidate matches for all positions are found by
+building little-endian uint64 window keys and binary-searching the per-length
+symbol key sets; only the final greedy scan (one step per emitted token) is a
+Python loop, bounded by the compressed output size. Training is bounded by
+``SAMPLE_BYTES`` so its cost is constant per chunk.
+
+Capability parity note: the reference (renesugar/FileConvert, see SURVEY.md
+§0 — empty checkout, cited via BASELINE.json line 6) delegates string
+compression to Parquet/Snappy pages; the north rule mandates an explicit,
+introspectable FSST codec instead.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+MAX_SYMBOLS = 255          # code 255 = escape
+MAX_SYMBOL_LEN = 8
+SAMPLE_BYTES = 16 * 1024
+TRAIN_ITERATIONS = 5
+ESCAPE = 255
+
+_U32 = struct.Struct("<I")
+
+
+# ------------------------------------------------------------------ training
+
+def train(sample: bytes, iterations: int = TRAIN_ITERATIONS,
+          max_symbols: int = MAX_SYMBOLS,
+          lengths: np.ndarray | list[int] | None = None) -> list[bytes]:
+    """Learn a symbol table from a sample (<= SAMPLE_BYTES recommended).
+
+    ``lengths`` (per-string byte lengths of the concatenated sample) makes
+    training boundary-aware: candidate symbols and adjacent-pair
+    concatenations never cross string boundaries, matching the constraint
+    the encoder enforces for per-string random access.
+    """
+    sample = sample[:SAMPLE_BYTES]
+    if not sample:
+        return []
+    n = len(sample)
+    if lengths is None:
+        bounds = [n]
+    else:
+        bounds = list(np.cumsum(np.asarray(lengths, dtype=np.int64)))
+        while bounds and bounds[-1] > n:  # sample truncation
+            bounds[-1] = n
+            if len(bounds) > 1 and bounds[-2] >= n:
+                bounds.pop()
+            else:
+                break
+        if not bounds or bounds[-1] < n:
+            bounds.append(n)
+    table: list[bytes] = []
+    for _ in range(iterations):
+        by_len: dict[int, set[bytes]] = {}
+        for s in table:
+            by_len.setdefault(len(s), set()).add(s)
+        lens_desc = sorted(by_len, reverse=True)
+        counts: Counter[bytes] = Counter()
+        pair_counts: Counter[bytes] = Counter()
+        pos, prev = 0, None
+        b_i = 0
+        while pos < n:
+            while bounds[b_i] <= pos:
+                b_i += 1
+                prev = None  # pairs must not span a string boundary
+            limit = bounds[b_i] - pos
+            sym = None
+            for L in lens_desc:
+                if L > limit:
+                    continue
+                cand = sample[pos : pos + L]
+                if cand in by_len[L]:
+                    sym = cand
+                    break
+            if sym is None:
+                sym = sample[pos : pos + 1]
+            counts[sym] += 1
+            if prev is not None and len(prev) + len(sym) <= MAX_SYMBOL_LEN:
+                pair_counts[prev + sym] += 1
+            prev = sym
+            pos += len(sym)
+        gain: dict[bytes, int] = {s: c * len(s) for s, c in counts.items()}
+        for s, c in pair_counts.items():
+            gain[s] = gain.get(s, 0) + c * len(s)
+        ranked = sorted(gain, key=lambda s: (gain[s], s), reverse=True)
+        # guarantee coverage of every distinct byte (an escape costs 2 bytes,
+        # so a present single byte is always worth a slot over a miss)
+        singles = sorted({bytes([b]) for b in sample},
+                         key=lambda s: gain.get(s, 0), reverse=True)[:max_symbols]
+        chosen: list[bytes] = list(singles)
+        seen = set(chosen)
+        for s in ranked:
+            if len(chosen) >= max_symbols:
+                break
+            if s not in seen:
+                chosen.append(s)
+                seen.add(s)
+        table = chosen
+    return table
+
+
+def serialize_table(table: list[bytes]) -> bytes:
+    """[u8 count][count x u8 len][concat symbol bytes]"""
+    return bytes([len(table)]) + bytes(len(s) for s in table) + b"".join(table)
+
+
+def deserialize_table(blob: bytes | memoryview) -> list[bytes]:
+    blob = bytes(blob)
+    count = blob[0]
+    lens = blob[1 : 1 + count]
+    out, off = [], 1 + count
+    for ln in lens:
+        out.append(blob[off : off + ln])
+        off += ln
+    return out
+
+
+# ------------------------------------------------------------------ encoding
+
+def _window_keys(buf: np.ndarray) -> np.ndarray:
+    """LE uint64 key of the 8 bytes starting at each position (zero-padded).
+
+    Allocation-lean: one scratch buffer reused across the 8 byte lanes
+    (fresh-page allocation is the bottleneck on this host, not FLOPs).
+    """
+    n = len(buf)
+    padded = np.concatenate([buf, np.zeros(MAX_SYMBOL_LEN, np.uint8)])
+    w = padded[:n].astype(np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    for k in range(1, MAX_SYMBOL_LEN):
+        np.copyto(tmp, padded[k : k + n], casting="unsafe")
+        tmp <<= np.uint64(8 * k)
+        w |= tmp
+    return w
+
+
+def _sym_key(s: bytes) -> int:
+    return int.from_bytes(s, "little")
+
+
+def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
+                         table: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """For every buffer position: (longest matching symbol len, its code).
+
+    Matches never cross string boundaries (``lengths`` = per-string byte
+    lengths of the concatenated buffer).
+    """
+    n = len(buf)
+    bestlen = np.zeros(n, dtype=np.int64)
+    bestcode = np.zeros(n, dtype=np.uint8)
+    if n == 0 or not table:
+        return bestlen, bestcode
+    w = _window_keys(buf)
+    # distance to end of the containing string, per position
+    ends = np.cumsum(lengths.astype(np.int64))
+    dist = np.repeat(ends, lengths) - np.arange(n, dtype=np.int64)
+
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for L in range(1, MAX_SYMBOL_LEN + 1):
+        pairs = [(_sym_key(s), code) for code, s in enumerate(table) if len(s) == L]
+        if pairs:
+            pairs.sort()
+            keys = np.array([p[0] for p in pairs], dtype=np.uint64)
+            codes = np.array([p[1] for p in pairs], dtype=np.uint8)
+            by_len[L] = (keys, codes)
+
+    kL = np.empty(n, dtype=np.uint64)
+    hit = np.empty(n, dtype=bool)
+    for L in sorted(by_len):  # ascending: longer matches overwrite shorter
+        keys, codes = by_len[L]
+        mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        np.bitwise_and(w, mask, out=kL)
+        idx = np.searchsorted(keys, kL)
+        np.minimum(idx, len(keys) - 1, out=idx)
+        np.equal(keys[idx], kL, out=hit)
+        if L > 1:
+            hit &= dist >= L
+        bestlen[hit] = L
+        bestcode[hit] = codes[idx[hit]]
+    return bestlen, bestcode
+
+
+def encode_buffer(buf: bytes, lengths: np.ndarray,
+                  table: list[bytes]) -> tuple[bytes, np.ndarray]:
+    """Greedy-encode concatenated strings; returns (enc bytes, enc lengths).
+
+    The only sequential step: one Python iteration per emitted token.
+    """
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    n = len(arr)
+    if n == 0:
+        return b"", np.zeros(len(lengths), dtype=np.int64)
+    bestlen, bestcode = _match_all_positions(arr, lengths, table)
+    bl = bestlen.tolist()
+    bc = bestcode.tolist()
+    raw = arr.tolist()
+    out = bytearray()
+    boundaries = np.cumsum(lengths.astype(np.int64)).tolist()
+    enc_offsets = [0] * len(boundaries)
+    b_i = 0
+    i = 0
+    append = out.append
+    n_bounds = len(boundaries)
+    while i < n:
+        # flush boundaries at or before i (handles empty strings) BEFORE
+        # emitting the token that starts the next string
+        while b_i < n_bounds and boundaries[b_i] <= i:
+            enc_offsets[b_i] = len(out)
+            b_i += 1
+        L = bl[i]
+        if L:
+            append(bc[i])
+            i += L
+        else:
+            append(ESCAPE)
+            append(raw[i])
+            i += 1
+    while b_i < n_bounds:
+        enc_offsets[b_i] = len(out)
+        b_i += 1
+    enc_offs = np.asarray(enc_offsets, dtype=np.int64)
+    enc_lengths = np.diff(np.concatenate([[0], enc_offs]))
+    return bytes(out), enc_lengths
+
+
+# ------------------------------------------------------------------ decoding
+
+def _escape_mask(enc: np.ndarray) -> np.ndarray:
+    """True where enc[i] is an ESCAPE marker (not an escaped literal).
+
+    Within a maximal run of ESCAPE bytes, markers sit at even offsets; a
+    non-ESCAPE byte can never be a marker-consumed literal unless the run
+    before it has odd length. Vectorized run-parity computation.
+    """
+    n = len(enc)
+    is255 = enc == ESCAPE
+    if not is255.any():
+        return np.zeros(n, dtype=bool)
+    # run starts: 255 whose predecessor is not 255
+    starts = is255 & np.concatenate([[True], ~is255[:-1]])
+    run_id = np.cumsum(starts) - 1
+    pos = np.arange(n)
+    start_pos = np.zeros(n, dtype=np.int64)
+    start_pos[is255] = pos[starts][run_id[is255]]
+    offset = pos - start_pos
+    mask = np.zeros(n, dtype=bool)
+    mask[is255] = (offset[is255] % 2) == 0
+    return mask
+
+
+def decode_buffer(enc: bytes, enc_lengths: np.ndarray,
+                  table: list[bytes]) -> tuple[bytes, np.ndarray]:
+    """Decode; returns (decoded bytes, decoded per-string lengths)."""
+    m = len(enc)
+    n_str = len(enc_lengths)
+    if m == 0:
+        return b"", np.zeros(n_str, dtype=np.int64)
+    arr = np.frombuffer(enc, dtype=np.uint8)
+    esc = _escape_mask(arr)
+    is_literal = np.zeros(m, dtype=bool)
+    is_literal[1:] = esc[:-1]
+    is_code = ~esc & ~is_literal
+
+    sym_lens = np.array([len(s) for s in table] + [0] * (256 - len(table)),
+                        dtype=np.int64)
+
+    # token start positions = code positions and escape-marker positions
+    tok_start = is_code | esc
+    # map tokens to strings via enc offsets
+    enc_offs = np.concatenate([[0], np.cumsum(enc_lengths.astype(np.int64))])
+
+    # build decoded bytes
+    if esc.any():
+        syms_obj = np.empty(256, dtype=object)
+        for c, s in enumerate(table):
+            syms_obj[c] = s
+        lit_bytes = arr[is_literal]
+        # interleave in order: walk token starts
+        order = np.flatnonzero(tok_start)
+        kinds = esc[order]  # True => escape token
+        code_vals = arr[order]
+        out_parts = []
+        li = 0
+        lit = lit_bytes.tobytes()
+        for j in range(len(order)):
+            if kinds[j]:
+                out_parts.append(lit[li : li + 1])
+                li += 1
+            else:
+                out_parts.append(syms_obj[code_vals[j]])
+        decoded = b"".join(out_parts)
+    else:
+        syms_obj = np.empty(max(len(table), 1), dtype=object)
+        for c, s in enumerate(table):
+            syms_obj[c] = s
+        decoded = b"".join(syms_obj[arr].tolist())
+
+    # per-string decoded lengths: sum decoded-len of bytes in each enc slice
+    per_byte = np.where(esc, 1, np.where(is_literal, 0, sym_lens[arr]))
+    csum = np.concatenate([[0], np.cumsum(per_byte)])
+    dec_lengths = csum[enc_offs[1:]] - csum[enc_offs[:-1]]
+    return decoded, dec_lengths.astype(np.int64)
+
+
+# ------------------------------------------------------- arrow array wrappers
+
+def fsst_encode_array(arr: pa.Array, table: list[bytes] | None = None
+                      ) -> tuple[bytes, bytes]:
+    """Encode a null-free pyarrow string array.
+
+    Returns (payload, symbol_table_blob).
+    payload = [u32 n][framed packed enc_lengths][enc bytes]
+    """
+    from .bitpack import pack_uints_framed
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32, count=n + 1,
+                            offset=arr.offset * 4)
+    data_buf = arr.buffers()[2]
+    buf = data_buf.to_pybytes()[offsets[0]: offsets[-1]] if data_buf is not None else b""
+    lengths = np.diff(offsets).astype(np.int64)
+    if table is None:
+        table = train(buf, lengths=lengths)
+    enc, enc_lengths = encode_buffer(buf, lengths, table)
+    payload = _U32.pack(n) + pack_uints_framed(enc_lengths.astype(np.uint64)) + enc
+    return payload, serialize_table(table)
+
+
+def fsst_decode_array(payload: bytes | memoryview, table_blob: bytes) -> pa.Array:
+    from .bitpack import unpack_uints_framed
+
+    payload = memoryview(payload)
+    n = _U32.unpack_from(payload, 0)[0]
+    enc_lengths, consumed = unpack_uints_framed(payload[4:])
+    enc = bytes(payload[4 + consumed :])
+    table = deserialize_table(table_blob)
+    decoded, dec_lengths = decode_buffer(enc, enc_lengths.astype(np.int64), table)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(dec_lengths, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(decoded)
+    )
+
+
+def estimate_ratio(arr: pa.Array, sample_rows: int = 64) -> tuple[float, list[bytes]]:
+    """Trial-encode a row sample; returns (enc_bytes/raw_bytes, trained table)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return 1.0, []
+    step = max(1, n // sample_rows)
+    sample = arr.take(np.arange(0, n, step))
+    if pa.types.is_large_string(sample.type):
+        sample = sample.cast(pa.string())
+    offsets = np.frombuffer(sample.buffers()[1], dtype=np.int32,
+                            count=len(sample) + 1)
+    payload, tbl = fsst_encode_array(sample)
+    raw_bytes = int(offsets[-1] - offsets[0])
+    if raw_bytes <= 0:
+        return 1.0, deserialize_table(tbl)
+    return len(payload) / raw_bytes, deserialize_table(tbl)

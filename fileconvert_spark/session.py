@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the sandbox (single JVM, N threads); on a real
+cluster the same conf applies except master/memory come from spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fileconvert_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # content rows are KBs; cap Arrow batches by bytes, not just rows,
+        # so the JVM<->Python Arrow IPC boundary streams bounded batches.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,185 @@
+"""Codec unit tests (no Spark): roundtrip identity on edges + seeded sweep.
+
+Mirrors the reference's round-trip conversion test strategy (SURVEY.md §5.1:
+FileConvert's correctness definition is convert->convert-back->equality;
+cited via BASELINE.json line 6) at per-codec granularity.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fileconvert_spark.functions import codecs, fsst
+from fileconvert_spark.functions.bitpack import (
+    pack_uints, str_blob_decode, str_blob_encode, unpack_uints,
+)
+
+STR_CASES = {
+    "empty": [],
+    "single": ["hello"],
+    "all_equal": ["same"] * 100,
+    "all_distinct": [f"value-{i}" for i in range(200)],
+    "sorted": sorted(f"k{i:05d}" for i in range(300)),
+    "unicode": ["π≈3.14 — ✓", "héllo wörld", "日本語テキスト", "🎉🎊", ""],
+    "zero_and_big": ["", "x" * (1 << 20), "", "y"],
+    "crlf_tab": ["a\r\nb\tc", "line1\nline2\r\n", "\n\n\n", "\t"],
+    "paths": [f"src/lib/internal/mod{i % 7}/file_{i}.py" for i in range(500)],
+    "hex": [hashlib.sha1(str(i // 25).encode()).hexdigest() for i in range(500)],
+    "multiline": ["\n".join(f"line {j % 9}" for j in range(i % 50)) for i in range(200)],
+    "runs": ["a"] * 50 + ["b"] * 30 + ["c"] * 20,
+}
+
+INT_CASES = {
+    "empty": np.array([], dtype=np.int64),
+    "single": np.array([42], dtype=np.int64),
+    "all_equal": np.full(100, 7, dtype=np.int64),
+    "sorted": np.arange(1000, dtype=np.int64) * 3 + 11,
+    "reverse": -np.arange(500, dtype=np.int64),
+    "negative": np.array([-(2**62), -1, 0, 1, 2**62], dtype=np.int64),
+    "bit_bounds": np.array([0, 1, (1 << 7) - 1, (1 << 8) - 1, (1 << 31) - 1,
+                            (1 << 32) - 1, (1 << 63) - 1, -(1 << 63)], dtype=np.int64),
+    "runs": np.repeat(np.array([5, -3, 5, 100], dtype=np.int64), [40, 30, 20, 10]),
+    "low_card": np.array([10**12, 2 * 10**12, 10**12] * 100, dtype=np.int64),
+}
+
+
+def test_bitpack_widths():
+    rng = np.random.default_rng(42)
+    for width in [1, 2, 7, 8, 13, 31, 32, 47, 63, 64]:
+        hi = (1 << width) - 1
+        vals = rng.integers(0, hi, size=257, dtype=np.uint64, endpoint=True)
+        vals[0], vals[1] = 0, hi
+        out = unpack_uints(pack_uints(vals, width), width, len(vals))
+        assert (out == vals).all(), f"width {width}"
+
+
+def test_str_blob_roundtrip():
+    for name, strs in STR_CASES.items():
+        arr = pa.array(strs, type=pa.string())
+        assert str_blob_decode(str_blob_encode(arr)).equals(arr), name
+
+
+@pytest.mark.parametrize("codec", list(codecs.STR_CODECS))
+@pytest.mark.parametrize("case", list(STR_CASES))
+def test_str_codec_roundtrip(codec, case):
+    arr = pa.array(STR_CASES[case], type=pa.string())
+    enc, dec = codecs.STR_CODECS[codec]
+    payload, dict_blob, meta = enc(arr)
+    out = dec(payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr), f"{codec}/{case}"
+
+
+@pytest.mark.parametrize("codec", list(codecs.INT_CODECS))
+@pytest.mark.parametrize("case", list(INT_CASES))
+def test_int_codec_roundtrip(codec, case):
+    vals = INT_CASES[case]
+    if codec == "delta" and case in ("negative", "bit_bounds"):
+        pytest.skip("delta overflows int64 on full-range diffs by design; "
+                    "selection never picks delta there (width check)")
+    enc, dec = codecs.INT_CODECS[codec]
+    payload, dict_blob, meta = enc(vals)
+    out = dec(payload, dict_blob, meta, len(vals))
+    assert (np.asarray(out) == vals).all(), f"{codec}/{case}"
+
+
+def test_random_sweep_str():
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(50)]
+    for trial in range(25):
+        n = int(rng.integers(0, 400))
+        kind = trial % 3
+        if kind == 0:
+            strs = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        elif kind == 1:
+            strs = ["".join(chr(int(rng.integers(32, 0x2FFF)))
+                            for _ in range(int(rng.integers(0, 30)))) for _ in range(n)]
+        else:
+            strs = ["\n".join(vocab[int(rng.integers(0, len(vocab)))]
+                              for _ in range(int(rng.integers(0, 20)))) for _ in range(n)]
+        arr = pa.array(strs, type=pa.string())
+        codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+        out = codecs.decode_str(codec, payload, dict_blob, meta, n)
+        assert out.cast(pa.string()).equals(arr), f"trial {trial} codec {codec}"
+
+
+def test_random_sweep_int():
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(0, 500))
+        kind = trial % 4
+        if kind == 0:
+            vals = rng.integers(-100, 100, size=n).astype(np.int64)
+        elif kind == 1:
+            vals = np.sort(rng.integers(0, 10**12, size=n).astype(np.int64))
+        elif kind == 2:
+            vals = np.repeat(rng.integers(0, 5, size=max(n // 10, 1)).astype(np.int64), 10)[:n]
+        else:
+            vals = rng.integers(-(2**40), 2**40, size=n).astype(np.int64)
+        codec, payload, dict_blob, meta = codecs.select_and_encode_int(vals)
+        out = codecs.decode_int(codec, payload, dict_blob, meta, len(vals))
+        assert len(np.asarray(out)) == len(vals)
+        assert (np.asarray(out) == vals).all(), f"trial {trial} codec {codec}"
+
+
+# ---------------------------------------------------------------- selection
+
+def test_selection_constant_prefers_rle_or_dict():
+    arr = pa.array(["const"] * 5000)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec in ("rle", "dict")
+    size = len(payload) + len(dict_blob or b"")
+    assert size < 200  # 5000 identical strings in a handful of bytes
+
+
+def test_selection_low_cardinality_prefers_dict():
+    langs = ["py", "js", "java"] * 2000
+    rng = np.random.default_rng(0)
+    rng.shuffle(langs)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(pa.array(langs))
+    assert codec == "dict"
+
+
+def test_selection_sorted_ints_prefers_delta_or_rle():
+    vals = np.arange(10000, dtype=np.int64) + 10**15
+    codec, payload, _, meta = codecs.select_and_encode_int(vals)
+    assert codec == "delta"
+    assert len(payload) < 100  # constant delta packs to ~0 bits
+
+
+def test_selection_paths_beats_raw_via_fsst():
+    arr = pa.array([f"src/lib/internal/handler{i}.py" for i in range(4000)])
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    size = len(payload) + len(dict_blob or b"")
+    _, raw_bytes = codecs._string_buffers(arr)
+    assert size < raw_bytes * 0.6, (codec, size, raw_bytes)
+
+
+def test_selection_templated_text_prefers_linedict():
+    pool = [f"import module_{i}" for i in range(30)]
+    rng = np.random.default_rng(3)
+    texts = ["\n".join(pool[int(rng.integers(0, 30))] for _ in range(80))
+             for _ in range(500)]
+    arr = pa.array(texts)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec == "linedict", codec
+    size = len(payload) + len(dict_blob or b"")
+    _, raw_bytes = codecs._string_buffers(arr)
+    assert size < raw_bytes * 0.3, (size, raw_bytes)
+
+
+def test_enc_never_bigger_than_raw_plus_eps():
+    rng = np.random.default_rng(9)
+    strs = ["".join(chr(int(rng.integers(33, 0x500))) for _ in range(40))
+            for _ in range(300)]
+    arr = pa.array(strs)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    _, raw_bytes = codecs._string_buffers(arr)
+    size = len(payload) + len(dict_blob or b"")
+    assert size <= raw_bytes + len(arr) * 4 + 64
+
+
+def test_fsst_table_roundtrip():
+    table = fsst.train(b"hello world hello world abcabcabc")
+    assert fsst.deserialize_table(fsst.serialize_table(table)) == table
