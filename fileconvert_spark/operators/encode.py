@@ -1,0 +1,311 @@
+"""Encode/decode executors (SURVEY.md §2 B10/B11).
+
+Spark-first design: the encode kernel is a ``mapInArrow`` function — the
+executor JVM streams Arrow record batches over IPC to the Python worker,
+the kernel accumulates them into size-bounded chunks, encodes every column
+with codec auto-selection (functions/codecs.py), and emits one ``enc`` row
+per (partition, chunk, column). No RDDs, no per-row Python, no driver-side
+data movement.
+
+The decode executor is an ``applyInPandas`` grouped by (part_id, chunk_id):
+one shuffle of *compressed* bytes, then each group reconstructs its chunk's
+columns bit-identically. At 100 TB the shuffle moves only encoded payloads
+(typically 10-20x smaller than raw), and chunk groups are independent —
+parallelism = number of chunks.
+
+Capability parity: reference = renesugar/FileConvert csv2parquet/parquet2csv
+two-pass pipeline (BASELINE.json line 6; checkout empty, SURVEY.md §0) —
+its row-group writer corresponds to the chunked encode here, its page
+decoder to the grouped decode.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import codecs
+from ..functions.bitpack import validity_pack, validity_unpack
+
+# one enc row per (part_id, chunk_id, column)
+ENC_ARROW_SCHEMA = pa.schema(
+    [
+        ("part_id", pa.int32()),
+        ("chunk_id", pa.int64()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("n_rows", pa.int64()),
+        ("validity", pa.binary()),
+        ("payload", pa.binary()),
+        ("dict", pa.binary()),
+        ("meta", pa.string()),
+        ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()),
+        ("sha256_chunk", pa.binary()),
+    ]
+)
+
+ENC_SPARK_SCHEMA = (
+    "part_id int, chunk_id long, column string, codec string, n_rows long, "
+    "validity binary, payload binary, dict binary, meta string, "
+    "raw_bytes long, enc_bytes long, sha256_chunk binary"
+)
+
+DEFAULT_CHUNK_ROWS = 65536
+DEFAULT_CHUNK_BYTES = 32 << 20
+
+# arrow types reconstructible from their str() name
+_TYPE_REGISTRY: dict[str, pa.DataType] = {
+    str(t): t
+    for t in [
+        pa.string(), pa.large_string(), pa.bool_(),
+        pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+        pa.uint8(), pa.uint16(), pa.uint32(),
+        pa.float32(), pa.float64(),
+        pa.date32(), pa.timestamp("us"), pa.timestamp("us", tz="UTC"),
+        pa.timestamp("ms"), pa.timestamp("ns"),
+    ]
+}
+
+
+def _as_int64(arr: pa.Array) -> tuple[np.ndarray, str]:
+    """Adapt a null-free arrow array to int64 for the int codec family.
+
+    Returns (values, adapter) where adapter tells decode how to restore:
+    'i' plain integral cast, 'f64'/'f32' IEEE bit views (exact roundtrip
+    incl. NaN payloads and -0.0).
+    """
+    t = arr.type
+    if pa.types.is_float64(t):
+        return arr.to_numpy(zero_copy_only=False).view(np.int64).copy(), "f64"
+    if pa.types.is_float32(t):
+        bits = arr.to_numpy(zero_copy_only=False).view(np.uint32)
+        return bits.astype(np.int64), "f32"
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).copy(), "i"
+
+
+def _from_int64(vals: np.ndarray, adapter: str, orig_type: pa.DataType) -> pa.Array:
+    if adapter == "f64":
+        return pa.array(np.asarray(vals, dtype=np.int64).view(np.float64))
+    if adapter == "f32":
+        return pa.array(np.asarray(vals, dtype=np.int64).astype(np.uint32).view(np.float32))
+    return pa.array(np.asarray(vals, dtype=np.int64)).cast(orig_type)
+
+
+def encode_column(arr: pa.Array) -> dict:
+    """Encode one column chunk (nulls handled here) -> enc row fields."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    orig_type = str(arr.type)
+    validity = None
+    if arr.null_count:
+        mask = np.asarray(arr.is_valid())
+        validity = validity_pack(mask)
+        clean = arr.drop_null()
+    else:
+        clean = arr
+
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        if pa.types.is_large_string(t):
+            clean = clean.cast(pa.string())
+        codec, payload, dict_blob, meta = codecs.select_and_encode_str(clean)
+        _, data_bytes = codecs._string_buffers(clean)
+        raw_bytes = data_bytes + 4 * n
+        meta["vt"] = "str"
+        sha = hashlib.sha256(payload).digest()
+    else:
+        vals, adapter = _as_int64(clean)
+        codec, payload, dict_blob, meta = codecs.select_and_encode_int(vals)
+        raw_bytes = n * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else n * 8
+        meta["vt"] = "int"
+        meta["ad"] = adapter
+        sha = hashlib.sha256(payload).digest()
+    meta["ot"] = orig_type
+    meta_json = json.dumps(meta, separators=(",", ":"))
+    enc_bytes = (
+        len(payload)
+        + (len(dict_blob) if dict_blob else 0)
+        + (len(validity) if validity else 0)
+        + len(meta_json)
+    )
+    return {
+        "codec": codec,
+        "n_rows": n,
+        "validity": validity,
+        "payload": payload,
+        "dict": dict_blob,
+        "meta": meta_json,
+        "raw_bytes": int(raw_bytes),
+        "enc_bytes": int(enc_bytes),
+        "sha256_chunk": sha,
+    }
+
+
+def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
+                  meta_json: str, n_rows: int,
+                  validity: bytes | None) -> pa.Array:
+    """Inverse of encode_column: restore the original arrow array exactly."""
+    meta = json.loads(meta_json)
+    orig_type = _TYPE_REGISTRY.get(meta["ot"], pa.string())
+    n_valid = n_rows
+    mask = None
+    if validity is not None:
+        mask = validity_unpack(validity, n_rows)
+        n_valid = int(mask.sum())
+    if meta["vt"] == "str":
+        clean = codecs.decode_str(codec, payload, dict_blob, meta, n_valid)
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        clean = clean.cast(pa.string())
+    else:
+        vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
+        clean = _from_int64(vals, meta.get("ad", "i"), orig_type)
+        if isinstance(clean, pa.ChunkedArray):
+            clean = clean.combine_chunks()
+    if mask is None:
+        out = clean
+    else:
+        # scatter valid values back into null positions via take-with-nulls
+        idx = np.zeros(n_rows, dtype=np.int64)
+        idx[mask] = np.arange(n_valid)
+        take_idx = pa.array(idx, mask=~mask)
+        out = clean.take(take_idx)
+    if str(out.type) != meta["ot"] and meta["ot"] in _TYPE_REGISTRY:
+        out = out.cast(_TYPE_REGISTRY[meta["ot"]])
+    return out
+
+
+def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int) -> pa.RecordBatch:
+    """Encode all columns of one chunk -> a record batch of enc rows."""
+    rows = {name: [] for name in ENC_ARROW_SCHEMA.names}
+    for col in tbl.column_names:
+        fields = encode_column(tbl.column(col))
+        rows["part_id"].append(part_id)
+        rows["chunk_id"].append(chunk_id)
+        rows["column"].append(col)
+        for k, v in fields.items():
+            rows[k].append(v)
+    arrays = [pa.array(rows[name], type=ENC_ARROW_SCHEMA.field(name).type)
+              for name in ENC_ARROW_SCHEMA.names]
+    return pa.RecordBatch.from_arrays(arrays, schema=ENC_ARROW_SCHEMA)
+
+
+def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
+    """Decode one chunk's enc rows back into the original columns."""
+    by_col = {}
+    n_rows = 0
+    for i in range(enc_tbl.num_rows):
+        row = {name: enc_tbl.column(name)[i].as_py() for name in enc_tbl.column_names}
+        by_col[row["column"]] = decode_column(
+            row["codec"], row["payload"], row["dict"], row["meta"],
+            row["n_rows"], row["validity"])
+        n_rows = row["n_rows"]
+    arrays = [by_col[c] for c in column_order]
+    return pa.Table.from_arrays(arrays, names=column_order)
+
+
+def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                   chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                   part_id_col: str | None = None):
+    """Build the mapInArrow kernel: batches in -> enc record batches out.
+
+    ``part_id_col``: optional column carrying the deterministic bucket id
+    (B2 partitioning); it is popped from the data and used as part_id so
+    checkpoint/resume is keyed by *bucket*, not by Spark's task numbering.
+    """
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task_part = ctx.partitionId() if ctx is not None else 0
+
+        # per-bucket buffers: several buckets can share a task (hash
+        # collisions, AQE coalescing), and resume must key on bucket
+        bufs: dict[int, list[pa.RecordBatch]] = {}
+        rows: dict[int, int] = {}
+        byts: dict[int, int] = {}
+        chunk_ids: dict[int, int] = {}
+
+        def flush(pid: int) -> pa.RecordBatch:
+            tbl = pa.Table.from_batches(bufs[pid])
+            if part_id_col is not None:
+                tbl = tbl.drop_columns([part_id_col])
+            cid = chunk_ids.get(pid, 0)
+            out = encode_chunk_table(tbl, pid, cid)
+            chunk_ids[pid] = cid + 1
+            bufs[pid], rows[pid], byts[pid] = [], 0, 0
+            return out
+
+        for b in batches:
+            if part_id_col is None:
+                parts = [(task_part, b)]
+            else:
+                col_idx = b.schema.get_field_index(part_id_col)
+                bucket_vals = b.column(col_idx).to_numpy(zero_copy_only=False)
+                uniq = np.unique(bucket_vals)
+                if len(uniq) == 1:
+                    parts = [(int(uniq[0]), b)]
+                else:
+                    parts = [
+                        (int(u), b.filter(pa.array(bucket_vals == u)))
+                        for u in uniq
+                    ]
+            for pid, sub in parts:
+                bufs.setdefault(pid, []).append(sub)
+                rows[pid] = rows.get(pid, 0) + sub.num_rows
+                byts[pid] = byts.get(pid, 0) + sub.nbytes
+                if rows[pid] >= chunk_rows or byts[pid] >= chunk_bytes:
+                    yield flush(pid)
+        for pid, buf in list(bufs.items()):
+            if buf:
+                yield flush(pid)
+
+    return fn
+
+
+def encode_df(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
+              chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+              part_id_col: str | None = None):
+    """DataFrame -> enc DataFrame (one row per partition x chunk x column)."""
+    return df.mapInArrow(
+        make_encode_fn(chunk_rows, chunk_bytes, part_id_col), ENC_SPARK_SCHEMA
+    )
+
+
+def decode_df(enc_df, src_schema):
+    """enc DataFrame -> original DataFrame (bit-identical values).
+
+    One shuffle of compressed bytes, grouped by (part_id, chunk_id);
+    ``src_schema`` is the Spark schema of the original table.
+    """
+    column_order = [f.name for f in src_schema.fields]
+
+    def decode_group(pdf):
+        import pandas as pd
+
+        arrays = {}
+        n_rows = 0
+        for _, row in pdf.iterrows():
+            arr = decode_column(
+                row["codec"], bytes(row["payload"]),
+                bytes(row["dict"]) if row["dict"] is not None else None,
+                row["meta"], int(row["n_rows"]),
+                bytes(row["validity"]) if row["validity"] is not None else None,
+            )
+            arrays[row["column"]] = arr
+            n_rows = int(row["n_rows"])
+        tbl = pa.Table.from_arrays([arrays[c] for c in column_order],
+                                   names=column_order)
+        return tbl.to_pandas(types_mapper=None)
+
+    return (
+        enc_df.groupBy("part_id", "chunk_id")
+        .applyInPandas(decode_group, schema=src_schema)
+    )

@@ -1,0 +1,117 @@
+"""Size-balanced, salted, skew-aware partitioning (SURVEY.md §2 B2).
+
+The corpus is Zipf-skewed by repo: a few repos hold most of the bytes.
+Catalyst balances partitions by row count / split size, not by
+sum(length(content)), so an explicit two-pass scheme is used:
+
+  pass 1 (small agg): per-repo content bytes -> only repos heavier than
+     total/(4*n_buckets) are collected to the driver (bounded by
+     ~4*n_buckets rows regardless of corpus size — at 10^12 files the
+     driver never sees the light-repo long tail);
+  pass 2: LPT (longest-processing-time) greedy bin-packing of heavy repos
+     onto buckets pre-loaded with the light repos' expected hash share;
+     repos too big for any single bucket are SALTED — their rows spread
+     over all buckets by xxhash64(path, commit).
+
+The bucket column then drives one explicit hash shuffle
+(``repartition(n_buckets, "bucket")``) — the single wide dependency of the
+encode job. Reference parity: FileConvert is single-file single-process
+(BASELINE.json line 6); partitioning exists only in our engine, mandated by
+the north rule ("partitioning / shuffle / skew handled explicitly").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def plan_buckets(
+    df: DataFrame,
+    n_buckets: int,
+    key_col: str = "repo",
+    salt_cols: tuple[str, ...] = ("path", "commit"),
+    weight_col: str = "content",
+) -> tuple[DataFrame, dict]:
+    """Assign a ``bucket`` column balancing bytes, salting hot keys.
+
+    Returns (df + bucket column, plan info dict).
+    """
+    spark = df.sparkSession
+    w = F.coalesce(F.length(F.col(weight_col)), F.lit(0)).cast("long")
+
+    sizes = df.groupBy(key_col).agg(F.sum(w).alias("bytes"))
+    total_row = sizes.agg(
+        F.sum("bytes").alias("total"), F.count("*").alias("n_keys")
+    ).collect()[0]
+    total = int(total_row["total"] or 0)
+    n_keys = int(total_row["n_keys"])
+    if total == 0 or n_keys == 0:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        ), {"total_bytes": 0, "heavy": 0, "salted": 0, "n_buckets": n_buckets}
+
+    # collect every key heavier than a small fraction of a bucket for exact
+    # LPT; the long tail below the threshold is hashed. driver_cap bounds
+    # driver memory at extreme key counts (10^8 repos -> top 64k only).
+    driver_cap = 65536
+    heavy_thr = max(total // (16 * n_buckets), 1)
+    bucket_cap = total / n_buckets
+    heavy = (
+        sizes.filter(F.col("bytes") >= heavy_thr)
+        .orderBy(F.desc("bytes"))
+        .limit(driver_cap)
+        .collect()
+    )
+
+    heavy_bytes = sum(int(r["bytes"]) for r in heavy)
+    light_share = (total - heavy_bytes) / n_buckets  # expected hash share
+    loads = [light_share] * n_buckets
+
+    assignments: list[tuple[str, int, bool]] = []  # (key, bucket, salted)
+    n_salted = 0
+    for r in sorted(heavy, key=lambda r: -int(r["bytes"])):
+        b = int(r["bytes"])
+        if b > bucket_cap:  # cannot fit one bucket fairly -> salt across all
+            assignments.append((r[key_col], -1, True))
+            per = b / n_buckets
+            for i in range(n_buckets):
+                loads[i] += per
+            n_salted += 1
+        else:  # LPT: least-loaded bucket
+            i = min(range(n_buckets), key=loads.__getitem__)
+            loads[i] += b
+            assignments.append((r[key_col], i, False))
+
+    info = {
+        "total_bytes": total,
+        "n_keys": n_keys,
+        "heavy": len(heavy),
+        "salted": n_salted,
+        "n_buckets": n_buckets,
+        "max_load_skew": (max(loads) / (total / n_buckets)) if total else 1.0,
+    }
+
+    if assignments:
+        map_df = spark.createDataFrame(
+            assignments, schema=f"{key_col} string, _assigned int, _salted boolean"
+        )
+        df2 = df.join(F.broadcast(map_df), key_col, "left")
+        salt_hash = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                           F.lit(n_buckets)).cast("int")
+        key_hash = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        bucket = (
+            F.when(F.col("_salted"), salt_hash)
+            .when(F.col("_assigned").isNotNull(), F.col("_assigned"))
+            .otherwise(key_hash)
+        )
+        df2 = df2.withColumn("bucket", bucket).drop("_assigned", "_salted")
+    else:
+        df2 = df.withColumn(
+            "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+        )
+    return df2, info
+
+
+def repartition_by_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """The encode job's single explicit shuffle."""
+    return df.repartition(n_buckets, F.col("bucket"))

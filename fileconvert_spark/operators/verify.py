@@ -1,0 +1,57 @@
+"""Round-trip verification (SURVEY.md §2 A8/B12/C3).
+
+The reference's correctness definition is the conversion round trip
+(BASELINE.json line 6: csv2parquet -> parquet2csv reproduces every value);
+ours is the encode -> decode round trip, checked distributed: a full outer
+join of original vs decoded on the row key, then null-safe equality on every
+value column plus the mandated per-row sha256(content) invariant
+(BASELINE.json line 15). Small dimension side would broadcast automatically;
+here both sides are big, so Catalyst picks a sort-merge join on the key —
+one shuffle each side, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def roundtrip_report(src: DataFrame, decoded: DataFrame,
+                     key_cols: list[str],
+                     sha_col: str | None = "content") -> DataFrame:
+    """1-row DataFrame: n_src, n_dec, missing, extra, value_mismatches,
+    sha_mismatches. All zeros (except counts) == bit-identical round trip."""
+    value_cols = [c for c in src.columns if c not in key_cols]
+    s = src.alias("s")
+    d = decoded.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in key_cols]
+    j = s.join(d, cond, "full_outer")
+
+    src_present = F.col(f"s.{key_cols[0]}").isNotNull()
+    dec_present = F.col(f"d.{key_cols[0]}").isNotNull()
+    val_neq = F.lit(False)
+    for c in value_cols:
+        val_neq = val_neq | ~F.col(f"s.{c}").eqNullSafe(F.col(f"d.{c}"))
+    sha_neq = F.lit(False)
+    if sha_col is not None and sha_col in src.columns:
+        sha_neq = ~F.sha2(F.coalesce(F.col(f"s.{sha_col}"), F.lit("")), 256) \
+            .eqNullSafe(F.sha2(F.coalesce(F.col(f"d.{sha_col}"), F.lit("")), 256))
+
+    return j.agg(
+        F.sum(src_present.cast("long")).alias("n_src"),
+        F.sum(dec_present.cast("long")).alias("n_dec"),
+        F.sum((src_present & ~dec_present).cast("long")).alias("missing"),
+        F.sum((~src_present & dec_present).cast("long")).alias("extra"),
+        F.sum((src_present & dec_present & val_neq).cast("long")).alias("value_mismatches"),
+        F.sum((src_present & dec_present & sha_neq).cast("long")).alias("sha_mismatches"),
+    )
+
+
+def assert_roundtrip(src: DataFrame, decoded: DataFrame,
+                     key_cols: list[str], sha_col: str | None = "content") -> dict:
+    row = roundtrip_report(src, decoded, key_cols, sha_col).collect()[0].asDict()
+    problems = {k: v for k, v in row.items()
+                if k in ("missing", "extra", "value_mismatches", "sha_mismatches")
+                and (v or 0) != 0}
+    if problems or row["n_src"] != row["n_dec"]:
+        raise AssertionError(f"round trip failed: {row}")
+    return row

@@ -1,0 +1,276 @@
+"""Job-level encode/decode with lineage manifests + checkpoint/resume
+(SURVEY.md §2 B13/B14/B15).
+
+Layout of an encoded table directory (Iceberg-style seam — data files plus
+manifest files carrying snapshot/file/stats metadata; a real Iceberg catalog
+is a config-only swap behind sources/icebergish.py):
+
+    out_dir/
+      _schema.json            source Spark schema (for decode)
+      _summary.json           job-level metrics rollup
+      data/part-00017.parquet encoded chunks of bucket 17 (parquet
+                              compression=NONE — sizes are the engine's own)
+      manifests/part-00017.json  per-partition lineage: rows, chunks, bytes,
+                              codec histogram, chunk sha256s, wall_ms, status
+
+Checkpoint/resume: a bucket whose manifest says status=done (and whose data
+file exists) is skipped on re-run — partition ids are deterministic bucket
+ids from operators/partitioning.py, so a restarted job re-encodes exactly
+the missing buckets (BASELINE.json line 6: "resumable from checkpoint after
+executor loss"). Writes are atomic (tmp + os.replace).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections import Counter
+from collections.abc import Iterator
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..operators.encode import (
+    DEFAULT_CHUNK_BYTES,
+    DEFAULT_CHUNK_ROWS,
+    make_encode_fn,
+)
+
+MANIFEST_SPARK_SCHEMA = (
+    "part_id int, n_rows long, n_chunks int, raw_bytes long, enc_bytes long, "
+    "file_bytes long, codec_map string, sha256_part string, wall_ms long, "
+    "status string"
+)
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def scan_done_parts(out_dir: str) -> set[int]:
+    """Buckets already encoded (manifest=done AND data file present)."""
+    mdir = os.path.join(out_dir, "manifests")
+    done: set[int] = set()
+    if not os.path.isdir(mdir):
+        return done
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write -> re-encode that bucket
+        if m.get("status") == "done" and os.path.exists(
+            os.path.join(out_dir, "data", f"part-{m['part_id']:05d}.parquet")
+        ):
+            done.add(int(m["part_id"]))
+    return done
+
+
+def make_write_kernel(out_dir: str,
+                      chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                      chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                      part_id_col: str = "bucket"):
+    """mapInArrow kernel: encode + write per-bucket parquet + manifest,
+    yielding one manifest summary row per bucket."""
+
+    encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col)
+    man_schema = pa.schema(
+        [
+            ("part_id", pa.int32()),
+            ("n_rows", pa.int64()),
+            ("n_chunks", pa.int32()),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+            ("file_bytes", pa.int64()),
+            ("codec_map", pa.string()),
+            ("sha256_part", pa.string()),
+            ("wall_ms", pa.int64()),
+            ("status", pa.string()),
+        ]
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        t0 = time.time()
+        per_part: dict[int, list[pa.RecordBatch]] = {}
+        for enc_batch in encode_fn(batches):
+            pid = int(enc_batch.column(0)[0].as_py())
+            per_part.setdefault(pid, []).append(enc_batch)
+
+        os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
+        os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+        rows: list[dict] = []
+        for pid, enc_batches in per_part.items():
+            tbl = pa.Table.from_batches(enc_batches)
+            data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
+            tmp_path = data_path + ".tmp"
+            # compression=NONE: our codecs, not parquet's, account for size
+            pq.write_table(tbl, tmp_path, compression="none")
+            os.replace(tmp_path, data_path)
+            file_bytes = os.path.getsize(data_path)
+
+            chunk_ids = tbl.column("chunk_id").to_pylist()
+            columns = tbl.column("column").to_pylist()
+            codecs_used = tbl.column("codec").to_pylist()
+            n_rows_per = tbl.column("n_rows").to_pylist()
+            raw_b = sum(tbl.column("raw_bytes").to_pylist())
+            enc_b = sum(tbl.column("enc_bytes").to_pylist())
+            shas = tbl.column("sha256_chunk").to_pylist()
+            n_chunks = len(set(chunk_ids))
+            n_rows = sum(n for c, n in zip(columns, n_rows_per)
+                         if c == columns[0])
+            codec_map = dict(Counter(f"{c}:{k}" for c, k in zip(columns, codecs_used)))
+            sha_part = hashlib.sha256(b"".join(shas)).hexdigest()
+            wall_ms = int((time.time() - t0) * 1000)
+            manifest = {
+                "part_id": pid,
+                "n_rows": int(n_rows),
+                "n_chunks": int(n_chunks),
+                "raw_bytes": int(raw_b),
+                "enc_bytes": int(enc_b),
+                "file_bytes": int(file_bytes),
+                "codec_map": codec_map,
+                "sha256_part": sha_part,
+                "wall_ms": wall_ms,
+                "status": "done",
+            }
+            _atomic_write_bytes(
+                os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"),
+                json.dumps(manifest, indent=1).encode(),
+            )
+            rows.append({**manifest, "codec_map": json.dumps(codec_map)})
+
+        if rows:
+            arrays = [pa.array([r[f.name] for r in rows], type=f.type)
+                      for f in man_schema]
+            yield pa.RecordBatch.from_arrays(arrays, schema=man_schema)
+
+    return fn
+
+
+def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
+                 resume: bool = True, key_col: str = "repo",
+                 salt_cols: tuple[str, ...] = ("path", "commit"),
+                 weight_col: str = "content",
+                 chunk_rows: int = DEFAULT_CHUNK_ROWS,
+                 chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> dict:
+    """Encode a table to out_dir with manifests; returns job summary.
+
+    Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
+    map) + 1 hash shuffle (repartition by bucket) + narrow encode/write.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.partitioning import plan_buckets, repartition_by_bucket
+
+    t0 = time.time()
+    if n_buckets is None:
+        n_buckets = spark.sparkContext.defaultParallelism * 4
+
+    os.makedirs(out_dir, exist_ok=True)
+    # bucketing is part of the table's identity: resuming with a different
+    # n_buckets would re-bucket rows and duplicate them across old/new parts
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if resume and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            stored = json.load(f)
+        if stored["n_buckets"] != n_buckets:
+            n_buckets = stored["n_buckets"]
+    else:
+        # fresh run: any stale data/manifests must not leak into this table
+        for sub in ("data", "manifests"):
+            p = os.path.join(out_dir, sub)
+            if not resume and os.path.isdir(p):
+                for name in os.listdir(p):
+                    os.remove(os.path.join(p, name))
+        _atomic_write_bytes(meta_path, json.dumps(
+            {"n_buckets": n_buckets, "key_col": key_col,
+             "salt_cols": list(salt_cols), "weight_col": weight_col}).encode())
+    _atomic_write_bytes(os.path.join(out_dir, "_schema.json"),
+                        df.schema.json().encode())
+
+    dfb, plan_info = plan_buckets(df, n_buckets, key_col=key_col,
+                                  salt_cols=salt_cols, weight_col=weight_col)
+    done = scan_done_parts(out_dir) if resume else set()
+    skipped = len(done)
+    if done:
+        dfb = dfb.filter(~F.col("bucket").isin([int(p) for p in done]))
+
+    shuffled = repartition_by_bucket(dfb, n_buckets)
+    man_df = shuffled.mapInArrow(
+        make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket"),
+        MANIFEST_SPARK_SCHEMA,
+    )
+    manifests = [r.asDict() for r in man_df.collect()]
+
+    wall_s = time.time() - t0
+    all_manifests = read_all_manifests(out_dir)
+    raw_bytes = sum(m["raw_bytes"] for m in all_manifests)
+    enc_bytes = sum(m["enc_bytes"] for m in all_manifests)
+    codec_hist: Counter[str] = Counter()
+    for m in all_manifests:
+        cm = m["codec_map"]
+        cm = json.loads(cm) if isinstance(cm, str) else cm
+        codec_hist.update(cm)
+    summary = {
+        "n_parts": len(all_manifests),
+        "parts_encoded_this_run": len(manifests),
+        "parts_skipped_resume": skipped,
+        "n_rows": sum(m["n_rows"] for m in all_manifests),
+        "raw_bytes": int(raw_bytes),
+        "enc_bytes": int(enc_bytes),
+        "ratio": (enc_bytes / raw_bytes) if raw_bytes else None,
+        "wall_s": wall_s,
+        "throughput_mb_s": (raw_bytes / 1e6 / wall_s) if wall_s > 0 else None,
+        "codec_histogram": dict(codec_hist),
+        "plan": plan_info,
+    }
+    _atomic_write_bytes(os.path.join(out_dir, "_summary.json"),
+                        json.dumps(summary, indent=1).encode())
+    return summary
+
+
+def read_all_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "manifests")
+    out = []
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                continue
+    return out
+
+
+def decode_table(spark, out_dir: str):
+    """Read an encoded table directory back as the original DataFrame."""
+    from pyspark.sql.types import StructType
+
+    from ..operators.encode import decode_df
+
+    with open(os.path.join(out_dir, "_schema.json")) as f:
+        schema = StructType.fromJson(json.load(f))
+    enc_df = spark.read.parquet(os.path.join(out_dir, "data"))
+    return decode_df(enc_df, schema)
+
+
+def snappy_baseline_bytes(df, baseline_dir: str) -> int:
+    """Reference comparator (B15): bytes of a Parquet/Snappy write of the
+    same data — the size FileConvert's csv2parquet round-trip tests define
+    (BASELINE.json line 6)."""
+    df.write.mode("overwrite").option("compression", "snappy").parquet(baseline_dir)
+    total = 0
+    for root, _dirs, files in os.walk(baseline_dir):
+        for name in files:
+            if name.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, name))
+    return total

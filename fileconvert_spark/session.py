@@ -7,8 +7,28 @@ cluster the same conf applies except master/memory come from spark-submit.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package so executors can import it — the local-mode
+    equivalent of ``spark-submit --py-files`` (BASELINE.json line 14)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    out = os.path.join(tempfile.gettempdir(), "fileconvert_spark_pyfiles")
+    zip_path = out + ".zip"
+    if not os.path.exists(zip_path) or any(
+        os.path.getmtime(os.path.join(root, f)) > os.path.getmtime(zip_path)
+        for root, _d, files in os.walk(pkg_dir)
+        for f in files if f.endswith(".py")
+    ):
+        tmp = shutil.make_archive(out + "_tmp", "zip", root_dir=parent,
+                                  base_dir="fileconvert_spark")
+        os.replace(tmp, zip_path)
+    return zip_path
 
 
 def get_spark(
@@ -39,4 +59,8 @@ def get_spark(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added in a reused session
     return spark

@@ -1,0 +1,36 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fileconvert_spark.session import get_spark
+
+    s = get_spark("fileconvert-tests", master="local[8]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus_pdf():
+    from fileconvert_spark.corpus import make_codefiles
+
+    return make_codefiles(8000)
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_pdf):
+    df = spark.createDataFrame(corpus_pdf)
+    df.persist()
+    df.count()
+    return df
+
+
+def sf_dir(sf: str = "sf0.001") -> str:
+    return os.path.join(TESTDATA, sf)

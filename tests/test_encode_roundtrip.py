@@ -1,0 +1,135 @@
+"""Spark integration: encode -> decode -> bit-identical, manifests, resume,
+snappy-baseline gate (SURVEY.md §5.2.3)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fileconvert_spark.operators.encode import decode_df, encode_df
+from fileconvert_spark.operators.partitioning import plan_buckets
+from fileconvert_spark.operators.verify import assert_roundtrip
+from fileconvert_spark.plans.manifest import (
+    decode_table,
+    encode_table,
+    read_all_manifests,
+    scan_done_parts,
+    snappy_baseline_bytes,
+)
+
+KEYS = ["repo", "path", "commit"]
+
+
+def test_encode_decode_in_memory(spark, corpus_df):
+    enc = encode_df(corpus_df, chunk_rows=2048)
+    dec = decode_df(enc, corpus_df.schema)
+    report = assert_roundtrip(corpus_df, dec, KEYS)
+    assert report["n_src"] == corpus_df.count()
+
+
+def test_enc_schema_and_codecs(spark, corpus_df):
+    enc = encode_df(corpus_df, chunk_rows=2048)
+    rows = enc.groupBy("column", "codec").agg(F.sum("enc_bytes").alias("b")).collect()
+    by_col = {}
+    for r in rows:
+        by_col.setdefault(r["column"], set()).add(r["codec"])
+    # lang/repo are low-cardinality -> dictionary family everywhere
+    assert by_col["lang"] <= {"dict", "rle", "raw"}
+    assert "content" in by_col
+
+
+def test_size_balanced_buckets(spark, corpus_df):
+    n = 8
+    dfb, info = plan_buckets(corpus_df, n)
+    assert info["n_buckets"] == n
+    sizes = (
+        dfb.groupBy("bucket")
+        .agg(F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("b"))
+        .collect()
+    )
+    loads = {r["bucket"]: r["b"] for r in sizes}
+    assert set(loads) <= set(range(n))
+    total = sum(loads.values())
+    max_row = (
+        corpus_df.agg(F.max(F.length("content")).alias("m")).collect()[0]["m"]
+    )
+    # Zipf-skewed input must still balance: max bucket <= fair share + one
+    # indivisible row (the corpus has a single 2 MiB row) + 50% slack
+    fair = total / n
+    assert max(loads.values()) <= 1.5 * fair + max_row, (loads, fair, max_row)
+
+
+def test_encode_table_job(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "enc")
+    summary = encode_table(spark, corpus_df, out, n_buckets=8)
+    assert summary["n_parts"] >= 1
+    assert summary["n_rows"] == corpus_df.count()
+    manifests = read_all_manifests(out)
+    assert all(m["status"] == "done" for m in manifests)
+    assert {m["part_id"] for m in manifests} == scan_done_parts(out)
+
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+
+    # size gate: engine bytes (actual parquet files, incl. all metadata)
+    # must not exceed the reference Parquet/Snappy write of the same data
+    baseline = snappy_baseline_bytes(corpus_df, str(tmp_path / "snappy"))
+    engine_files = sum(
+        os.path.getsize(os.path.join(out, "data", f))
+        for f in os.listdir(os.path.join(out, "data"))
+    )
+    assert engine_files <= baseline, (engine_files, baseline)
+    assert summary["enc_bytes"] <= baseline
+
+
+def test_resume_skips_done_parts(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "enc")
+    s1 = encode_table(spark, corpus_df, out, n_buckets=8)
+    done_before = scan_done_parts(out)
+    assert len(done_before) == s1["n_parts"]
+
+    # simulate executor/job loss: drop half the manifests + their data
+    victims = sorted(done_before)[: len(done_before) // 2]
+    for pid in victims:
+        os.remove(os.path.join(out, "manifests", f"part-{pid:05d}.json"))
+        os.remove(os.path.join(out, "data", f"part-{pid:05d}.parquet"))
+
+    s2 = encode_table(spark, corpus_df, out, n_buckets=8)
+    assert s2["parts_skipped_resume"] == len(done_before) - len(victims)
+    assert s2["parts_encoded_this_run"] == len(victims)
+    assert scan_done_parts(out) == done_before
+
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+
+
+def test_torn_manifest_is_reencoded(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_table(spark, corpus_df, out, n_buckets=4)
+    done = sorted(scan_done_parts(out))
+    victim = done[0]
+    # torn write: truncated json must not count as done
+    path = os.path.join(out, "manifests", f"part-{victim:05d}.json")
+    with open(path, "w") as f:
+        f.write('{"part_id": %d, "status": "do' % victim)
+    assert victim not in scan_done_parts(out)
+    s2 = encode_table(spark, corpus_df, out, n_buckets=4)
+    assert s2["parts_encoded_this_run"] == 1
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+
+
+def test_documents_table_mixed_types(spark, tmp_path):
+    """Engine generalizes beyond the corpus: int64/string mixed table."""
+    sf = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001"
+    )
+    if not os.path.isdir(sf):
+        pytest.skip("testdata missing")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    out = str(tmp_path / "docs_enc")
+    encode_table(spark, docs, out, n_buckets=4, key_col="source",
+                 salt_cols=("doc_id",), weight_col="text")
+    dec = decode_table(spark, out)
+    assert_roundtrip(docs, dec, ["doc_id"], sha_col="text")
