@@ -1,38 +1,899 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: encode+decode the sf0.001 documents table
+in-memory and report per-column codec choices, sizes, and (zero) sha
+mismatches. ``queries()`` / ``oracle_sql()`` — one entry per implemented
+operator from SURVEY.md §2; oracle SQL is ANSI/DuckDB over the same parquet
+views.
+
+Determinism notes for the value-hash compare:
+- money/double aggregates are cast per-term to DECIMAL before SUM (exact,
+  order-independent) and back to DOUBLE at the end, in BOTH dialects;
+- timestamps are returned as unix epochs (BIGINT) or extracted ints;
+- every computed column is aliased identically in both dialects.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Ship the package to executors (driver may not use our get_spark)."""
+    try:
+        from fileconvert_spark.session import _package_zip
+
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- flagship
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Encode + decode sf0.001 documents; per-column codec/size report."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    enc = encode_df(docs, chunk_rows=4096)
+    enc.persist()
+    report = (
+        enc.groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(F.col("enc_bytes") / F.greatest(F.col("raw_bytes"), F.lit(1)), 4),
+        )
+    )
+    dec = decode_df(enc, docs.schema)
+    d, o = dec.alias("d"), docs.alias("o")
+    mism = (
+        o.join(d, F.col("o.doc_id") == F.col("d.doc_id"), "full_outer")
+        .agg(
+            F.sum(
+                (~F.sha2(F.coalesce(F.col("o.text"), F.lit("")), 256).eqNullSafe(
+                    F.sha2(F.coalesce(F.col("d.text"), F.lit("")), 256)
+                )).cast("long")
+            ).alias("sha_mismatches")
+        )
+    )
+    return report.crossJoin(mism).orderBy("column", "codec")
+
+
+# ------------------------------------------------------- oracle-checked set
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.expr("cast(l_quantity as decimal(30,8))")).cast("double").alias("sum_qty"),
+            F.sum(F.expr("cast(l_extendedprice as decimal(30,8))")).cast("double").alias("sum_base_price"),
+            F.sum(F.expr("cast(l_extendedprice*(1-l_discount) as decimal(30,8))")).cast("double").alias("sum_disc_price"),
+            F.sum(F.expr("cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(30,8))")).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("cast(l_extendedprice*(1-l_discount) as decimal(30,8))"))
+            .cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("cast(o_totalprice as decimal(30,8))")).cast("double").alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+def predicates_in_like(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+            & F.col("c_name").like("%1%")
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def join_semi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def join_anti(spark, sf_dir):
+    # customers with no order above 250k (non-empty at sf0.001 and sf0.01)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def join_outer_counts(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left_outer")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+def agg_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("cast(o_totalprice as decimal(30,8))")).cast("double").alias("total"),
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+        )
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.grouping("l_returnflag").alias("g_rf"),
+             F.grouping("l_linestatus").alias("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+def grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+def distinct_exact(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def window_topk_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey")
+    )
+
+
+def window_lag_runs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    flagged = li.withColumn(
+        "run_start",
+        F.when(
+            F.lag("l_returnflag").over(w).isNull()
+            | (F.col("l_returnflag") != F.lag("l_returnflag").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(F.sum("run_start").alias("n_runs"), F.count("*").alias("n_rows"))
+        .orderBy("l_suppkey")
+    )
+
+
+def window_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.expr("cast(o_totalprice as decimal(30,8))")).over(w)
+        .cast("double").alias("running_total"),
+    )
+
+
+def sort_limit_topn(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    u = c.union(s).distinct().agg(F.count("*").alias("n")).withColumn("op", F.lit("union"))
+    i = c.intersect(s).agg(F.count("*").alias("n")).withColumn("op", F.lit("intersect"))
+    e = c.exceptAll(s).distinct().agg(F.count("*").alias("n")).withColumn("op", F.lit("except"))
+    return u.union(i).union(e).select("op", "n").orderBy("op")
+
+
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.length("p_name").alias("name_len"),
+        F.upper(F.substring("p_name", 1, 5)).alias("prefix5"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.trim(F.col("p_name")).alias("trimmed"),
+    )
+
+
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias("month_epoch"),
+        )
+        .groupBy("y", "m", "month_epoch")
+        .agg(F.count("*").alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+def json_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def hash_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+def math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("floor_price"),
+        F.ceil("l_extendedprice").cast("long").alias("ceil_price"),
+        F.abs(F.col("l_quantity") - 25).alias("abs_dev"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.floor(F.log2(F.col("l_partkey") + 1)).cast("long").alias("log2_part"),
+        F.pow(F.lit(2.0), F.col("l_linenumber")).cast("long").alias("pow2_line"),
+    )
+
+
+def case_coalesce(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.select(
+            bucket.alias("bal_bucket"),
+            F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+                       F.lit("DEFAULT")).alias("seg"),
+        )
+        .groupBy("bal_bucket", "seg")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bal_bucket", "seg")
+    )
+
+
+def array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        "label",
+    )
+
+
+def dedup_exact_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dup_rows"),
+    )
+
+
+def text_token_counts(spark, sf_dir):
+    from fileconvert_spark.functions.text import token_count_ws
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        token_count_ws(F.col("text")).alias("tok_ws"),
+    )
+
+
+def enc_roundtrip_documents(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    docs = _t(spark, sf_dir, "documents")
+    dec = decode_df(encode_df(docs, chunk_rows=8192), docs.schema)
+    o, d = docs.alias("o"), dec.alias("d")
+    return o.join(d, F.col("o.doc_id") == F.col("d.doc_id"), "full_outer").agg(
+        F.count(F.col("o.doc_id")).alias("n"),
+        F.sum(
+            (~F.sha2(F.coalesce(F.col("o.text"), F.lit("")), 256).eqNullSafe(
+                F.sha2(F.coalesce(F.col("d.text"), F.lit("")), 256)
+            )).cast("long")
+        ).alias("sha_mismatches"),
+        F.sum(
+            (~F.col("o.lang").eqNullSafe(F.col("d.lang"))
+             | ~F.col("o.source").eqNullSafe(F.col("d.source"))
+             | ~F.col("o.n_chars").eqNullSafe(F.col("d.n_chars"))).cast("long")
+        ).alias("value_mismatches"),
+    )
+
+
+def knn_bruteforce(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.knn import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    res = brute_force_topk(e, q, k=5)
+    return res.select("q_id", "rank", "vec_id").orderBy("q_id", "rank")
+
+
+def stream_window_counts(spark, sf_dir):
+    from fileconvert_spark.streaming.incremental import windowed_event_counts
+
+    schema = _t(spark, sf_dir, "events").schema
+    name = f"evt_counts_{abs(hash(sf_dir)) % 10_000}"
+    res = windowed_event_counts(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, query_name=name
+    )
+    return res.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("total_value").cast("decimal(30,8)").cast("double").alias("total_value"),
+    ).orderBy("window_start", "event_type")
+
+
+def csv_roundtrip_documents(spark, sf_dir):
+    from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="csvrt_")
+    csv_dir = os.path.join(tmp, "csv")
+    pq_dir = os.path.join(tmp, "pq")
+    parquet2csv(spark, os.path.join(sf_dir, "documents.parquet"), csv_dir)
+    back = csv2parquet(spark, csv_dir, pq_dir, schema=docs.schema)
+    b, o = back.alias("b"), docs.alias("o")
+    return o.join(b, F.col("o.doc_id") == F.col("b.doc_id"), "full_outer").agg(
+        F.count(F.col("o.doc_id")).alias("n"),
+        F.sum(F.col("o.text").eqNullSafe(F.col("b.text")).cast("long")).alias("n_text_match"),
+        F.sum(F.col("o.n_chars").eqNullSafe(F.col("b.n_chars")).cast("long")).alias("n_chars_match"),
+    )
+
+
+# ------------------------------------------------------------ rows-only set
+
+def enc_codec_report(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.encode import encode_df
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        encode_df(docs, chunk_rows=8192)
+        .groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+        )
+        .orderBy("column", "codec")
+    )
+
+
+def enc_corpus_demo(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.corpus import make_codefiles
+    from fileconvert_spark.operators.encode import encode_df
+
+    df = spark.createDataFrame(make_codefiles(2000))
+    return (
+        encode_df(df, chunk_rows=4096)
+        .groupBy("column", "codec")
+        .agg(F.sum("raw_bytes").alias("raw_bytes"),
+             F.sum("enc_bytes").alias("enc_bytes"))
+        .orderBy("column", "codec")
+    )
+
+
+def dedup_minhash_docs(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def dedup_simhash_docs(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
+
+
+def embedding_near_dup_pairs(spark, sf_dir):
+    from fileconvert_spark.operators.dedup import embedding_near_dups
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def knn_ivf(spark, sf_dir):
+    from fileconvert_spark.operators.knn import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
+    return ivf_topk(e, q, k=5).select("q_id", "rank", "vec_id").orderBy("q_id", "rank")
+
+
+def lang_id_docs(spark, sf_dir):
+    from fileconvert_spark.functions.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def quality_fingerprint_docs(spark, sf_dir):
+    from fileconvert_spark.functions.text import (
+        fingerprint64,
+        quality_score,
+        token_count_bpe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        token_count_bpe(F.col("text")).alias("tok_bpe"),
+        fingerprint64(F.col("text")).alias("fp64"),
+    )
+
+
+def approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+def multimodal_features(spark, sf_dir):
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, n=48)
+    return extract_features(media).orderBy("media_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (SURVEY.md §2.C)
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "filter_project": filter_project,
+        "predicates_in_like": predicates_in_like,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "join_outer_counts": join_outer_counts,
+        "agg_rollup": agg_rollup,
+        "agg_cube": agg_cube,
+        "grouping_sets": grouping_sets,
+        "distinct_exact": distinct_exact,
+        "window_topk_orders": window_topk_orders,
+        "window_lag_runs": window_lag_runs,
+        "window_running_sum": window_running_sum,
+        "sort_limit_topn": sort_limit_topn,
+        "set_ops": set_ops,
+        "string_funcs": string_funcs,
+        "date_funcs": date_funcs,
+        "json_funcs": json_funcs,
+        "hash_funcs": hash_funcs,
+        "math_funcs": math_funcs,
+        "case_coalesce": case_coalesce,
+        "array_funcs": array_funcs,
+        # engine surface (SURVEY.md §2.B)
+        "enc_roundtrip_documents": enc_roundtrip_documents,
+        "enc_codec_report": enc_codec_report,
+        "enc_corpus_demo": enc_corpus_demo,
+        # reference capability (SURVEY.md §2.A)
+        "csv_roundtrip_documents": csv_roundtrip_documents,
+        # training-data pipeline extras
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_minhash_docs": dedup_minhash_docs,
+        "dedup_simhash_docs": dedup_simhash_docs,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "knn_bruteforce": knn_bruteforce,
+        "knn_ivf": knn_ivf,
+        "text_token_counts": text_token_counts,
+        "lang_id_docs": lang_id_docs,
+        "quality_fingerprint_docs": quality_fingerprint_docs,
+        "approx_distinct": approx_distinct,
+        "multimodal_features": multimodal_features,
+        # streaming (SURVEY.md §2 C19)
+        "stream_window_counts": stream_window_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE) AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_revenue_by_nation": """
+            SELECT r_name, n_name, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "predicates_in_like": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND c_name LIKE '%1%'
+              AND c_acctbal IS NOT NULL
+        """,
+        "join_semi": """
+            SELECT o_orderstatus, COUNT(*) AS n
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 250000)
+            ORDER BY c_custkey
+        """,
+        "join_outer_counts": """
+            SELECT n_name, COUNT(c_custkey) AS n_customers
+            FROM nation LEFT OUTER JOIN customer ON n_nationkey = c_nationkey
+            GROUP BY n_name
+            ORDER BY n_name
+        """,
+        "agg_rollup": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE) AS total,
+                   GROUPING(o_orderstatus) AS g_status,
+                   GROUPING(o_orderpriority) AS g_prio
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """,
+        "agg_cube": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   GROUPING(l_returnflag) AS g_rf,
+                   GROUPING(l_linestatus) AS g_ls
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+        """,
+        "grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "distinct_exact": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(DISTINCT l_orderkey) AS n_orders
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, rn, o_orderkey FROM (
+                SELECT o_custkey, o_orderkey,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders) t
+            WHERE rn <= 3
+        """,
+        "window_lag_runs": """
+            SELECT l_suppkey, SUM(run_start) AS n_runs, COUNT(*) AS n_rows FROM (
+                SELECT l_suppkey,
+                       CASE WHEN LAG(l_returnflag) OVER w IS NULL
+                                 OR l_returnflag <> LAG(l_returnflag) OVER w
+                            THEN 1 ELSE 0 END AS run_start
+                FROM lineitem
+                WINDOW w AS (PARTITION BY l_suppkey
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber)) t
+            GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "sort_limit_topn": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "set_ops": """
+            WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+                 s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+            SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+            UNION ALL
+            SELECT 'intersect' AS op, COUNT(*) AS n FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+            UNION ALL
+            SELECT 'except' AS op, COUNT(*) AS n FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+            ORDER BY op
+        """,
+        "string_funcs": """
+            SELECT p_partkey,
+                   LENGTH(p_name) AS name_len,
+                   UPPER(SUBSTRING(p_name, 1, 5)) AS prefix5,
+                   LOWER(p_brand) AS brand_lc,
+                   REPLACE(p_type, ' ', '_') AS type_us,
+                   CONCAT_WS('-', p_brand, p_type) AS brand_type,
+                   STRPOS(p_name, 'a') AS first_a,
+                   TRIM(p_name) AS trimmed
+            FROM part
+        """,
+        "date_funcs": """
+            SELECT EXTRACT(year FROM o_orderdate) AS y,
+                   EXTRACT(month FROM o_orderdate) AS m,
+                   CAST(EPOCH(DATE_TRUNC('month', o_orderdate)) AS BIGINT) AS month_epoch,
+                   COUNT(*) AS n
+            FROM orders
+            GROUP BY 1, 2, 3 ORDER BY y, m
+        """,
+        "json_funcs": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hash_funcs": """
+            SELECT doc_id, MD5(text) AS text_md5, SHA256(text) AS text_sha256
+            FROM documents
+        """,
+        "math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+                   CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
+                   ABS(l_quantity - 25) AS abs_dev,
+                   CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+                   CAST(FLOOR(LOG2(l_partkey + 1)) AS BIGINT) AS log2_part,
+                   CAST(POW(2.0, l_linenumber) AS BIGINT) AS pow2_line
+            FROM lineitem WHERE l_orderkey <= 1000
+        """,
+        "case_coalesce": """
+            SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS bal_bucket,
+                   COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg,
+                   COUNT(*) AS n
+            FROM customer GROUP BY 1, 2 ORDER BY bal_bucket, seg
+        """,
+        "array_funcs": """
+            SELECT vec_id, LEN(embedding) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS first_val, label
+            FROM embeddings
+        """,
+        "dedup_exact_docs": """
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT MD5(text)) AS n_unique,
+                   COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_dup_rows
+            FROM documents
+        """,
+        "text_token_counts": """
+            SELECT doc_id, LENGTH(text) AS n_chars_calc,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(string_split_regex(TRIM(text), '\\s+')) END AS tok_ws
+            FROM documents
+        """,
+        "enc_roundtrip_documents": """
+            SELECT COUNT(*) AS n, 0 AS sha_mismatches, 0 AS value_mismatches
+            FROM documents
+        """,
+        "csv_roundtrip_documents": """
+            SELECT COUNT(*) AS n, COUNT(*) AS n_text_match, COUNT(*) AS n_chars_match
+            FROM documents
+        """,
+        "knn_bruteforce": """
+            SELECT q_id, rank, vec_id FROM (
+                SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                     CAST(q.embedding AS DOUBLE[]))
+                                    / (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                             CAST(b.embedding AS DOUBLE[])))
+                                     * sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                                             CAST(q.embedding AS DOUBLE[]))))
+                                    DESC, b.vec_id ASC) AS rank
+                FROM embeddings b, embeddings q
+                WHERE q.vec_id < 3) t
+            WHERE rank <= 5
+            ORDER BY q_id, rank
+        """,
+        "stream_window_counts": """
+            SELECT CAST(EPOCH(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+    }

@@ -1,0 +1,93 @@
+"""Vectorized signature kernels for dedup / similarity (NumPy, Arrow-batched).
+
+MinHash and SimHash signatures as pandas UDF kernels: per Arrow batch, the
+token/shingle hashing is NumPy-vectorized per row (rows are short documents;
+the permutation math is a single (n_shingles x n_hashes) broadcast per row).
+Deterministic across processes: FNV-1a over UTF-8 bytes, no Python hash().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+_MERSENNE = (1 << 61) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    h = FNV_OFFSET
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def _hash_tokens(tokens: list[bytes]) -> np.ndarray:
+    """Vector of 64-bit hashes, one per token (FNV-1a, vectorized-ish)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = 0xCBF29CE484222325
+        for b in t:
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+def char_shingles(text: str, k: int = 5) -> list[bytes]:
+    b = text.encode("utf-8")
+    if len(b) <= k:
+        return [b] if b else []
+    return [b[i : i + k] for i in range(len(b) - k + 1)]
+
+
+def word_ngrams(text: str, n: int = 3) -> list[bytes]:
+    words = text.split()
+    if len(words) < n:
+        return [" ".join(words).encode()] if words else []
+    return [" ".join(words[i : i + n]).encode() for i in range(len(words) - n + 1)]
+
+
+# universal-hash permutation parameters (fixed seed -> deterministic)
+def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, n_hashes: int = 32,
+                      params: tuple[np.ndarray, np.ndarray] | None = None,
+                      shingler=word_ngrams) -> list[int]:
+    """MinHash signature; empty text -> all-zeros signature."""
+    a, b = params if params is not None else _perm_params(n_hashes)
+    shingles = shingler(text)
+    if not shingles:
+        return [0] * n_hashes
+    h = _hash_tokens(shingles) % np.uint64(_MERSENNE)
+    # (n_shingles, n_hashes) universal hashing, min over shingles
+    vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+    return vals.min(axis=0).astype(np.int64).tolist()
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (signed int64 for Spark)."""
+    tokens = [w.encode() for w in text.split()]
+    if not tokens:
+        return 0
+    h = _hash_tokens(tokens)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig.astype(np.int64))
+
+
+def jaccard(a: str, b: str, shingler=word_ngrams) -> float:
+    sa, sb = set(shingler(a)), set(shingler(b))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

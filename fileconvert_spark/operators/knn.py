@@ -1,0 +1,125 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — queries broadcast (small side), scores
+computed JVM-side via zip_with/aggregate (whole-stage codegen, no Python),
+ranked by a window per query. Scale path: IVF-style coarse quantization —
+assign every vector to its nearest of C centroids (trained on a sample),
+then probe only the closest n_probe centroid partitions per query: the
+shuffle/scan shrinks by ~C/n_probe at 100 TB while recall stays high.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_expr(vec_col):
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """Exact cosine top-k: (q_id, rank, vec_id, cosine). Queries broadcast."""
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     _norm_expr(F.col(vec_col)).alias("_n"))
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col),
+                       _norm_expr(F.col(q_vec_col)).alias("_qn"))
+    scored = base.join(F.broadcast(q)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        (_dot(F.col(vec_col), F.col(q_vec_col))
+         / (F.col("_n") * F.col("_qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "cosine")
+    )
+
+
+def train_centroids(df: DataFrame, n_centroids: int = 16,
+                    vec_col: str = "embedding", sample_rows: int = 2048,
+                    iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Tiny k-means on a driver-side sample (IVF coarse quantizer).
+    Sample size is bounded — at 10^12 rows the driver still sees <= 2048."""
+    sample = np.array(
+        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+        dtype=np.float64,
+    )
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def _centroid_array_lit(cent: np.ndarray):
+    return F.array(*[
+        F.array(*[F.lit(float(v)) for v in row]) for row in cent
+    ])
+
+
+def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+    """IVF ANN: probe only the n_probe nearest centroid cells per query."""
+    cent = train_centroids(df, n_centroids, vec_col)
+    cents = _centroid_array_lit(cent)
+
+    def cell_of(vec):
+        # argmax over centroid dot products, JVM-side
+        sims = F.transform(cents, lambda c: _dot(vec, c) / _norm_expr(vec))
+        return F.array_position(sims, F.array_max(sims)).cast("int") - 1
+
+    base = df.select(F.col(id_col), F.col(vec_col),
+                     cell_of(F.col(vec_col)).alias("cell"),
+                     _norm_expr(F.col(vec_col)).alias("_n"))
+
+    def probe_cells(qvec):
+        sims = F.transform(cents, lambda c: _dot(qvec, c))
+        order = F.reverse(F.array_sort(sims))
+        thresh = F.element_at(order, n_probe)
+        return F.filter(
+            F.transform(F.sequence(F.lit(0), F.lit(int(len(cent)) - 1)),
+                        lambda i: F.when(F.element_at(sims, i + 1) >= thresh, i)
+                        .otherwise(F.lit(-1))),
+            lambda x: x >= 0,
+        )
+
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col),
+        _norm_expr(F.col(q_vec_col)).alias("_qn"),
+        F.explode(probe_cells(F.col(q_vec_col))).alias("cell"),
+    )
+    scored = base.join(F.broadcast(q), "cell").select(
+        F.col(q_id_col), F.col(id_col),
+        (_dot(F.col(vec_col), F.col(q_vec_col))
+         / (F.col("_n") * F.col("_qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "cosine")
+    )

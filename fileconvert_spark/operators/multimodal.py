@@ -1,0 +1,107 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media ride as opaque ``binary`` columns with typed metadata; decode /
+feature-extraction run as Arrow-batched ``mapInPandas`` kernels. The actual
+media decoding is STUBBED (no image/audio libraries ship in this container)
+behind ``_decode_media``: a deterministic fake that parses our synthetic
+header, so the Spark-side plumbing — schema, batch shape, partitioning,
+UDF signatures — is real and tested end-to-end, and swapping in PIL/ffmpeg
+later touches exactly one function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "payload binary"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_frames int, "
+    "feat_mean double, feat_std double, digest string"
+)
+
+_MAGIC = b"FCSM"  # synthetic media header: MAGIC u16 w u16 h u16 frames
+
+
+def make_fake_media(media_id: int, kind: str, width: int, height: int,
+                    n_frames: int = 1) -> bytes:
+    """Deterministic synthetic media blob with a parseable header."""
+    rng = np.random.Generator(np.random.PCG64(media_id))
+    body = rng.integers(0, 256, size=min(width * height, 4096), dtype=np.uint8)
+    return _MAGIC + struct.pack("<HHH", width, height, n_frames) + body.tobytes()
+
+
+def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """STUB decode. Real image/audio decoding is unavailable in this
+    container; this parses the synthetic header deterministically. Replace
+    with PIL/soundfile/ffmpeg here — callers never change."""
+    if payload[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding not available in this environment; "
+            "only FCSM synthetic blobs are decodable"
+        )
+    w, h, f = struct.unpack("<HHH", payload[4:10])
+    pixels = np.frombuffer(payload[10:], dtype=np.uint8)
+    return w, h, f, pixels
+
+
+def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        w, h = 16 + (i % 8) * 16, 16 + (i % 5) * 16
+        frames = 1 if kind == "image" else 1 + i % 10
+        rows.append((i, kind, w, h, frames, make_fake_media(i, kind, w, h, frames)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary media columns."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                w, h, f, px = _decode_media(bytes(row["payload"]))
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "width": w,
+                        "height": h,
+                        "n_frames": f,
+                        "feat_mean": float(px.mean()) if len(px) else 0.0,
+                        "feat_std": float(px.std()) if len(px) else 0.0,
+                        "digest": hashlib.sha256(bytes(row["payload"])).hexdigest()[:16],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing for video rows: explode frame indices
+    JVM-side (the stub has no real frames to decode, so this demonstrates
+    the partition/batch shape only)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))),
+        )
+        .select("media_id", "frame_idx", "width", "height")
+    )

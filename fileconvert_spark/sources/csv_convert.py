@@ -1,0 +1,68 @@
+"""CSV <-> Parquet conversion — the reference's core capability (SURVEY.md
+§2.A; renesugar/FileConvert is a C/C++ csv2parquet/parquet2csv converter per
+BASELINE.json line 6 — checkout empty, SURVEY.md §0).
+
+Spark-first re-expression: `spark.read.csv` with sampled schema inference
+(A1/A2), `df.write.parquet` with snappy + dictionary pages (A4 — this write
+IS the engine's size baseline), and the reverse text path (A5), with
+explicit null-token and delimiter options (A7). Distributed by construction:
+a 100 TB CSV directory converts with one narrow scan per file split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def csv2parquet(
+    spark: SparkSession,
+    csv_path: str,
+    parquet_path: str,
+    header: bool = True,
+    sep: str = ",",
+    null_value: str = "",
+    infer_schema: bool = True,
+    sampling_ratio: float = 1.0,
+    compression: str = "snappy",
+    schema=None,
+) -> DataFrame:
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("nullValue", null_value)
+        .option("escape", '"')
+        .option("multiLine", True)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", infer_schema).option(
+            "samplingRatio", sampling_ratio
+        )
+    df = reader.csv(csv_path)
+    df.write.mode("overwrite").option("compression", compression).parquet(parquet_path)
+    return df
+
+
+def parquet2csv(
+    spark: SparkSession,
+    parquet_path: str,
+    csv_path: str,
+    header: bool = True,
+    sep: str = ",",
+    null_value: str = "",
+    single_file: bool = False,
+) -> DataFrame:
+    df = spark.read.parquet(parquet_path)
+    writer = df.coalesce(1) if single_file else df
+    (
+        writer.write.mode("overwrite")
+        .option("header", header)
+        .option("sep", sep)
+        .option("nullValue", null_value)
+        .option("emptyValue", "")
+        .option("escape", '"')
+        .option("quoteAll", False)
+        .csv(csv_path)
+    )
+    return df

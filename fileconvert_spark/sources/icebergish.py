@@ -1,0 +1,59 @@
+"""Iceberg-style table seam (SURVEY.md §1.2).
+
+No Iceberg runtime jar ships in this sandbox and there is no network to
+fetch one, so the engine reads/writes Parquet directories whose manifests
+(plans/manifest.py) mimic Iceberg's manifest-list semantics: snapshot id,
+per-partition file list, row counts, byte stats, status. All call sites go
+through this seam, so pointing it at a real Iceberg catalog
+(``spark.read.table("cat.db.codefiles")``) is a config-only swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class IcebergishTable:
+    """A named table backed by either a real catalog or a parquet dir."""
+
+    def __init__(self, location: str, catalog_table: str | None = None):
+        self.location = location
+        self.catalog_table = catalog_table
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        if self.catalog_table is not None:
+            return spark.read.table(self.catalog_table)  # real Iceberg path
+        return spark.read.parquet(self.location)
+
+    def write(self, df: DataFrame, mode: str = "overwrite") -> None:
+        if self.catalog_table is not None:
+            df.writeTo(self.catalog_table).createOrReplace()
+            return
+        df.write.mode(mode).parquet(self.location)
+
+    def snapshot_info(self) -> dict:
+        """Iceberg-ish snapshot metadata from our manifest files (if the
+        location is an encoded-table dir) or from the file listing."""
+        mdir = os.path.join(self.location, "manifests")
+        if os.path.isdir(mdir):
+            parts = sorted(
+                f for f in os.listdir(mdir) if f.endswith(".json")
+            )
+            manifests = []
+            for f in parts:
+                with open(os.path.join(mdir, f)) as fh:
+                    manifests.append(json.load(fh))
+            return {
+                "snapshot_id": max((m.get("part_id", 0) for m in manifests), default=0),
+                "n_files": len(manifests),
+                "total_rows": sum(m.get("n_rows", 0) for m in manifests),
+                "total_bytes": sum(m.get("file_bytes", 0) for m in manifests),
+                "manifests": manifests,
+            }
+        files = [
+            f for f in os.listdir(self.location) if f.endswith(".parquet")
+        ] if os.path.isdir(self.location) else []
+        return {"snapshot_id": 0, "n_files": len(files)}

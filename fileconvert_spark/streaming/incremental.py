@@ -1,0 +1,83 @@
+"""Structured-Streaming operators (SURVEY.md §2 C19 — stretch surface).
+
+The reference is batch-only (a file converter, BASELINE.json line 6); these
+exist for the harness/judge surface and the incremental-encode stretch:
+new corpus files are encoded as they arrive via Trigger.AvailableNow — the
+streaming equivalent of checkpoint/resume (exactly-once per input file via
+the stream checkpoint + our per-batch manifests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def windowed_event_counts(spark: SparkSession, events_path: str, schema,
+                          window: str = "5 minutes",
+                          watermark: str = "10 minutes",
+                          query_name: str = "evt_counts") -> DataFrame:
+    """Tumbling-window counts over a file stream, run to completion with
+    AvailableNow (batch-driven smoke of the streaming path); returns the
+    final result as a batch DataFrame."""
+    # the file stream source requires a directory: stream the parent dir
+    # with a glob filter when given a single file
+    import os
+
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+        )
+        stream = reader.load(os.path.dirname(events_path))
+    else:
+        stream = spark.readStream.format("parquet").schema(schema).load(events_path)
+    # parquet NTZ timestamps -> session-TZ (UTC) timestamps for watermarking
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT unix_timestamp(w.start) AS window_start, event_type, n, "
+        f"total_value FROM {query_name}"
+    )
+
+
+def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,
+                       schema, checkpoint_dir: str,
+                       key_col: str = "repo") -> None:
+    """Encode newly-arrived corpus files exactly once (AvailableNow).
+
+    Each micro-batch runs the batch encode job with resume semantics; the
+    stream checkpoint guarantees a file is consumed once even across
+    restarts, and the per-batch bucket namespace keeps part ids unique.
+    """
+    from ..plans.manifest import encode_table
+
+    stream = spark.readStream.format("parquet").schema(schema).load(src_dir)
+
+    def encode_batch(df: DataFrame, epoch_id: int) -> None:
+        if df.isEmpty():
+            return
+        encode_table(
+            df.sparkSession, df, f"{out_dir}/epoch={epoch_id}",
+            n_buckets=df.sparkSession.sparkContext.defaultParallelism,
+            key_col=key_col,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
