@@ -498,6 +498,80 @@ def csv_roundtrip_documents(spark, sf_dir):
     )
 
 
+def asof_join_events(spark, sf_dir):
+    """As-of join (Spark lacks a native one): for every 'click' event the
+    most recent 'view' by the same user at or before it. Implemented via the
+    union + last(ignorenulls) window trick — one sort-based window, no
+    cross product (SURVEY.md §2 C5)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("view_id"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("view_id"),
+    )
+    # views sort before clicks at equal ts => "<=" semantics like ASOF JOIN
+    tagged = views.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("view_id").isNull().cast("int"), "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = tagged.withColumn(
+        "matched_view_id", F.last("view_id", ignorenulls=True).over(w)
+    )
+    return (
+        joined.filter(F.col("click_id").isNotNull())
+        .select("click_id", "user_id", "matched_view_id")
+        .orderBy("click_id")
+    )
+
+
+def range_join_bands(spark, sf_dir):
+    """Non-equi (range) join: parts against price bands — the small band
+    dimension broadcasts, so the theta-join is a broadcast nested loop,
+    never a shuffle (SURVEY.md §2 C5)."""
+    p = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 910.0), ("mid", 910.0, 950.0), ("premium", 950.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(F.broadcast(bands),
+               (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n"),
+             F.min("p_retailprice").alias("min_price"),
+             F.max("p_retailprice").alias("max_price"))
+        .orderBy("band")
+    )
+
+
+def pivot_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["O", "F", "P"])
+        .orderBy("o_orderpriority")
+    )
+
+
+def percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    ).orderBy("l_returnflag")
+
+
 # ------------------------------------------------------------ rows-only set
 
 def enc_codec_report(spark, sf_dir):
@@ -634,6 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "math_funcs": math_funcs,
         "case_coalesce": case_coalesce,
         "array_funcs": array_funcs,
+        "asof_join_events": asof_join_events,
+        "range_join_bands": range_join_bands,
+        "pivot_status": pivot_status,
+        "percentiles": percentiles,
         # engine surface (SURVEY.md §2.B)
         "enc_roundtrip_documents": enc_roundtrip_documents,
         "enc_codec_report": enc_codec_report,
@@ -888,6 +966,40 @@ def oracle_sql() -> dict[str, str]:
                 WHERE q.vec_id < 3) t
             WHERE rank <= 5
             ORDER BY q_id, rank
+        """,
+        "asof_join_events": """
+            SELECT c.event_id AS click_id, c.user_id,
+                   v.event_id AS matched_view_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            ORDER BY click_id
+        """,
+        "range_join_bands": """
+            SELECT band, COUNT(*) AS n,
+                   MIN(p_retailprice) AS min_price,
+                   MAX(p_retailprice) AS max_price
+            FROM part
+            JOIN (VALUES ('budget', 0.0, 910.0),
+                         ('mid', 910.0, 950.0),
+                         ('premium', 950.0, 1000000000.0)) AS bands(band, lo, hi)
+              ON p_retailprice >= lo AND p_retailprice < hi
+            GROUP BY band ORDER BY band
+        """,
+        "pivot_status": """
+            SELECT o_orderpriority,
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+                   CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS p50_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "stream_window_counts": """
             SELECT CAST(EPOCH(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,

@@ -1,0 +1,141 @@
+"""Per-round benchmark (driver contract: prints ONE JSON line).
+
+Headline: the engine's real workload — encode+decode+verify a synthesized
+source-code corpus (FIXTURES.md §1) — plus representative relational /
+dedup / ANN / streaming queries at $SPARK_GRAFT_SF_DIR.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all), SPARK_GRAFT_BENCH_ROWS (default 100000).
+
+Corpus generation and the one-off Python-worker warmup are excluded from
+timings (they measure numpy import + page-fault cost, not the engine);
+the snappy baseline write is timed separately as `snappy_baseline_write`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fileconvert_spark.corpus import write_codefiles_parquet  # noqa: E402
+from fileconvert_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    bench_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 100_000))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    corpus_path = f"/tmp/fcs_bench_corpus_{bench_rows}.parquet"
+    if not os.path.exists(corpus_path):
+        write_codefiles_parquet(corpus_path, bench_rows)
+
+    spark = get_spark("fcs-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.operators.verify import assert_roundtrip
+    from fileconvert_spark.plans.manifest import (
+        decode_table, encode_table, snappy_baseline_bytes,
+    )
+
+    # warm Python workers once (numpy/pyarrow import + first-touch pages);
+    # this is process setup, not engine throughput
+    warm = spark.range(cpus * 4, numPartitions=cpus * 4)
+    warm.mapInArrow(_warm_fn, "id long").count()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    corpus = spark.read.parquet(corpus_path)
+    corpus.persist().count()
+    content_bytes = corpus.agg(
+        F.sum(F.coalesce(F.length("content"), F.lit(0)))
+    ).collect()[0][0]
+
+    enc_dir = "/tmp/fcs_bench_enc"
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = encode_table(spark, corpus, enc_dir, n_buckets=cpus * 4,
+                           resume=False)
+    queries["encode_corpus"] = round(time.time() - t0, 3)
+    extras["encode_gbps"] = round(content_bytes / 1e9 / queries["encode_corpus"], 4)
+    extras["compression_ratio"] = round(summary["ratio"], 5)
+    extras["corpus_content_bytes"] = int(content_bytes)
+
+    t0 = time.time()
+    dec = decode_table(spark, enc_dir)
+    report = assert_roundtrip(corpus, dec, ["repo", "path", "commit"])
+    queries["decode_verify_corpus"] = round(time.time() - t0, 3)
+    extras["sha_mismatches"] = int(report["sha_mismatches"])
+
+    t0 = time.time()
+    snappy_b = snappy_baseline_bytes(corpus, "/tmp/fcs_bench_snappy")
+    queries["snappy_baseline_write"] = round(time.time() - t0, 3)
+    engine_b = sum(
+        os.path.getsize(os.path.join(enc_dir, "data", f))
+        for f in os.listdir(os.path.join(enc_dir, "data"))
+    )
+    extras["engine_bytes"] = engine_b
+    extras["snappy_bytes"] = snappy_b
+    extras["size_vs_snappy"] = round(engine_b / snappy_b, 4)
+
+    # release corpus/decode state so query timings don't absorb GC pressure
+    corpus.unpersist()
+    spark.catalog.clearCache()
+
+    qmap = E.queries()
+    for name in [
+        "q1_pricing_summary",
+        "q3_top_revenue_orders",
+        "q5_revenue_by_nation",
+        "window_topk_orders",
+        "window_lag_runs",
+        "dedup_exact_docs",
+        "dedup_minhash_docs",
+        "knn_bruteforce",
+        "stream_window_counts",
+        "enc_roundtrip_documents",
+    ]:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        df.collect() if name != "dedup_minhash_docs" else df.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extras,
+        "cpus": cpus,
+        "bench_rows": bench_rows,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+def _warm_fn(batches):
+    import numpy  # noqa: F401
+    import pyarrow  # noqa: F401
+
+    import fileconvert_spark.functions.codecs  # noqa: F401
+
+    yield from batches
+
+
+if __name__ == "__main__":
+    main()

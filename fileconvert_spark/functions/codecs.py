@@ -333,24 +333,37 @@ def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict
             np.concatenate([[True], np.diff(de.indices.to_numpy(zero_copy_only=False)) != 0])))
         _, rv_bytes = _string_buffers(rv)
         est["rle"] = packed_size(runs, 32) + rv_bytes * 0.9 + runs * 2 + 24
-    # fsst: trial-encode a sample (only sensible when values are mostly unique)
+    # fsst: trial-encode a sample (only sensible when values are mostly
+    # unique); the trial-trained table is reused for the real encode —
+    # training on a row sample IS the FSST design, and it halves kernel cost
+    fsst_table = None
     if k > max(4, n // 16) and st["avg_len"] >= 4:
-        ratio, _tbl = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
+        ratio, fsst_table = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
         est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
-    # linedict: only for multi-line text; trial on a sample
+    # linedict: only for multi-line text; train-free sample estimate
+    # (split + dictionary_encode are C++; no FSST training in the trial)
     if st["avg_len"] >= 40:
         step = max(1, n // _EST_SAMPLE_ROWS)
         sample = arr.take(np.arange(0, n, step))
-        sp, sd, sm = enc_linedict_str(sample)
         _, sample_bytes = _string_buffers(sample)
         if sample_bytes > 0:
+            lines = pc.split_pattern(sample, "\n")
+            flat = lines.values
+            sde = pc.dictionary_encode(flat)
+            _, uniq_bytes = _string_buffers(sde.dictionary)
+            n_idx = len(flat)
+            kk = max(len(sde.dictionary), 1)
+            idx_bits = packed_size(n_idx, bitwidth_for(kk - 1))
+            blob = uniq_bytes * (0.7 if uniq_bytes >= _FSST_BLOB_MIN else 1.0) + kk * 2
             # dict dedup only improves with more rows; sample ratio is an
             # upper bound on the real ratio
-            est["linedict"] = (len(sp) + len(sd)) / sample_bytes * n_bytes
+            est["linedict"] = (idx_bits + blob) / sample_bytes * n_bytes
 
     winner = min(est, key=lambda c: est[c])
     if winner == "dict":
         payload, dict_blob, meta = enc_dict_str(arr, de)
+    elif winner == "fsst":
+        payload, dict_blob, meta = enc_fsst_str(arr, fsst_table)
     else:
         payload, dict_blob, meta = STR_CODECS[winner][0](arr)
     enc_size = len(payload) + (len(dict_blob) if dict_blob else 0)

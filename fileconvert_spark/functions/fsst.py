@@ -66,36 +66,36 @@ def train(sample: bytes, iterations: int = TRAIN_ITERATIONS,
                 break
         if not bounds or bounds[-1] < n:
             bounds.append(n)
+    buf = np.frombuffer(sample, dtype=np.uint8)
+    # per-string lengths matching the (possibly truncated) sample
+    seg_lengths = np.diff(np.concatenate([[0], bounds])).astype(np.int64)
+
     table: list[bytes] = []
     for _ in range(iterations):
-        by_len: dict[int, set[bytes]] = {}
-        for s in table:
-            by_len.setdefault(len(s), set()).add(s)
-        lens_desc = sorted(by_len, reverse=True)
+        # vectorized longest-match for every position (same kernel as encode)
+        bl, _bc = _match_all_positions(buf, seg_lengths, table)
+        bl_l = bl.tolist()
         counts: Counter[bytes] = Counter()
         pair_counts: Counter[bytes] = Counter()
-        pos, prev = 0, None
+        pos = 0
         b_i = 0
+        n_bounds = len(bounds)
+        prev_start = -1
+        prev_len = 0
         while pos < n:
-            while bounds[b_i] <= pos:
+            while b_i < n_bounds and bounds[b_i] <= pos:
                 b_i += 1
-                prev = None  # pairs must not span a string boundary
-            limit = bounds[b_i] - pos
-            sym = None
-            for L in lens_desc:
-                if L > limit:
-                    continue
-                cand = sample[pos : pos + L]
-                if cand in by_len[L]:
-                    sym = cand
-                    break
-            if sym is None:
-                sym = sample[pos : pos + 1]
-            counts[sym] += 1
-            if prev is not None and len(prev) + len(sym) <= MAX_SYMBOL_LEN:
-                pair_counts[prev + sym] += 1
-            prev = sym
-            pos += len(sym)
+                prev_start = -1  # pairs must not span a string boundary
+            L = bl_l[pos]
+            if L:
+                counts[sample[pos : pos + L]] += 1
+            else:
+                L = 1
+                counts[sample[pos : pos + 1]] += 1
+            if prev_start >= 0 and prev_len + L <= MAX_SYMBOL_LEN:
+                pair_counts[sample[prev_start : pos + L]] += 1
+            prev_start, prev_len = pos, L
+            pos += L
         gain: dict[bytes, int] = {s: c * len(s) for s, c in counts.items()}
         for s, c in pair_counts.items():
             gain[s] = gain.get(s, 0) + c * len(s)

@@ -120,6 +120,25 @@ def test_torn_manifest_is_reencoded(spark, corpus_df, tmp_path):
     assert_roundtrip(corpus_df, dec, KEYS)
 
 
+def test_verify_catches_corruption(spark, corpus_df):
+    """The hashed roundtrip report must detect mutated values, dropped rows
+    and extra rows — not just pass on identity."""
+    from fileconvert_spark.operators.verify import roundtrip_report
+
+    mutated = corpus_df.withColumn(
+        "content",
+        F.when(F.col("path") == corpus_df.select("path").first()["path"],
+               F.concat(F.col("content"), F.lit("X"))).otherwise(F.col("content")),
+    )
+    row = roundtrip_report(corpus_df, mutated, KEYS).collect()[0]
+    assert row["value_mismatches"] >= 1
+    assert row["sha_mismatches"] >= 1
+
+    dropped = corpus_df.filter(F.col("lang").isNotNull())
+    row = roundtrip_report(corpus_df, dropped, KEYS).collect()[0]
+    assert row["missing"] >= 1
+
+
 def test_documents_table_mixed_types(spark, tmp_path):
     """Engine generalizes beyond the corpus: int64/string mixed table."""
     sf = os.path.join(

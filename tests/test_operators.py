@@ -1,0 +1,192 @@
+"""Operator-level tests: dedup recall, ANN agreement, text functions,
+multimodal plumbing, CSV round trip, streaming, Iceberg-ish seam."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    df.persist().count()
+    return df
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    from fileconvert_spark.operators.dedup import exact_dup_groups
+
+    rows = [(i, f"unique text {i}") for i in range(50)]
+    rows += [(100 + i, "duplicated text body") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = exact_dup_groups(df, "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 4
+    assert groups[0]["keeper_id"] == 100
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from fileconvert_spark.operators.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = " ".join(f"word{i}" for i in range(58)) + " wordX wordY"  # ~high jaccard
+    far = " ".join(f"other{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(df, "doc_id", jaccard_threshold=0.3).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert pairs[(1, 2)] > 0.5
+
+
+def test_simhash_hamming_pairs(spark):
+    from fileconvert_spark.operators.dedup import simhash_pairs
+
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " tokZZZ"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(df, "doc_id", max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
+def test_knn_ivf_agrees_with_bruteforce(spark):
+    from fileconvert_spark.operators.knn import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = brute_force_topk(emb, q, k=3).collect()
+    ivf = ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()  # probe all
+    bf_set = {(r["q_id"], r["rank"], r["vec_id"]) for r in bf}
+    ivf_set = {(r["q_id"], r["rank"], r["vec_id"]) for r in ivf}
+    assert bf_set == ivf_set  # full probe == exact
+
+    # rank 1 must be the query itself (cosine 1.0)
+    for r in bf:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["q_id"]
+
+
+def test_lang_id_on_clear_text(spark):
+    from fileconvert_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a good day for the park"),
+            (2, "el gato de la casa es un animal que vive en la ciudad"),
+            (3, "le chat est dans la maison et les enfants sont dans le jardin"),
+            (4, "der Hund ist ein Tier und die Katze ist mit dem Kind"),
+            (5, "这是一个中文句子 它包含很多汉字 用来测试语言识别"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r["pred"] for r in
+           df.select("id", lang_id(F.col("text")).alias("pred")).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "zh"}
+
+
+def test_token_counts_and_fingerprint(spark):
+    from fileconvert_spark.functions.text import (
+        fingerprint64, token_count_bpe, token_count_ws,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world, foo-bar 42!"), (2, ""), (3, "   "), (4, "one")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        fingerprint64(F.col("text")).alias("fp"),
+    ).collect()}
+    assert rows[1]["ws"] == 4
+    assert rows[1]["bpe"] == 8  # hello world , foo - bar 42 !
+    assert rows[2]["ws"] == 0 and rows[3]["ws"] == 0
+    assert rows[4]["ws"] == 1
+    # fingerprint is whitespace-normalization invariant
+    df2 = spark.createDataFrame([(1, "hello   world,\tfoo-bar 42!")], "id long, text string")
+    fp2 = df2.select(fingerprint64(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp2 == rows[1]["fp"]
+
+
+def test_multimodal_plumbing(spark):
+    from fileconvert_spark.operators.multimodal import (
+        extract_features, frame_sample, synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=24)
+    feats = extract_features(media).collect()
+    assert len(feats) == 24
+    assert all(f["digest"] and f["feat_mean"] >= 0 for f in feats)
+    frames = frame_sample(media, every_n=2)
+    assert frames.count() > 0
+    # decode stub must refuse non-synthetic payloads loudly
+    from fileconvert_spark.operators.multimodal import _decode_media
+
+    with pytest.raises(NotImplementedError):
+        _decode_media(b"\x89PNG not really")
+
+
+def test_csv_roundtrip(spark, tmp_path, docs):
+    from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
+
+    csv_dir = str(tmp_path / "csv")
+    pq_dir = str(tmp_path / "pq")
+    parquet2csv(spark, os.path.join(SF, "documents.parquet"), csv_dir)
+    back = csv2parquet(spark, csv_dir, pq_dir, schema=docs.schema)
+    b, o = back.alias("b"), docs.alias("o")
+    bad = (
+        o.join(b, F.col("o.doc_id") == F.col("b.doc_id"), "full_outer")
+        .filter(~F.col("o.text").eqNullSafe(F.col("b.text"))
+                | ~F.col("o.n_chars").eqNullSafe(F.col("b.n_chars")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_incremental_encode_stream(spark, tmp_path):
+    from fileconvert_spark.corpus import make_codefiles
+    from fileconvert_spark.plans.manifest import read_all_manifests
+    from fileconvert_spark.streaming.incremental import incremental_encode
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pdf = make_codefiles(500, with_edge_rows=False)
+    df = spark.createDataFrame(pdf)
+    df.limit(250).write.mode("overwrite").parquet(str(src / "batch1"))
+    out = str(tmp_path / "stream_enc")
+    ckpt = str(tmp_path / "ckpt")
+    incremental_encode(spark, str(src / "batch1"), out, df.schema, ckpt)
+    total = sum(m["n_rows"] for e in os.listdir(out)
+                for m in read_all_manifests(os.path.join(out, e)))
+    assert total == 250
+    # second run with no new files: exactly-once, nothing re-encoded
+    incremental_encode(spark, str(src / "batch1"), out, df.schema, ckpt)
+    total2 = sum(m["n_rows"] for e in os.listdir(out)
+                 for m in read_all_manifests(os.path.join(out, e)))
+    assert total2 == 250
+
+
+def test_icebergish_snapshot(spark, tmp_path, docs):
+    from fileconvert_spark.plans.manifest import encode_table
+    from fileconvert_spark.sources.icebergish import IcebergishTable
+
+    out = str(tmp_path / "ice")
+    encode_table(spark, docs, out, n_buckets=4, key_col="source",
+                 salt_cols=("doc_id",), weight_col="text")
+    info = IcebergishTable(out).snapshot_info()
+    assert info["n_files"] == 4
+    assert info["total_rows"] == docs.count()
