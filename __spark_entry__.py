@@ -572,6 +572,27 @@ def percentiles(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) via lag + running sum —
+    the batch sessionization pattern (streaming equivalent:
+    session_window)."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------------------ rows-only set
 
 def enc_codec_report(spark, sf_dir):
@@ -712,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": range_join_bands,
         "pivot_status": pivot_status,
         "percentiles": percentiles,
+        "sessionization": sessionization,
         # engine surface (SURVEY.md §2.B)
         "enc_roundtrip_documents": enc_roundtrip_documents,
         "enc_codec_report": enc_codec_report,
@@ -992,6 +1014,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
                    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "sessionization": """
+            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) t GROUP BY user_id ORDER BY user_id
         """,
         "percentiles": """
             SELECT l_returnflag,

@@ -251,16 +251,60 @@ def read_all_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-def decode_table(spark, out_dir: str):
-    """Read an encoded table directory back as the original DataFrame."""
+def decode_table(spark, out_dir: str, narrow: bool = True):
+    """Read an encoded table directory back as the original DataFrame.
+
+    narrow=True (default): one task per part file, each decoding its own
+    chunks in place — NO shuffle at all; decode parallelism = number of
+    parts. This is the plan shape that survives 100 TB: the enc layout is
+    chunk-aligned by construction, so decode is embarrassingly parallel.
+    narrow=False falls back to the generic applyInPandas group decode
+    (works on any enc DataFrame regardless of layout).
+    """
     from pyspark.sql.types import StructType
 
     from ..operators.encode import decode_df
 
     with open(os.path.join(out_dir, "_schema.json")) as f:
         schema = StructType.fromJson(json.load(f))
-    enc_df = spark.read.parquet(os.path.join(out_dir, "data"))
-    return decode_df(enc_df, schema)
+    data_dir = os.path.join(out_dir, "data")
+    if not narrow:
+        enc_df = spark.read.parquet(data_dir)
+        return decode_df(enc_df, schema)
+
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    column_order = [f.name for f in schema.fields]
+    fdf = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(max(len(files), 1))
+
+    def decode_file(pdfs):
+        import pyarrow.parquet as pq2
+
+        from ..operators.encode import decode_column
+
+        for pdf in pdfs:
+            for path in pdf["path"]:
+                enc_tbl = pq2.read_table(path)
+                chunk_ids = enc_tbl.column("chunk_id").to_pylist()
+                for cid in sorted(set(chunk_ids)):
+                    mask = pa.compute.equal(enc_tbl.column("chunk_id"), cid)
+                    chunk = enc_tbl.filter(mask)
+                    cols = {}
+                    for i in range(chunk.num_rows):
+                        row = {n: chunk.column(n)[i].as_py()
+                               for n in chunk.column_names}
+                        cols[row["column"]] = decode_column(
+                            row["codec"], row["payload"], row["dict"],
+                            row["meta"], row["n_rows"], row["validity"])
+                    out = pa.Table.from_arrays(
+                        [cols[c] for c in column_order], names=column_order)
+                    yield out.to_pandas()
+
+    return fdf.mapInPandas(decode_file, schema=schema)
 
 
 def snappy_baseline_bytes(df, baseline_dir: str) -> int:

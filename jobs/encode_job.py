@@ -1,0 +1,42 @@
+"""Cluster entry point: encode a corpus table with lineage + resume.
+
+Launch (the north-rule launch mode, BASELINE.json line 14):
+
+    spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
+        jobs/encode_job.py <src_parquet> <out_dir> [n_buckets]
+
+On a real cluster, --master/--num-executors come from spark-submit and
+<out_dir> must be a shared filesystem. The job is idempotent: re-running
+after executor or job loss re-encodes only the buckets whose manifests are
+missing or torn.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    src, out = argv[1], argv[2]
+    n_buckets = int(argv[3]) if len(argv) > 3 else None
+
+    spark = SparkSession.builder.appName("fcs-encode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from fileconvert_spark.plans.manifest import encode_table
+
+    df = spark.read.parquet(src)
+    summary = encode_table(spark, df, out, n_buckets=n_buckets)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))

@@ -69,8 +69,10 @@ def test_encode_table_job(spark, corpus_df, tmp_path):
     assert all(m["status"] == "done" for m in manifests)
     assert {m["part_id"] for m in manifests} == scan_done_parts(out)
 
-    dec = decode_table(spark, out)
+    dec = decode_table(spark, out)  # narrow (shuffle-free) path
     assert_roundtrip(corpus_df, dec, KEYS)
+    dec_wide = decode_table(spark, out, narrow=False)  # grouped fallback
+    assert_roundtrip(corpus_df, dec_wide, KEYS)
 
     # size gate: engine bytes (actual parquet files, incl. all metadata)
     # must not exceed the reference Parquet/Snappy write of the same data
