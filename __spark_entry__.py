@@ -572,6 +572,74 @@ def percentiles(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def corr_subquery(spark, sf_dir):
+    """Correlated scalar subquery: customers above their nation's average
+    balance (decorrelated by Catalyst into an aggregate + join)."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cust_cs")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey
+        FROM cust_cs o
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust_cs i
+                           WHERE i.c_nationkey = o.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
+def arg_minmax(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").alias("richest"),
+            F.expr("min_by(c_custkey, struct(c_acctbal, c_custkey))").alias("poorest"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def string_agg_names(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("s_name"))).alias("names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def date_arith(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since"),
+        )
+        .groupBy(F.floor(F.col("days_since") / 100).cast("int").alias("bucket100"))
+        .agg(F.count("*").alias("n"),
+             F.min("days_since").alias("min_d"),
+             F.max("days_since").alias("max_d"))
+        .orderBy("bucket100")
+    )
+
+
+def stream_stateful_counts(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    running per-user event counts, run to completion with AvailableNow."""
+    _ensure_workers(spark)
+    from fileconvert_spark.streaming.incremental import stateful_user_counts
+
+    schema = _t(spark, sf_dir, "events").schema
+    name = f"stateful_counts_{abs(hash(sf_dir)) % 10_000}"
+    return stateful_user_counts(
+        spark, os.path.join(sf_dir, "events.parquet"), schema, query_name=name
+    )
+
+
 def sessionization(spark, sf_dir):
     """Gap-based sessionization (30-min gap) via lag + running sum —
     the batch sessionization pattern (streaming equivalent:
@@ -734,6 +802,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": pivot_status,
         "percentiles": percentiles,
         "sessionization": sessionization,
+        "stream_stateful_counts": stream_stateful_counts,
+        "corr_subquery": corr_subquery,
+        "arg_minmax": arg_minmax,
+        "string_agg_names": string_agg_names,
+        "date_arith": date_arith,
         # engine surface (SURVEY.md §2.B)
         "enc_roundtrip_documents": enc_roundtrip_documents,
         "enc_codec_report": enc_codec_report,
@@ -1014,6 +1087,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
                    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "corr_subquery": """
+            SELECT c_custkey, c_nationkey
+            FROM customer o
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+                               WHERE i.c_nationkey = o.c_nationkey)
+            ORDER BY c_custkey
+        """,
+        "arg_minmax": """
+            WITH ranked AS (
+                SELECT c_nationkey, c_custkey, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+                       ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+                FROM customer)
+            SELECT c_nationkey,
+                   MAX(CASE WHEN rmax = 1 THEN c_custkey END) AS richest,
+                   MAX(CASE WHEN rmin = 1 THEN c_custkey END) AS poorest,
+                   MAX(c_acctbal) AS max_bal
+            FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "string_agg_names": """
+            SELECT s_nationkey,
+                   string_agg(s_name, ',' ORDER BY s_name) AS names,
+                   COUNT(*) AS n
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "date_arith": """
+            SELECT CAST(FLOOR(days_since / 100.0) AS INT) AS bucket100,
+                   COUNT(*) AS n, MIN(days_since) AS min_d, MAX(days_since) AS max_d
+            FROM (SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since
+                  FROM orders) t
+            GROUP BY 1 ORDER BY bucket100
+        """,
+        "stream_stateful_counts": """
+            SELECT user_id, COUNT(*) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "sessionization": """
             SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events

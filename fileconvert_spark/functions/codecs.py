@@ -48,8 +48,9 @@ from .bitpack import (
 _BLOB_RAW = 0
 _BLOB_FSST = 1
 
-# try FSST on dictionary blobs above this size
-_FSST_BLOB_MIN = 2048
+# try FSST on dictionary blobs above this size: below it the absolute
+# savings (~1-2 KB) never repay a symbol-table training pass
+_FSST_BLOB_MIN = 8192
 # rows sampled for FSST / linedict size estimation
 _EST_SAMPLE_ROWS = 64
 
@@ -333,13 +334,6 @@ def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict
             np.concatenate([[True], np.diff(de.indices.to_numpy(zero_copy_only=False)) != 0])))
         _, rv_bytes = _string_buffers(rv)
         est["rle"] = packed_size(runs, 32) + rv_bytes * 0.9 + runs * 2 + 24
-    # fsst: trial-encode a sample (only sensible when values are mostly
-    # unique); the trial-trained table is reused for the real encode —
-    # training on a row sample IS the FSST design, and it halves kernel cost
-    fsst_table = None
-    if k > max(4, n // 16) and st["avg_len"] >= 4:
-        ratio, fsst_table = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
-        est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
     # linedict: only for multi-line text; train-free sample estimate
     # (split + dictionary_encode are C++; no FSST training in the trial)
     if st["avg_len"] >= 40:
@@ -358,6 +352,17 @@ def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict
             # dict dedup only improves with more rows; sample ratio is an
             # upper bound on the real ratio
             est["linedict"] = (idx_bits + blob) / sample_bytes * n_bytes
+
+    # fsst: trial-encode a sample (only sensible when values are mostly
+    # unique); the trial-trained table is reused for the real encode —
+    # training on a row sample IS the FSST design. Skipped when linedict
+    # already estimates below what an FSST table (<=255 symbols of <=8
+    # bytes) can realistically reach on text, saving a training pass.
+    fsst_table = None
+    linedict_clearly_wins = est.get("linedict", 1e18) < 0.35 * n_bytes
+    if k > max(4, n // 16) and st["avg_len"] >= 4 and not linedict_clearly_wins:
+        ratio, fsst_table = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
+        est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
 
     winner = min(est, key=lambda c: est[c])
     if winner == "dict":

@@ -69,6 +69,7 @@ def train(sample: bytes, iterations: int = TRAIN_ITERATIONS,
     buf = np.frombuffer(sample, dtype=np.uint8)
     # per-string lengths matching the (possibly truncated) sample
     seg_lengths = np.diff(np.concatenate([[0], bounds])).astype(np.int64)
+    distinct_singles = [bytes([b]) for b in np.unique(buf)]
 
     table: list[bytes] = []
     for _ in range(iterations):
@@ -102,7 +103,7 @@ def train(sample: bytes, iterations: int = TRAIN_ITERATIONS,
         ranked = sorted(gain, key=lambda s: (gain[s], s), reverse=True)
         # guarantee coverage of every distinct byte (an escape costs 2 bytes,
         # so a present single byte is always worth a slot over a miss)
-        singles = sorted({bytes([b]) for b in sample},
+        singles = sorted(distinct_singles,
                          key=lambda s: gain.get(s, 0), reverse=True)[:max_symbols]
         chosen: list[bytes] = list(singles)
         seen = set(chosen)

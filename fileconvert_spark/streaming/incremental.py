@@ -52,6 +52,55 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
     )
 
 
+def stateful_user_counts(spark: SparkSession, events_path: str, schema,
+                         query_name: str = "stateful_counts") -> DataFrame:
+    """Custom stateful streaming operator: running per-user event counts via
+    ``applyInPandasWithState`` (arbitrary state, Arrow-batched). Run to
+    completion with AvailableNow; the caller gets the final per-user totals
+    (max over emitted updates, robust to micro-batch splits)."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if os.path.isfile(events_path):
+        reader = (
+            spark.readStream.format("parquet").schema(schema)
+            .option("pathGlobFilter", os.path.basename(events_path))
+        )
+        stream = reader.load(os.path.dirname(events_path))
+    else:
+        stream = spark.readStream.format("parquet").schema(schema).load(events_path)
+
+    def update(key, pdfs, state):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [count]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, max(n_events) AS n_events FROM {query_name} "
+        f"GROUP BY user_id ORDER BY user_id"
+    )
+
+
 def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,
                        schema, checkpoint_dir: str,
                        key_col: str = "repo") -> None:
