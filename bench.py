@@ -67,7 +67,7 @@ def main() -> None:
     enc_dir = "/tmp/fcs_bench_enc"
     shutil.rmtree(enc_dir, ignore_errors=True)
     t0 = time.time()
-    summary = encode_table(spark, corpus, enc_dir, n_buckets=cpus * 4,
+    summary = encode_table(spark, corpus, enc_dir, n_buckets=None,  # auto-size
                            resume=False)
     queries["encode_corpus"] = round(time.time() - t0, 3)
     extras["encode_gbps"] = round(content_bytes / 1e9 / queries["encode_corpus"], 4)

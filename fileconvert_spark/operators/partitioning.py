@@ -25,14 +25,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+# target bytes per bucket when the caller lets the planner size buckets;
+# at cluster scale raise this toward 256MB-1GB so task overheads amortize
+DEFAULT_BUCKET_BYTES = 8 << 20
+
+
 def plan_buckets(
     df: DataFrame,
-    n_buckets: int,
+    n_buckets: int | None = None,
     key_col: str = "repo",
     salt_cols: tuple[str, ...] = ("path", "commit"),
     weight_col: str = "content",
+    target_bucket_bytes: int = DEFAULT_BUCKET_BYTES,
 ) -> tuple[DataFrame, dict]:
     """Assign a ``bucket`` column balancing bytes, salting hot keys.
+
+    ``n_buckets=None``: sized from the measured total — enough buckets that
+    every core has >=1 (and up to 4x cores for stragglers), but never so
+    many that buckets fall under ``target_bucket_bytes`` (tiny chunks hurt
+    both codec ratio and per-task fixed costs).
 
     Returns (df + bucket column, plan info dict).
     """
@@ -45,6 +56,11 @@ def plan_buckets(
     ).collect()[0]
     total = int(total_row["total"] or 0)
     n_keys = int(total_row["n_keys"])
+
+    if n_buckets is None:
+        cores = spark.sparkContext.defaultParallelism
+        by_size = max(1, total // target_bucket_bytes)
+        n_buckets = int(max(cores, min(cores * 4, by_size)))
     if total == 0 or n_keys == 0:
         return df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")

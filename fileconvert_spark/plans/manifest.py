@@ -159,30 +159,40 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  salt_cols: tuple[str, ...] = ("path", "commit"),
                  weight_col: str = "content",
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
-                 chunk_bytes: int = DEFAULT_CHUNK_BYTES) -> dict:
+                 chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+                 derived_cols: dict | None = None) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
     map) + 1 hash shuffle (repartition by bucket) + narrow encode/write.
+
+    ``derived_cols``: extra columns computed in-pipeline before encoding
+    (e.g. ``{"content_len": F.length("content")}``) — the
+    frame-of-reference / delta integer targets of SURVEY.md §2 B7; they
+    round-trip like any other column.
     """
     from pyspark.sql import functions as F
 
     from ..operators.partitioning import plan_buckets, repartition_by_bucket
 
     t0 = time.time()
-    if n_buckets is None:
-        n_buckets = spark.sparkContext.defaultParallelism * 4
-
+    for name, col in (derived_cols or {}).items():
+        df = df.withColumn(name, col)
     os.makedirs(out_dir, exist_ok=True)
     # bucketing is part of the table's identity: resuming with a different
     # n_buckets would re-bucket rows and duplicate them across old/new parts
     meta_path = os.path.join(out_dir, "_meta.json")
+    pinned = None
     if resume and os.path.exists(meta_path):
         with open(meta_path) as f:
-            stored = json.load(f)
-        if stored["n_buckets"] != n_buckets:
-            n_buckets = stored["n_buckets"]
-    else:
+            pinned = json.load(f)["n_buckets"]
+
+    dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
+                                  key_col=key_col, salt_cols=salt_cols,
+                                  weight_col=weight_col)
+    n_buckets = plan_info["n_buckets"]  # resolved (auto-sized when None)
+
+    if pinned is None:
         # fresh run: any stale data/manifests must not leak into this table
         for sub in ("data", "manifests"):
             p = os.path.join(out_dir, sub)
@@ -194,9 +204,6 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
              "salt_cols": list(salt_cols), "weight_col": weight_col}).encode())
     _atomic_write_bytes(os.path.join(out_dir, "_schema.json"),
                         df.schema.json().encode())
-
-    dfb, plan_info = plan_buckets(df, n_buckets, key_col=key_col,
-                                  salt_cols=salt_cols, weight_col=weight_col)
     done = scan_done_parts(out_dir) if resume else set()
     skipped = len(done)
     if done:

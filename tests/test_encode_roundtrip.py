@@ -122,6 +122,29 @@ def test_torn_manifest_is_reencoded(spark, corpus_df, tmp_path):
     assert_roundtrip(corpus_df, dec, KEYS)
 
 
+def test_derived_int_columns_roundtrip(spark, corpus_df, tmp_path):
+    """In-pipeline derived ints (FoR/delta targets) round-trip and agree
+    with recomputation on the decoded data."""
+    out = str(tmp_path / "enc_derived")
+    encode_table(
+        spark, corpus_df, out, n_buckets=4,
+        derived_cols={
+            "content_len": F.coalesce(F.length("content"), F.lit(0)).cast("long"),
+            "n_lines": F.size(F.split(F.coalesce(F.col("content"), F.lit("")), "\n"))
+            .cast("long"),
+        },
+    )
+    dec = decode_table(spark, out)
+    assert "content_len" in dec.columns and "n_lines" in dec.columns
+    bad = dec.filter(
+        F.coalesce(F.length("content"), F.lit(0)).cast("long") != F.col("content_len")
+    ).count()
+    assert bad == 0
+    # derived int columns should compress extremely well (FoR/delta/dict)
+    mans = read_all_manifests(out)
+    assert sum(m["n_rows"] for m in mans) == corpus_df.count()
+
+
 def test_verify_catches_corruption(spark, corpus_df):
     """The hashed roundtrip report must detect mutated values, dropped rows
     and extra rows — not just pass on identity."""
