@@ -24,8 +24,6 @@ compressed size (see functions/fsst.py).
 
 from __future__ import annotations
 
-import json
-import struct
 
 import numpy as np
 import pyarrow as pa

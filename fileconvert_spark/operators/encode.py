@@ -288,8 +288,6 @@ def decode_df(enc_df, src_schema):
     column_order = [f.name for f in src_schema.fields]
 
     def decode_group(pdf):
-        import pandas as pd
-
         arrays = {}
         n_rows = 0
         for _, row in pdf.iterrows():

@@ -1,7 +1,6 @@
 """Spark integration: encode -> decode -> bit-identical, manifests, resume,
 snappy-baseline gate (SURVEY.md §5.2.3)."""
 
-import json
 import os
 
 import pytest

@@ -3,7 +3,6 @@ multimodal plumbing, CSV round trip, streaming, Iceberg-ish seam."""
 
 import os
 
-import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
