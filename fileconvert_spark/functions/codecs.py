@@ -309,7 +309,11 @@ def chunk_stats_str(arr: pa.Array, de=None) -> dict:
     }
 
 
-def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict]:
+def select_and_encode_str(arr: pa.Array,
+                          allow_linedict: bool = True
+                          ) -> tuple[str, bytes, bytes | None, dict]:
+    """Auto-select + encode a string chunk. ``allow_linedict=False`` for
+    opaque binary payloads viewed as strings (no UTF-8 line semantics)."""
     n = len(arr)
     if n == 0:
         payload, dict_blob, meta = enc_raw_str(arr)
@@ -334,7 +338,7 @@ def select_and_encode_str(arr: pa.Array) -> tuple[str, bytes, bytes | None, dict
         est["rle"] = packed_size(runs, 32) + rv_bytes * 0.9 + runs * 2 + 24
     # linedict: only for multi-line text; train-free sample estimate
     # (split + dictionary_encode are C++; no FSST training in the trial)
-    if st["avg_len"] >= 40:
+    if allow_linedict and st["avg_len"] >= 40:
         step = max(1, n // _EST_SAMPLE_ROWS)
         sample = arr.take(np.arange(0, n, step))
         _, sample_bytes = _string_buffers(sample)

@@ -68,8 +68,28 @@ _TYPE_REGISTRY: dict[str, pa.DataType] = {
         pa.float32(), pa.float64(),
         pa.date32(), pa.timestamp("us"), pa.timestamp("us", tz="UTC"),
         pa.timestamp("ms"), pa.timestamp("ns"),
+        pa.binary(), pa.large_binary(),
     ]
 }
+
+
+def _binary_as_string_view(arr: pa.Array) -> pa.Array:
+    """View a binary array's buffers as a string array WITHOUT utf8
+    validation — the codecs treat values as opaque bytes (equality,
+    hashing, dictionary-encode are byte-wise in Arrow)."""
+    if pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.binary())
+    return pa.Array.from_buffers(
+        pa.string(), len(arr),
+        [arr.buffers()[0], arr.buffers()[1], arr.buffers()[2]],
+        null_count=arr.null_count, offset=arr.offset)
+
+
+def _string_as_binary_view(arr: pa.Array) -> pa.Array:
+    return pa.Array.from_buffers(
+        pa.binary(), len(arr),
+        [arr.buffers()[0], arr.buffers()[1], arr.buffers()[2]],
+        null_count=arr.null_count, offset=arr.offset)
 
 
 def _as_int64(arr: pa.Array) -> tuple[np.ndarray, str]:
@@ -119,6 +139,14 @@ def encode_column(arr: pa.Array) -> dict:
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "str"
         sha = hashlib.sha256(payload).digest()
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        view = _binary_as_string_view(clean)
+        codec, payload, dict_blob, meta = codecs.select_and_encode_str(
+            view, allow_linedict=False)
+        _, data_bytes = codecs._string_buffers(view)
+        raw_bytes = data_bytes + 4 * n
+        meta["vt"] = "bin"
+        sha = hashlib.sha256(payload).digest()
     else:
         vals, adapter = _as_int64(clean)
         codec, payload, dict_blob, meta = codecs.select_and_encode_int(vals)
@@ -163,6 +191,11 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
         if not isinstance(clean, pa.Array):
             clean = clean.combine_chunks()
         clean = clean.cast(pa.string())
+    elif meta["vt"] == "bin":
+        clean = codecs.decode_str(codec, payload, dict_blob, meta, n_valid)
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        clean = _string_as_binary_view(clean)
     else:
         vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
         clean = _from_int64(vals, meta.get("ad", "i"), orig_type)

@@ -144,6 +144,28 @@ def test_derived_int_columns_roundtrip(spark, corpus_df, tmp_path):
     assert sum(m["n_rows"] for m in mans) == corpus_df.count()
 
 
+def test_binary_columns_roundtrip(spark, tmp_path):
+    """Opaque binary columns (multimodal payloads) encode/decode exactly."""
+    from fileconvert_spark.operators.multimodal import synth_media_df
+
+    media = synth_media_df(spark, n=64)
+    out = str(tmp_path / "media_enc")
+    encode_table(spark, media, out, n_buckets=4, key_col="kind",
+                 salt_cols=("media_id",), weight_col="kind")
+    dec = decode_table(spark, out)
+    o, d = media.alias("o"), dec.alias("d")
+    bad = (
+        o.join(d, F.col("o.media_id") == F.col("d.media_id"), "full_outer")
+        .filter(
+            ~F.sha2(F.col("o.payload"), 256).eqNullSafe(F.sha2(F.col("d.payload"), 256))
+            | ~F.col("o.kind").eqNullSafe(F.col("d.kind"))
+        )
+        .count()
+    )
+    assert bad == 0
+    assert dec.count() == 64
+
+
 def test_verify_catches_corruption(spark, corpus_df):
     """The hashed roundtrip report must detect mutated values, dropped rows
     and extra rows — not just pass on identity."""
