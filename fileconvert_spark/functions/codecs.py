@@ -53,16 +53,61 @@ _FSST_BLOB_MIN = 8192
 _EST_SAMPLE_ROWS = 64
 
 
+class FsstTableCache:
+    """Per-worker cache of trained FSST tables keyed by column identity.
+
+    Python workers are reused across Spark tasks, so a table trained on one
+    chunk serves the following chunks of the same column — training (the
+    dominant kernel cost) amortizes to ~1/RETRAIN_EVERY per chunk. Any table
+    decodes any data exactly (escapes cover misses); only the ratio could
+    drift, which the periodic retrain bounds.
+    """
+
+    RETRAIN_EVERY = 16
+
+    def __init__(self) -> None:
+        self.tables: dict[str, list[bytes]] = {}
+        self.uses: dict[str, int] = {}
+
+    def get(self, key: str) -> list[bytes] | None:
+        t = self.tables.get(key)
+        if t is None:
+            return None
+        self.uses[key] = self.uses.get(key, 0) + 1
+        if self.uses[key] >= self.RETRAIN_EVERY:
+            del self.tables[key]
+            self.uses[key] = 0
+            return None
+        return t
+
+    def put(self, key: str, table: list[bytes]) -> None:
+        self.tables[key] = table
+        self.uses[key] = 0
+
+
 # --------------------------------------------------------------------------
 # flagged string blobs (used for dict / rle / linedict dictionaries)
 # --------------------------------------------------------------------------
 
-def _flagged_blob_encode(arr: pa.Array) -> bytes:
+def _flagged_blob_encode(arr: pa.Array, cache: FsstTableCache | None = None,
+                         cache_key: str | None = None) -> bytes:
     raw = str_blob_encode(arr)
     if len(raw) >= _FSST_BLOB_MIN:
-        payload, table_blob = fsst.fsst_encode_array(arr)
+        table = cache.get(cache_key) if cache and cache_key else None
+        payload, table_blob = fsst.fsst_encode_array(arr, table)
         fs = U32.pack(len(table_blob)) + table_blob + payload
+        if table is not None and len(fs) >= 0.85 * len(raw):
+            # cached table fits this data poorly (distribution drift, e.g.
+            # a pathological bucket trained it) -> retrain fresh
+            payload2, table_blob2 = fsst.fsst_encode_array(arr, None)
+            fs2 = U32.pack(len(table_blob2)) + table_blob2 + payload2
+            if len(fs2) < len(fs):
+                fs = fs2
+                table_blob = table_blob2
+                table = None  # treat as fresh for the cache update below
         if len(fs) < len(raw):
+            if cache and cache_key and table is None:
+                cache.put(cache_key, fsst.deserialize_table(table_blob))
             return bytes([_BLOB_FSST]) + fs
     return bytes([_BLOB_RAW]) + raw
 
@@ -100,11 +145,12 @@ def dec_raw_str(payload, dict_blob, meta, n):
     return str_blob_decode(payload)
 
 
-def enc_dict_str(arr: pa.Array, de: pa.Array | None = None):
+def enc_dict_str(arr: pa.Array, de: pa.Array | None = None,
+                 cache=None, cache_key=None):
     de = de if de is not None else pc.dictionary_encode(arr)
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
     payload = pack_uints_framed(idx)
-    dict_blob = _flagged_blob_encode(de.dictionary)
+    dict_blob = _flagged_blob_encode(de.dictionary, cache, cache_key)
     return payload, dict_blob, {"k": len(de.dictionary)}
 
 
@@ -145,7 +191,7 @@ def dec_fsst_str(payload, dict_blob, meta, n):
     return fsst.fsst_decode_array(payload, bytes(dict_blob))
 
 
-def enc_linedict_str(arr: pa.Array):
+def enc_linedict_str(arr: pa.Array, cache=None, cache_key=None):
     """Dictionary over text *lines*: split rows on '\\n', dict-encode the
     flattened lines, bit-pack per-row line counts + line indices; the unique
     line dictionary is itself FSST- or raw-encoded (whichever is smaller).
@@ -161,7 +207,7 @@ def enc_linedict_str(arr: pa.Array):
     de = pc.dictionary_encode(flat)
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
     payload = pack_uints_framed(counts) + pack_uints_framed(idx)
-    dict_blob = _flagged_blob_encode(de.dictionary)
+    dict_blob = _flagged_blob_encode(de.dictionary, cache, cache_key)
     return payload, dict_blob, {"k": len(de.dictionary), "nl": int(len(flat))}
 
 
@@ -310,10 +356,13 @@ def chunk_stats_str(arr: pa.Array, de=None) -> dict:
 
 
 def select_and_encode_str(arr: pa.Array,
-                          allow_linedict: bool = True
+                          allow_linedict: bool = True,
+                          cache: FsstTableCache | None = None,
+                          cache_key: str | None = None,
                           ) -> tuple[str, bytes, bytes | None, dict]:
     """Auto-select + encode a string chunk. ``allow_linedict=False`` for
-    opaque binary payloads viewed as strings (no UTF-8 line semantics)."""
+    opaque binary payloads viewed as strings (no UTF-8 line semantics).
+    ``cache``/``cache_key``: per-worker FSST table reuse across chunks."""
     n = len(arr)
     if n == 0:
         payload, dict_blob, meta = enc_raw_str(arr)
@@ -363,14 +412,29 @@ def select_and_encode_str(arr: pa.Array,
     fsst_table = None
     linedict_clearly_wins = est.get("linedict", 1e18) < 0.35 * n_bytes
     if k > max(4, n // 16) and st["avg_len"] >= 4 and not linedict_clearly_wins:
-        ratio, fsst_table = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
+        fkey = f"{cache_key}/fsst" if cache_key else None
+        cached = cache.get(fkey) if cache and fkey else None
+        ratio, fsst_table = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS,
+                                                table=cached)
+        if cached is not None and ratio > 0.75:
+            # poor fit -> retrain on this chunk's own sample
+            ratio2, table2 = fsst.estimate_ratio(arr, _EST_SAMPLE_ROWS)
+            if ratio2 < ratio:
+                ratio, fsst_table = ratio2, table2
+                cached = None
+        if cache and fkey and cached is None and fsst_table:
+            cache.put(fkey, fsst_table)
         est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
 
     winner = min(est, key=lambda c: est[c])
     if winner == "dict":
-        payload, dict_blob, meta = enc_dict_str(arr, de)
+        payload, dict_blob, meta = enc_dict_str(arr, de, cache,
+                                                f"{cache_key}/dict" if cache_key else None)
     elif winner == "fsst":
         payload, dict_blob, meta = enc_fsst_str(arr, fsst_table)
+    elif winner == "linedict":
+        payload, dict_blob, meta = enc_linedict_str(
+            arr, cache, f"{cache_key}/ld" if cache_key else None)
     else:
         payload, dict_blob, meta = STR_CODECS[winner][0](arr)
     enc_size = len(payload) + (len(dict_blob) if dict_blob else 0)

@@ -364,20 +364,24 @@ def fsst_decode_array(payload: bytes | memoryview, table_blob: bytes) -> pa.Arra
     )
 
 
-def estimate_ratio(arr: pa.Array, sample_rows: int = 64) -> tuple[float, list[bytes]]:
-    """Trial-encode a row sample; returns (enc_bytes/raw_bytes, trained table)."""
+def estimate_ratio(arr: pa.Array, sample_rows: int = 64,
+                   table: list[bytes] | None = None) -> tuple[float, list[bytes]]:
+    """Trial-encode a row sample; returns (enc_bytes/raw_bytes, table used).
+
+    ``table``: reuse an existing symbol table (no training — the cheap path
+    for per-worker table caches)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     if n == 0:
-        return 1.0, []
+        return 1.0, table or []
     step = max(1, n // sample_rows)
     sample = arr.take(np.arange(0, n, step))
     if pa.types.is_large_string(sample.type):
         sample = sample.cast(pa.string())
     offsets = np.frombuffer(sample.buffers()[1], dtype=np.int32,
                             count=len(sample) + 1)
-    payload, tbl = fsst_encode_array(sample)
+    payload, tbl = fsst_encode_array(sample, table)
     raw_bytes = int(offsets[-1] - offsets[0])
     if raw_bytes <= 0:
         return 1.0, deserialize_table(tbl)

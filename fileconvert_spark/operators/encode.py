@@ -116,7 +116,12 @@ def _from_int64(vals: np.ndarray, adapter: str, orig_type: pa.DataType) -> pa.Ar
     return pa.array(np.asarray(vals, dtype=np.int64)).cast(orig_type)
 
 
-def encode_column(arr: pa.Array) -> dict:
+# one cache per Python worker process; workers are reused across tasks, so
+# FSST tables amortize across every chunk of a column the worker ever sees
+_WORKER_FSST_CACHE = codecs.FsstTableCache()
+
+
+def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
     """Encode one column chunk (nulls handled here) -> enc row fields."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -134,7 +139,9 @@ def encode_column(arr: pa.Array) -> dict:
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         if pa.types.is_large_string(t):
             clean = clean.cast(pa.string())
-        codec, payload, dict_blob, meta = codecs.select_and_encode_str(clean)
+        codec, payload, dict_blob, meta = codecs.select_and_encode_str(
+            clean, cache=_WORKER_FSST_CACHE if cache_key else None,
+            cache_key=cache_key)
         _, data_bytes = codecs._string_buffers(clean)
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "str"
@@ -142,7 +149,9 @@ def encode_column(arr: pa.Array) -> dict:
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         view = _binary_as_string_view(clean)
         codec, payload, dict_blob, meta = codecs.select_and_encode_str(
-            view, allow_linedict=False)
+            view, allow_linedict=False,
+            cache=_WORKER_FSST_CACHE if cache_key else None,
+            cache_key=cache_key)
         _, data_bytes = codecs._string_buffers(view)
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "bin"
@@ -218,7 +227,7 @@ def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int) -> pa.RecordB
     """Encode all columns of one chunk -> a record batch of enc rows."""
     rows = {name: [] for name in ENC_ARROW_SCHEMA.names}
     for col in tbl.column_names:
-        fields = encode_column(tbl.column(col))
+        fields = encode_column(tbl.column(col), cache_key=col)
         rows["part_id"].append(part_id)
         rows["chunk_id"].append(chunk_id)
         rows["column"].append(col)
