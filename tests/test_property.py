@@ -1,0 +1,73 @@
+"""Property-based roundtrip tests (hypothesis): for ANY input, codec
+auto-selection must reproduce the data exactly and never exceed raw+eps."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from fileconvert_spark.functions import codecs
+
+# text including unicode, control chars, newlines, long runs
+text_value = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    max_size=200,
+)
+text_lists = st.lists(text_value, max_size=120)
+
+int_arrays = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=200
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(text_lists)
+def test_str_roundtrip_property(strs):
+    arr = pa.array(strs, type=pa.string())
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr), codec
+    _, raw = codecs._string_buffers(arr)
+    size = len(payload) + len(dict_blob or b"")
+    assert size <= raw + 4 * len(arr) + 96, (codec, size, raw)
+
+
+@settings(max_examples=120, deadline=None)
+@given(int_arrays)
+def test_int_roundtrip_property(vals):
+    v = np.array(vals, dtype=np.int64)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_int(v)
+    out = codecs.decode_int(codec, payload, dict_blob, meta, len(v))
+    assert (np.asarray(out) == v).all(), codec
+    size = len(payload) + len(dict_blob or b"")
+    assert size <= 8 * len(v) + 64, (codec, size)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.one_of(st.none(), text_value), max_size=100))
+def test_nullable_column_roundtrip_property(strs):
+    """Full column wrapper: validity bitmaps restore nulls positionally."""
+    from fileconvert_spark.operators.encode import decode_column, encode_column
+
+    arr = pa.array(strs, type=pa.string())
+    f = encode_column(arr)
+    out = decode_column(f["codec"], f["payload"], f["dict"], f["meta"],
+                        f["n_rows"], f["validity"])
+    assert out.cast(pa.string()).equals(arr), f["codec"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.binary(max_size=300), max_size=80))
+def test_binary_roundtrip_property(blobs):
+    from fileconvert_spark.operators.encode import (
+        _binary_as_string_view, _string_as_binary_view,
+    )
+
+    arr = pa.array(blobs, type=pa.binary())
+    view = _binary_as_string_view(arr)
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(
+        view, allow_linedict=False)
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    back = _string_as_binary_view(out if isinstance(out, pa.Array)
+                                  else out.combine_chunks())
+    assert back.equals(arr), codec
