@@ -50,7 +50,9 @@ _FILE_VOCAB = [
 
 def _line_pool(lang: str) -> list[str]:
     """~160 templated lines per language; heavy repetition across files."""
-    rng = np.random.Generator(np.random.PCG64(SEED + hash(lang) % 1000))
+    # LANGS.index, not hash(): str hash is randomized per process and would
+    # break the corpus's cross-run determinism contract (FIXTURES.md)
+    rng = np.random.Generator(np.random.PCG64(SEED + LANGS.index(lang)))
     idents = [f"{w}_{i}" for i, w in enumerate(_FILE_VOCAB)]
     pool: list[str] = [""]  # blank line is common
     if lang == "py":

@@ -211,7 +211,7 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
     bestlen, bestcode = _match_all_positions(arr, lengths, table)
     bl = bestlen.tolist()
     bc = bestcode.tolist()
-    raw = arr.tolist()
+    raw = buf  # bytes: O(1) int at escape positions, no 8x list blow-up
     out = bytearray()
     boundaries = np.cumsum(lengths.astype(np.int64)).tolist()
     enc_offsets = [0] * len(boundaries)

@@ -47,7 +47,6 @@ def punct_ratio(col: Column) -> Column:
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     words = F.split(F.lower(F.trim(col)), r"\s+")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS[lang]])
-    n_sw = F.size(F.array_intersect(words, sw))  # distinct overlap
     hits = F.aggregate(
         words, F.lit(0),
         lambda acc, w: acc + F.when(F.array_contains(sw, w), 1).otherwise(0),

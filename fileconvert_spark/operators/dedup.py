@@ -147,16 +147,27 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        n_planes: int = 8) -> DataFrame:
+                        n_planes: int = 8,
+                        brute_force_below: int = 4096) -> DataFrame:
     """Cosine near-duplicates via random-hyperplane LSH buckets + exact
     cosine within buckets. n_planes=8 -> 256 buckets; at 100 TB scale raise
-    n_planes (buckets ~ 2^planes) so bucket joins stay bounded."""
+    n_planes (buckets ~ 2^planes) so bucket joins stay bounded. Inputs
+    smaller than ``brute_force_below`` compare exhaustively (one bucket) —
+    LSH recall (~(1-(theta/pi))^planes per pair) is only worth paying when
+    the cross product is genuinely unaffordable."""
     import numpy as np
 
-    rng = np.random.Generator(np.random.PCG64(7))
     dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:  # empty input -> empty pair frame
+        return df.sparkSession.createDataFrame(
+            [], f"id_a long, id_b long, cosine double")
+    small = df.limit(brute_force_below + 1).count() <= brute_force_below
+    if small:
+        n_planes = 0  # single bucket == exact all-pairs
+
+    rng = np.random.Generator(np.random.PCG64(7))
     dim = int(dim_row["d"])
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((max(n_planes, 1), dim))
 
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
                               lambda a, x: a + x.cast("double") * x.cast("double")))
@@ -180,10 +191,12 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         ).otherwise(F.lit(0)).alias(f"b{p}")
         for p in range(n_planes)
     ]
-    bucketed = normed.select(
-        F.col(id_col), F.col("nv"),
-        sum([sb * (2 ** p) for p, sb in enumerate(sign_bits)]).alias("bucket"),
+    bucket_expr = (
+        F.lit(0) if n_planes == 0
+        else sum([sb * (2 ** p) for p, sb in enumerate(sign_bits[:n_planes])])
     )
+    bucketed = normed.select(F.col(id_col), F.col("nv"),
+                             bucket_expr.alias("bucket"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cos = F.aggregate(
         F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),

@@ -58,7 +58,7 @@ ENC_SPARK_SCHEMA = (
 DEFAULT_CHUNK_ROWS = 65536
 DEFAULT_CHUNK_BYTES = 32 << 20
 
-# arrow types reconstructible from their str() name
+# arrow types reconstructible from their str() name (fast path)
 _TYPE_REGISTRY: dict[str, pa.DataType] = {
     str(t): t
     for t in [
@@ -66,11 +66,26 @@ _TYPE_REGISTRY: dict[str, pa.DataType] = {
         pa.int8(), pa.int16(), pa.int32(), pa.int64(),
         pa.uint8(), pa.uint16(), pa.uint32(),
         pa.float32(), pa.float64(),
-        pa.date32(), pa.timestamp("us"), pa.timestamp("us", tz="UTC"),
-        pa.timestamp("ms"), pa.timestamp("ns"),
+        pa.date32(), pa.date64(),
+        pa.timestamp("s"), pa.timestamp("ms"), pa.timestamp("us"),
+        pa.timestamp("ns"),
         pa.binary(), pa.large_binary(),
     ]
 }
+
+_TS_RE = __import__("re").compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
+
+
+def _type_from_str(name: str) -> pa.DataType:
+    """Reconstruct an arrow type from its str() name; raises on unknown
+    types so decode NEVER silently mis-types a column."""
+    t = _TYPE_REGISTRY.get(name)
+    if t is not None:
+        return t
+    m = _TS_RE.match(name)
+    if m:
+        return pa.timestamp(m.group(1), tz=m.group(2))
+    raise NotImplementedError(f"unsupported column type for decode: {name}")
 
 
 def _binary_as_string_view(arr: pa.Array) -> pa.Array:
@@ -105,6 +120,10 @@ def _as_int64(arr: pa.Array) -> tuple[np.ndarray, str]:
     if pa.types.is_float32(t):
         bits = arr.to_numpy(zero_copy_only=False).view(np.uint32)
         return bits.astype(np.int64), "f32"
+    if pa.types.is_date32(t):  # no direct date32->int64 cast in arrow
+        arr = arr.cast(pa.int32())
+    elif pa.types.is_date64(t):
+        arr = arr.view(pa.int64())
     return arr.cast(pa.int64()).to_numpy(zero_copy_only=False).copy(), "i"
 
 
@@ -113,7 +132,12 @@ def _from_int64(vals: np.ndarray, adapter: str, orig_type: pa.DataType) -> pa.Ar
         return pa.array(np.asarray(vals, dtype=np.int64).view(np.float64))
     if adapter == "f32":
         return pa.array(np.asarray(vals, dtype=np.int64).astype(np.uint32).view(np.float32))
-    return pa.array(np.asarray(vals, dtype=np.int64)).cast(orig_type)
+    out = pa.array(np.asarray(vals, dtype=np.int64))
+    if pa.types.is_date32(orig_type):
+        return out.cast(pa.int32()).cast(orig_type)
+    if pa.types.is_date64(orig_type):
+        return out.view(pa.date64())
+    return out.cast(orig_type)
 
 
 # one cache per Python worker process; workers are reused across tasks, so
@@ -157,6 +181,7 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         meta["vt"] = "bin"
         sha = hashlib.sha256(payload).digest()
     else:
+        _type_from_str(orig_type)  # fail fast on unsupported column types
         vals, adapter = _as_int64(clean)
         codec, payload, dict_blob, meta = codecs.select_and_encode_int(vals)
         raw_bytes = n * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else n * 8
@@ -189,7 +214,7 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
                   validity: bytes | None) -> pa.Array:
     """Inverse of encode_column: restore the original arrow array exactly."""
     meta = json.loads(meta_json)
-    orig_type = _TYPE_REGISTRY.get(meta["ot"], pa.string())
+    orig_type = _type_from_str(meta["ot"])
     n_valid = n_rows
     mask = None
     if validity is not None:
@@ -218,8 +243,8 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
         idx[mask] = np.arange(n_valid)
         take_idx = pa.array(idx, mask=~mask)
         out = clean.take(take_idx)
-    if str(out.type) != meta["ot"] and meta["ot"] in _TYPE_REGISTRY:
-        out = out.cast(_TYPE_REGISTRY[meta["ot"]])
+    if str(out.type) != meta["ot"]:
+        out = out.cast(orig_type)
     return out
 
 
@@ -330,8 +355,9 @@ def decode_df(enc_df, src_schema):
     column_order = [f.name for f in src_schema.fields]
 
     def decode_group(pdf):
+        import pandas as pd
+
         arrays = {}
-        n_rows = 0
         for _, row in pdf.iterrows():
             arr = decode_column(
                 row["codec"], bytes(row["payload"]),
@@ -340,10 +366,11 @@ def decode_df(enc_df, src_schema):
                 bytes(row["validity"]) if row["validity"] is not None else None,
             )
             arrays[row["column"]] = arr
-            n_rows = int(row["n_rows"])
         tbl = pa.Table.from_arrays([arrays[c] for c in column_order],
                                    names=column_order)
-        return tbl.to_pandas(types_mapper=None)
+        # ArrowDtype keeps nullable int64 exact (plain to_pandas would
+        # promote int64-with-null to float64, corrupting values > 2^53)
+        return tbl.to_pandas(types_mapper=pd.ArrowDtype)
 
     return (
         enc_df.groupBy("part_id", "chunk_id")

@@ -99,7 +99,9 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     def probe_cells(qvec):
         sims = F.transform(cents, lambda c: _dot(qvec, c))
         order = F.reverse(F.array_sort(sims))
-        thresh = F.element_at(order, n_probe)
+        # fewer centroids than n_probe -> probe them all (element_at past
+        # the end would be NULL and silently empty the result)
+        thresh = F.element_at(order, F.least(F.lit(n_probe), F.size(order)))
         return F.filter(
             F.transform(F.sequence(F.lit(0), F.lit(int(len(cent)) - 1)),
                         lambda i: F.when(F.element_at(sims, i + 1) >= thresh, i)

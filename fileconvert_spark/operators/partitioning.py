@@ -72,9 +72,12 @@ def plan_buckets(
     driver_cap = 65536
     heavy_thr = max(total // (16 * n_buckets), 1)
     bucket_cap = total / n_buckets
+    # deterministic ordering INCLUDING ties: bucket assignment must be
+    # byte-identical across runs or resume would drop/duplicate rows of
+    # equal-weight keys (key_col is the unambiguous tiebreaker)
     heavy = (
         sizes.filter(F.col("bytes") >= heavy_thr)
-        .orderBy(F.desc("bytes"))
+        .orderBy(F.desc("bytes"), F.asc(key_col))
         .limit(driver_cap)
         .collect()
     )
@@ -85,7 +88,7 @@ def plan_buckets(
 
     assignments: list[tuple[str, int, bool]] = []  # (key, bucket, salted)
     n_salted = 0
-    for r in sorted(heavy, key=lambda r: -int(r["bytes"])):
+    for r in sorted(heavy, key=lambda r: (-int(r["bytes"]), r[key_col])):
         b = int(r["bytes"])
         if b > bucket_cap:  # cannot fit one bucket fairly -> salt across all
             assignments.append((r[key_col], -1, True))

@@ -289,6 +289,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
         .repartition(max(len(files), 1))
 
     def decode_file(pdfs):
+        import pandas as pd
         import pyarrow.parquet as pq2
 
         from ..operators.encode import decode_column
@@ -309,7 +310,8 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
                             row["meta"], row["n_rows"], row["validity"])
                     out = pa.Table.from_arrays(
                         [cols[c] for c in column_order], names=column_order)
-                    yield out.to_pandas()
+                    # ArrowDtype: nullable int64 stays exact (no float64)
+                    yield out.to_pandas(types_mapper=pd.ArrowDtype)
 
     return fdf.mapInPandas(decode_file, schema=schema)
 

@@ -11,7 +11,13 @@ a 100 TB CSV directory converts with one narrow scan per file split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType
+
+# Spark's CSV reader substitutes this for quoted-empty fields BEFORE the
+# nullValue comparison; replacing it back afterwards is the only lossless
+# way to keep NULL (unquoted empty) distinct from "" (quoted empty).
+_EMPTY_SENTINEL = "\u0000__FCS_EMPTY__\u0000"
 
 
 def csv2parquet(
@@ -30,6 +36,7 @@ def csv2parquet(
         spark.read.option("header", header)
         .option("sep", sep)
         .option("nullValue", null_value)
+        .option("emptyValue", _EMPTY_SENTINEL)
         .option("escape", '"')
         .option("multiLine", True)
     )
@@ -40,6 +47,13 @@ def csv2parquet(
             "samplingRatio", sampling_ratio
         )
     df = reader.csv(csv_path)
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            df = df.withColumn(
+                f.name,
+                F.when(F.col(f.name) == _EMPTY_SENTINEL, F.lit(""))
+                .otherwise(F.col(f.name)),
+            )
     df.write.mode("overwrite").option("compression", compression).parquet(parquet_path)
     return df
 
@@ -60,7 +74,9 @@ def parquet2csv(
         .option("header", header)
         .option("sep", sep)
         .option("nullValue", null_value)
-        .option("emptyValue", "")
+        # NULL -> unquoted empty field; empty string -> quoted "" so the
+        # reverse path can tell them apart (A7 null semantics, losslessly)
+        .option("emptyValue", '""')
         .option("escape", '"')
         .option("quoteAll", False)
         .csv(csv_path)

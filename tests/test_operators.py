@@ -156,6 +156,56 @@ def test_csv_roundtrip(spark, tmp_path, docs):
     assert bad == 0
 
 
+def test_csv_roundtrip_empty_vs_null(spark, tmp_path):
+    """A5/A7: empty string and NULL must survive the CSV round trip as
+    distinct values (quoted "" vs unquoted empty field)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
+
+    schema = StructType([StructField("id", StringType()),
+                         StructField("v", StringType())])
+    df = spark.createDataFrame(
+        [("a", ""), ("b", None), ("c", "x")], schema=schema)
+    src_pq = str(tmp_path / "src_pq")
+    df.write.parquet(src_pq)
+    csv_dir = str(tmp_path / "csv")
+    parquet2csv(spark, src_pq, csv_dir)
+    back = csv2parquet(spark, csv_dir, str(tmp_path / "back_pq"), schema=schema)
+    got = {r["id"]: r["v"] for r in back.collect()}
+    assert got == {"a": "", "b": None, "c": "x"}, got
+
+
+def test_encode_date_and_tz_timestamp(spark, tmp_path):
+    """date32 and tz-aware timestamps must encode (review finding: date32
+    cast crashed; unknown types silently decoded as strings)."""
+    import datetime
+
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+    from fileconvert_spark.operators.verify import assert_roundtrip
+
+    df = spark.createDataFrame(
+        [(i, datetime.date(2020, 1, 1 + i % 27),
+          datetime.datetime(2021, 3, 1, 10, i % 60, 0)) for i in range(500)],
+        "id long, d date, ts timestamp",
+    )
+    dec = decode_df(encode_df(df, chunk_rows=128), df.schema)
+    assert_roundtrip(df, dec, ["id"], sha_col=None)
+
+
+def test_nullable_bigint_beyond_2_53(spark):
+    """Nullable int64 values above 2^53 must not lose precision through the
+    decode pandas boundary (review finding: float64 promotion)."""
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    big = (1 << 60) + 1
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, 3)], "id long, v long")
+    dec = decode_df(encode_df(df, chunk_rows=8), df.schema)
+    got = {r["id"]: r["v"] for r in dec.collect()}
+    assert got == {1: big, 2: None, 3: 3}, got
+
+
 def test_incremental_encode_stream(spark, tmp_path):
     from fileconvert_spark.corpus import make_codefiles
     from fileconvert_spark.plans.manifest import read_all_manifests
