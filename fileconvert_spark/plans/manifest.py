@@ -288,15 +288,16 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
     fdf = spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(max(len(files), 1))
 
-    def decode_file(pdfs):
-        import pandas as pd
+    def decode_file_arrow(batches):
+        # mapInArrow: decoded chunks go back to the JVM as Arrow batches
+        # directly — no pandas materialization on the decode hot path
         import pyarrow.parquet as pq2
 
         from ..operators.encode import decode_column
 
-        for pdf in pdfs:
-            for path in pdf["path"]:
-                enc_tbl = pq2.read_table(path)
+        for b in batches:
+            for path_val in b.column(0):
+                enc_tbl = pq2.read_table(path_val.as_py())
                 chunk_ids = enc_tbl.column("chunk_id").to_pylist()
                 for cid in sorted(set(chunk_ids)):
                     mask = pa.compute.equal(enc_tbl.column("chunk_id"), cid)
@@ -308,12 +309,14 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
                         cols[row["column"]] = decode_column(
                             row["codec"], row["payload"], row["dict"],
                             row["meta"], row["n_rows"], row["validity"])
-                    out = pa.Table.from_arrays(
-                        [cols[c] for c in column_order], names=column_order)
-                    # ArrowDtype: nullable int64 stays exact (no float64)
-                    yield out.to_pandas(types_mapper=pd.ArrowDtype)
+                    arrays = [
+                        cols[c].combine_chunks()
+                        if isinstance(cols[c], pa.ChunkedArray) else cols[c]
+                        for c in column_order
+                    ]
+                    yield pa.RecordBatch.from_arrays(arrays, names=column_order)
 
-    return fdf.mapInPandas(decode_file, schema=schema)
+    return fdf.mapInArrow(decode_file_arrow, schema=schema)
 
 
 def snappy_baseline_bytes(df, baseline_dir: str) -> int:
