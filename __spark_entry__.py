@@ -762,6 +762,34 @@ def approx_distinct(spark, sf_dir):
     )
 
 
+def training_pipeline_demo(spark, sf_dir):
+    """End-to-end training-data pipeline composition: quality filter ->
+    exact dedup (keep one per content hash) -> language id -> per-language
+    token/doc stats. Every stage is a shuffle-light DataFrame op."""
+    _ensure_workers(spark)
+    from pyspark.sql import Window
+
+    from fileconvert_spark.functions.text import (
+        lang_id, quality_score, token_count_ws,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.withColumn("quality", quality_score(F.col("text")))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.withColumn("lang_pred", lang_id(F.col("text")))
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_ws(F.col("text"))).alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_pred")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.multimodal import extract_features, synth_media_df
@@ -825,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_fingerprint_docs": quality_fingerprint_docs,
         "approx_distinct": approx_distinct,
         "multimodal_features": multimodal_features,
+        "training_pipeline_demo": training_pipeline_demo,
         # streaming (SURVEY.md §2 C19)
         "stream_window_counts": stream_window_counts,
     }
