@@ -1,0 +1,79 @@
+"""Physical-plan regression guards: the claims in PLANS.md must stay true.
+
+A refactor that silently loses predicate pushdown, broadcasts, the
+single-shuffle encode shape, or rank-limit pushdown would not fail any
+value-correctness test — these lock the plan shapes in.
+"""
+
+import contextlib
+import io
+import os
+
+import __spark_entry__ as E
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark):
+    p = plan_of(E.filter_project(spark, SF))
+    assert "PushedFilters: [" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    # column pruning: the scan must not read unneeded columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    p = plan_of(E.q5_revenue_by_nation(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_topk_uses_rank_limit_pushdown(spark):
+    p = plan_of(E.window_topk_orders(spark, SF))
+    assert "WindowGroupLimit" in p
+
+
+def test_encode_pipeline_single_shuffle(spark):
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.operators.encode import encode_df
+    from fileconvert_spark.operators.partitioning import (
+        plan_buckets, repartition_by_bucket,
+    )
+
+    df = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    dfb, info = plan_buckets(df, 4, key_col="source", salt_cols=("doc_id",),
+                             weight_col="text")
+    enc = encode_df(repartition_by_bucket(dfb, 4), part_id_col="bucket")
+    p = plan_of(enc)
+    # exactly one data Exchange (the bucket repartition); the bucket-map
+    # join must be broadcast, not a shuffle join
+    n_exchanges = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchanges == 1, p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_narrow_decode_no_data_exchange(spark, tmp_path):
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = str(tmp_path / "enc")
+    encode_table(spark, docs, out, n_buckets=2, key_col="source",
+                 salt_cols=("doc_id",), weight_col="text")
+    p = plan_of(decode_table(spark, out))
+    # only the tiny path-distribution exchange is allowed
+    assert p.count(") Exchange") <= 1
+    assert "MapInArrow" in p or "mapInArrow" in p.lower()
