@@ -71,6 +71,84 @@ def unpack_uints_framed(buf: memoryview) -> tuple[np.ndarray, int]:
     return vals, 5 + nbytes
 
 
+# ------------------------------------------------------- hybrid packed ints
+
+def pack_uints_auto(vals: np.ndarray) -> bytes:
+    """Self-describing packed ints, choosing plain fixed-width or a
+    two-stream hybrid: a b-bit stream for all positions (code 2^b-1 =
+    escape) plus a full-width overflow stream for values >= 2^b-1.
+
+    On skewed (e.g. frequency-ranked dictionary index) streams this
+    approaches the entropy bound while staying fully vectorizable both
+    ways — no sequential entropy-decode loop.
+
+    Layout: [u32 n][u8 tag]
+      tag 0: [u8 w][bits n*w]
+      tag 1: [u8 b][u8 w][u32 n_ovf][bits n*b][bits n_ovf*w]
+    """
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return U32.pack(0) + bytes([0, 0])
+    vmax = int(v.max())
+    w = bitwidth_for(vmax)
+    plain_sz = packed_size(n, w)
+    best = None
+    if 1 < w <= 32 and vmax < (1 << 22):
+        counts = np.bincount(v.astype(np.int64), minlength=vmax + 1)
+        cum = np.cumsum(counts)  # cum[x] = #values <= x
+        for b in range(1, w):
+            esc = (1 << b) - 1
+            n_ovf = n - int(cum[esc - 1]) if esc - 1 <= vmax else 0
+            sz = packed_size(n, b) + 4 + packed_size(n_ovf, w)
+            if best is None or sz < best[0]:
+                best = (sz, b, n_ovf)
+    if best is not None and best[0] + 2 < plain_sz:
+        _, b, _ = best
+        esc = np.uint64((1 << b) - 1)
+        low = np.minimum(v, esc)
+        ovf = v[v >= esc]
+        return (U32.pack(n) + bytes([1, b, w]) + U32.pack(len(ovf))
+                + pack_uints(low, b) + pack_uints(ovf, w))
+    return U32.pack(n) + bytes([0, w]) + pack_uints(v, w)
+
+
+def unpack_uints_auto(buf: memoryview) -> tuple[np.ndarray, int]:
+    """Inverse of pack_uints_auto; returns (values, bytes consumed)."""
+    n = U32.unpack_from(buf, 0)[0]
+    tag = buf[4]
+    if tag == 0:
+        w = buf[5]
+        nb = packed_size(n, w)
+        return unpack_uints(buf[6 : 6 + nb], w, n), 6 + nb
+    b, w = buf[5], buf[6]
+    n_ovf = U32.unpack_from(buf, 7)[0]
+    off = 11
+    nb_low = packed_size(n, b)
+    low = unpack_uints(buf[off : off + nb_low], b, n)
+    off += nb_low
+    nb_ovf = packed_size(n_ovf, w)
+    ovf = unpack_uints(buf[off : off + nb_ovf], w, n_ovf)
+    off += nb_ovf
+    esc = np.uint64((1 << b) - 1)
+    out = low
+    out[low == esc] = ovf
+    return out, off
+
+
+def freq_remap(idx: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rank dictionary indices by descending frequency.
+
+    Returns (remapped indices, order) where order[r] = original index of
+    rank r — reorder the dictionary with `order` so decode needs no map.
+    """
+    counts = np.bincount(idx.astype(np.int64), minlength=k)
+    order = np.argsort(-counts, kind="stable")
+    rank = np.empty(k, dtype=np.uint64)
+    rank[order] = np.arange(k, dtype=np.uint64)
+    return rank[idx.astype(np.int64)], order
+
+
 # ---------------------------------------------------------------- str blobs
 
 def str_blob_encode(arr: pa.Array) -> bytes:

@@ -33,12 +33,15 @@ from . import fsst
 from .bitpack import (
     U32,
     bitwidth_for,
+    freq_remap,
     pack_uints,
+    pack_uints_auto,
     pack_uints_framed,
     packed_size,
     str_blob_decode,
     str_blob_encode,
     unpack_uints,
+    unpack_uints_auto,
     unpack_uints_framed,
 )
 
@@ -149,13 +152,18 @@ def enc_dict_str(arr: pa.Array, de: pa.Array | None = None,
                  cache=None, cache_key=None):
     de = de if de is not None else pc.dictionary_encode(arr)
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-    payload = pack_uints_framed(idx)
-    dict_blob = _flagged_blob_encode(de.dictionary, cache, cache_key)
-    return payload, dict_blob, {"k": len(de.dictionary)}
+    k = len(de.dictionary)
+    # frequency-rank the dictionary: skewed index streams then hybrid-pack
+    # close to entropy (dictionary reordered so decode needs no map)
+    ranked, order = freq_remap(idx, k) if k else (idx, np.arange(0))
+    uniques = de.dictionary.take(pa.array(order)) if k else de.dictionary
+    payload = pack_uints_auto(ranked)
+    dict_blob = _flagged_blob_encode(uniques, cache, cache_key)
+    return payload, dict_blob, {"k": k}
 
 
 def dec_dict_str(payload, dict_blob, meta, n):
-    idx, _ = unpack_uints_framed(memoryview(payload))
+    idx, _ = unpack_uints_auto(memoryview(payload))
     uniques = _flagged_blob_decode(dict_blob)
     return pc.take(uniques, pa.array(idx.astype(np.int64)))
 
@@ -206,15 +214,18 @@ def enc_linedict_str(arr: pa.Array, cache=None, cache_key=None):
     counts = np.diff(list_offs).astype(np.uint64)
     de = pc.dictionary_encode(flat)
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
-    payload = pack_uints_framed(counts) + pack_uints_framed(idx)
-    dict_blob = _flagged_blob_encode(de.dictionary, cache, cache_key)
-    return payload, dict_blob, {"k": len(de.dictionary), "nl": int(len(flat))}
+    k = len(de.dictionary)
+    ranked, order = freq_remap(idx, k) if k else (idx, np.arange(0))
+    uniques = de.dictionary.take(pa.array(order)) if k else de.dictionary
+    payload = pack_uints_auto(counts) + pack_uints_auto(ranked)
+    dict_blob = _flagged_blob_encode(uniques, cache, cache_key)
+    return payload, dict_blob, {"k": k, "nl": int(len(flat))}
 
 
 def dec_linedict_str(payload, dict_blob, meta, n):
     buf = memoryview(payload)
-    counts, consumed = unpack_uints_framed(buf)
-    idx, _ = unpack_uints_framed(buf[consumed:])
+    counts, consumed = unpack_uints_auto(buf)
+    idx, _ = unpack_uints_auto(buf[consumed:])
     uniques = _flagged_blob_decode(dict_blob)
     values = pc.take(uniques, pa.array(idx.astype(np.int64)))
     offs = np.zeros(n + 1, dtype=np.int32)
