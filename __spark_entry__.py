@@ -469,9 +469,8 @@ def stream_window_counts(spark, sf_dir):
     from fileconvert_spark.streaming.incremental import windowed_event_counts
 
     schema = _t(spark, sf_dir, "events").schema
-    name = f"evt_counts_{abs(hash(sf_dir)) % 10_000}"
     res = windowed_event_counts(
-        spark, os.path.join(sf_dir, "events.parquet"), schema, query_name=name
+        spark, os.path.join(sf_dir, "events.parquet"), schema
     )
     return res.select(
         "window_start",
@@ -634,9 +633,8 @@ def stream_stateful_counts(spark, sf_dir):
     from fileconvert_spark.streaming.incremental import stateful_user_counts
 
     schema = _t(spark, sf_dir, "events").schema
-    name = f"stateful_counts_{abs(hash(sf_dir)) % 10_000}"
     return stateful_user_counts(
-        spark, os.path.join(sf_dir, "events.parquet"), schema, query_name=name
+        spark, os.path.join(sf_dir, "events.parquet"), schema
     )
 
 
@@ -969,7 +967,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 3
         """,
         "window_lag_runs": """
-            SELECT l_suppkey, SUM(run_start) AS n_runs, COUNT(*) AS n_rows FROM (
+            SELECT l_suppkey, CAST(SUM(run_start) AS BIGINT) AS n_runs,
+                   COUNT(*) AS n_rows FROM (
                 SELECT l_suppkey,
                        CASE WHEN LAG(l_returnflag) OVER w IS NULL
                                  OR l_returnflag <> LAG(l_returnflag) OVER w
@@ -1156,7 +1155,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id ORDER BY user_id
         """,
         "sessionization": """
-            SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM (
                 SELECT user_id,
                        CASE WHEN LAG(ts) OVER w IS NULL

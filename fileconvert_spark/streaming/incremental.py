@@ -15,14 +15,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def windowed_event_counts(spark: SparkSession, events_path: str, schema,
                           window: str = "5 minutes",
                           watermark: str = "10 minutes",
-                          query_name: str = "evt_counts") -> DataFrame:
+                          query_name: str | None = None,
+                          timeout_s: int = 300) -> DataFrame:
     """Tumbling-window counts over a file stream, run to completion with
     AvailableNow (batch-driven smoke of the streaming path); returns the
-    final result as a batch DataFrame."""
+    final result as a batch DataFrame.
+
+    Hardened for harness re-invocation: the memory-sink name is always
+    uuid-unique, termination is bounded (stop + raise past ``timeout_s``),
+    and the result is materialized eagerly so the returned DataFrame no
+    longer depends on the memory-sink temp view (which is dropped here).
+    """
     # the file stream source requires a directory: stream the parent dir
     # with a glob filter when given a single file
     import os
+    import uuid
 
+    query_name = f"{query_name or 'evt_counts'}_{uuid.uuid4().hex[:12]}"
     if os.path.isfile(events_path):
         reader = (
             spark.readStream.format("parquet").schema(schema)
@@ -45,24 +54,37 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.sql(
-        f"SELECT unix_timestamp(w.start) AS window_start, event_type, n, "
-        f"total_value FROM {query_name}"
-    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {query_name} exceeded {timeout_s}s"
+            )
+        rows = spark.sql(
+            f"SELECT unix_timestamp(w.start) AS window_start, event_type, n, "
+            f"total_value FROM {query_name}"
+        )
+        out = spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        spark.catalog.dropTempView(query_name)
+    return out
 
 
 def stateful_user_counts(spark: SparkSession, events_path: str, schema,
-                         query_name: str = "stateful_counts") -> DataFrame:
+                         query_name: str | None = None,
+                         timeout_s: int = 300) -> DataFrame:
     """Custom stateful streaming operator: running per-user event counts via
     ``applyInPandasWithState`` (arbitrary state, Arrow-batched). Run to
     completion with AvailableNow; the caller gets the final per-user totals
     (max over emitted updates, robust to micro-batch splits)."""
     import os
+    import uuid
 
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    query_name = f"{query_name or 'stateful_counts'}_{uuid.uuid4().hex[:12]}"
 
     if os.path.isfile(events_path):
         reader = (
@@ -94,11 +116,20 @@ def stateful_user_counts(spark: SparkSession, events_path: str, schema,
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return spark.sql(
-        f"SELECT user_id, max(n_events) AS n_events FROM {query_name} "
-        f"GROUP BY user_id ORDER BY user_id"
-    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {query_name} exceeded {timeout_s}s"
+            )
+        rows = spark.sql(
+            f"SELECT user_id, max(n_events) AS n_events FROM {query_name} "
+            f"GROUP BY user_id ORDER BY user_id"
+        )
+        res = spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        spark.catalog.dropTempView(query_name)
+    return res
 
 
 def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,

@@ -1,0 +1,156 @@
+"""Local replica of the driver's correctness harness.
+
+Runs every ``queries()`` entry at sf0.01 and compares against
+``oracle_sql()`` in DuckDB: row count, schema (column names + a
+dtype-compatibility check), and an order-insensitive value hash (columns
+sorted by name, rows sorted, values canonicalized).  The driver's exact
+hash procedure is not published; this replica is deliberately *stricter*
+on dtypes (int64 vs float64 is a mismatch) so anything green here should
+be green there.
+
+Usage:  python tools/correctness_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Column-name-sorted, row-sorted, value-canonicalized frame."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else (json.dumps(v, default=str) if isinstance(v, (list, dict, np.ndarray)) else v)
+            )
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        h.update(c.encode())
+        h.update(df[c].astype(str).str.cat(sep="\x1f").encode())
+    return h.hexdigest()
+
+
+def _dtype_class(dt) -> str:
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "ts"
+    return "obj"
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracles = E.oracle_sql()
+    out: dict[str, dict] = {}
+    n_fail = 0
+    for name, fn in E.queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            out[name] = {"err": f"spark: {type(ex).__name__}: {ex}"}
+            n_fail += 1
+            print(f"FAIL {name}: spark error {ex}", flush=True)
+            continue
+        if name not in oracles:
+            out[name] = {"spark_rows": len(sdf), "err": "no_oracle"}
+            print(f"rows {name}: {len(sdf)} (no oracle) [{time.time()-t0:.1f}s]",
+                  flush=True)
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            out[name] = {"err": f"oracle: {type(ex).__name__}: {ex}"}
+            n_fail += 1
+            print(f"FAIL {name}: oracle error {ex}", flush=True)
+            continue
+        rows_match = len(sdf) == len(odf)
+        schema_match = sorted(sdf.columns) == sorted(odf.columns)
+        dtype_match = schema_match and all(
+            _dtype_class(sdf[c].dtype) == _dtype_class(odf[c].dtype)
+            for c in sdf.columns
+        )
+        hash_match = False
+        if rows_match and schema_match:
+            hash_match = _value_hash(_canon(sdf)) == _value_hash(_canon(odf))
+        ok = rows_match and schema_match and dtype_match and hash_match
+        out[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "dtype_match": dtype_match, "hash_match": hash_match,
+            "spark_rows": len(sdf), "oracle_rows": len(odf),
+        }
+        if not ok:
+            n_fail += 1
+            detail = ""
+            if schema_match and not dtype_match:
+                detail = " dtypes: " + str({
+                    c: (str(sdf[c].dtype), str(odf[c].dtype))
+                    for c in sdf.columns
+                    if _dtype_class(sdf[c].dtype) != _dtype_class(odf[c].dtype)
+                })
+            print(f"FAIL {name}: rows={rows_match} schema={schema_match} "
+                  f"dtype={dtype_match} hash={hash_match}{detail}", flush=True)
+        else:
+            print(f"PASS {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]",
+                  flush=True)
+    with open("/tmp/correctness_local.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"\n{len(out)} queries, {n_fail} failing; "
+          f"details: /tmp/correctness_local.json")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
