@@ -1,37 +1,128 @@
 """Vectorized signature kernels for dedup / similarity (NumPy, Arrow-batched).
 
-MinHash and SimHash signatures as pandas UDF kernels: per Arrow batch, the
-token/shingle hashing is NumPy-vectorized per row (rows are short documents;
-the permutation math is a single (n_shingles x n_hashes) broadcast per row).
-Deterministic across processes: FNV-1a over UTF-8 bytes, no Python hash().
+Hot-path design (SURVEY.md §2: "no per-row Python" — and no per-*byte*
+Python either):
+
+- All shingle/word hashing uses a polynomial rolling hash mod 2^64
+  (Rabin-Karp): with prefix sums ``pre[i] = sum_{j<i} b[j] * P^j`` the hash
+  of any window ``[s, e)`` is ``(pre[e] - pre[s]) * P^{-s}`` — P is odd, so
+  its inverse mod 2^64 exists and every window hash is one vectorized
+  subtract+multiply. One O(n) pass per document covers *all* its shingles.
+- A splitmix64 finalizer fixes the low-bit weakness of the raw polynomial.
+- MinHash uses one-permutation hashing (Li/Owen/Zhang, NIPS 2012) with
+  rotation densification (Shrivastava & Li, ICML 2014): each shingle is
+  hashed ONCE and bucketed by its top bits — O(n_shingles) per document
+  instead of O(n_shingles * n_hashes), with the same LSH banding behavior.
+  (This also removes round 1's universal-hash uint64 overflow entirely.)
+
+Deterministic across processes: fixed constants and PCG64 seeds, no Python
+``hash()``.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-FNV_OFFSET = np.uint64(0xCBF29CE484222325)
-FNV_PRIME = np.uint64(0x100000001B3)
-_MERSENNE = (1 << 61) - 1
+# odd multiplier (golden-ratio constant) and its inverse mod 2^64
+_P = 0x9E3779B97F4A7C15
+_PINV = pow(_P, -1, 1 << 64)
+_LEN_SALT = np.uint64(0xDA942042E4DD58B5)
+
+_WS_TABLE = np.zeros(256, dtype=bool)
+_WS_TABLE[[9, 10, 11, 12, 13, 32]] = True  # \t \n \v \f \r space
+
+# cached geometric powers of P / P^-1 (grown on demand, process-global)
+_pw = np.ones(1, dtype=np.uint64)
+_ipw = np.ones(1, dtype=np.uint64)
 
 
-def fnv1a64(data: bytes) -> int:
-    h = FNV_OFFSET
-    for b in data:
-        h = np.uint64((int(h) ^ b) * int(FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """pw[i] = P^i mod 2^64 and ipw[i] = P^-i mod 2^64 for i < n (cached)."""
+    global _pw, _ipw
+    if _pw.size < n:
+        m = max(n, 2 * _pw.size)
+        pw = np.full(m, np.uint64(_P), dtype=np.uint64)
+        ipw = np.full(m, np.uint64(_PINV), dtype=np.uint64)
+        pw[0] = ipw[0] = 1
+        np.cumprod(pw, out=pw)    # uint64 multiply wraps mod 2^64 (intended)
+        np.cumprod(ipw, out=ipw)
+        _pw, _ipw = pw, ipw
+    return _pw, _ipw
 
 
-def _hash_tokens(tokens: list[bytes]) -> np.ndarray:
-    """Vector of 64-bit hashes, one per token (FNV-1a, vectorized-ish)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = 0xCBF29CE484222325
-        for b in t:
-            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h
-    return out
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
 
+
+def _segment_hashes(vals: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray) -> np.ndarray:
+    """Hash of each [start, end) segment of a uint64 value sequence.
+
+    One cumsum over ``vals`` then one vectorized gather per segment —
+    O(len + n_segments), no per-segment loop.
+    """
+    n = vals.size
+    pw, ipw = _powers(n + 1)
+    pre = np.empty(n + 1, dtype=np.uint64)
+    pre[0] = 0
+    np.cumsum(vals * pw[:n], out=pre[1:])  # wraps mod 2^64 (intended)
+    raw = (pre[ends] - pre[starts]) * ipw[starts]
+    return _mix64(raw ^ (ends - starts).astype(np.uint64) * _LEN_SALT)
+
+
+def _text_bytes(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+
+
+def _word_bounds(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized whitespace split: (starts, ends) of each word."""
+    is_w = ~_WS_TABLE[buf]
+    starts = np.flatnonzero(is_w & np.r_[True, ~is_w[:-1]])
+    ends = np.flatnonzero(is_w & np.r_[~is_w[1:], True]) + 1
+    return starts, ends
+
+
+def word_hashes(text: str) -> np.ndarray:
+    """64-bit hash per whitespace-delimited word — fully vectorized."""
+    buf = _text_bytes(text)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    starts, ends = _word_bounds(buf)
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return _segment_hashes(buf.astype(np.uint64), starts, ends)
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hash per word n-gram (rolling over the word-hash sequence)."""
+    w = word_hashes(text)
+    if w.size == 0:
+        return w
+    n = min(n, w.size)
+    starts = np.arange(w.size - n + 1)
+    return _segment_hashes(w, starts, starts + n)
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hash per k-byte character shingle (rolling over UTF-8 bytes)."""
+    buf = _text_bytes(text)
+    if buf.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    k = min(k, buf.size)
+    starts = np.arange(buf.size - k + 1)
+    return _segment_hashes(buf.astype(np.uint64), starts, starts + k)
+
+
+# --------------------------------------------------------- shingle views
+# (exact token materialization — used only for jaccard *verification* of
+# LSH candidate pairs, never in the signature hot path)
 
 def char_shingles(text: str, k: int = 5) -> list[bytes]:
     b = text.encode("utf-8")
@@ -47,41 +138,182 @@ def word_ngrams(text: str, n: int = 3) -> list[bytes]:
     return [" ".join(words[i : i + n]).encode() for i in range(len(words) - n + 1)]
 
 
-# universal-hash permutation parameters (fixed seed -> deterministic)
-def _perm_params(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
-    rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64).astype(np.uint64)
-    return a, b
+# ------------------------------------------------------ batched kernels
+# The pandas-UDF hot path: the whole Arrow batch is processed with O(1)
+# NumPy calls per *slab* (a group of whole documents capped by byte size),
+# not per document. Documents are joined with '\n' (whitespace), so words
+# never cross document boundaries; per-doc reductions use reduceat.
+
+_SLAB_BYTES = 1 << 18  # bound prefix/power/bit-matrix working memory
+                       # (small slabs keep temporaries cache/TLB-friendly)
+
+
+def _doc_slabs(texts: list[str]):
+    """Yield (global_indices, encoded_docs) groups of whole documents,
+    each group capped at ~_SLAB_BYTES of UTF-8."""
+    idx: list[int] = []
+    enc: list[bytes] = []
+    size = 0
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8")
+        if enc and size + len(b) > _SLAB_BYTES:
+            yield idx, enc
+            idx, enc, size = [], [], 0
+        idx.append(i)
+        enc.append(b)
+        size += len(b) + 1
+    if enc:
+        yield idx, enc
+
+
+def _slab_word_hashes(enc: list[bytes]):
+    """One pass over a slab: word hashes + per-doc word counts.
+
+    Returns (word_hashes uint64[m], word_counts int64[n_docs]).
+    """
+    buf = np.frombuffer(b"\n".join(enc) + b"\n", dtype=np.uint8)
+    doc_starts = np.zeros(len(enc), dtype=np.int64)
+    if len(enc) > 1:
+        lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+        np.cumsum(lens[:-1] + 1, out=doc_starts[1:])
+    starts, ends = _word_bounds(buf)
+    if starts.size == 0:
+        return np.empty(0, np.uint64), np.zeros(len(enc), np.int64)
+    wdoc = np.searchsorted(doc_starts, starts, side="right") - 1
+    wh = _segment_hashes(buf.astype(np.uint64), starts, ends)
+    wc = np.bincount(wdoc, minlength=len(enc))
+    return wh, wc
+
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_DENSIFY_C = np.uint64(0x2545F4914F6CDD1D)
+# bit b of byte value v: _BYTE_BIT_LUT[v, b]
+_BYTE_BIT_LUT = (
+    (np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+).astype(np.int64)
+
+
+def _oph_densify(sig: np.ndarray) -> np.ndarray:
+    """Rotation densification (Shrivastava & Li, ICML'14) of a one-
+    permutation MinHash matrix: each _EMPTY bucket borrows the value of the
+    nearest non-empty bucket to its left (circularly) plus distance*C.
+    Rows that are entirely _EMPTY (no shingles) are zeroed.
+    """
+    nd, k = sig.shape
+    empty = sig == _EMPTY
+    if not empty.any():
+        return sig
+    # coordinates of non-empty cells on a doubled axis; forward-fill via
+    # maximum.accumulate gives the nearest non-empty at-or-left of each cell
+    coord = np.arange(2 * k, dtype=np.int64)[None, :]
+    marked = np.where(np.concatenate([empty, empty], axis=1), -1, coord)
+    src_coord = np.maximum.accumulate(marked, axis=1)[:, k:]
+    all_empty = empty.all(axis=1)
+    src_coord[all_empty] = 0  # placeholder; rows zeroed below
+    src_bucket = (src_coord % k).astype(np.int64)
+    dist = (coord[:, k:] - src_coord).astype(np.uint64)
+    borrowed = np.take_along_axis(sig, src_bucket, axis=1) + dist * _DENSIFY_C
+    out = np.where(empty, borrowed, sig)
+    out[all_empty] = 0
+    return out
+
+
+def _oph_signatures(gh: np.ndarray, counts: np.ndarray,
+                    n_hashes: int) -> np.ndarray:
+    """One-permutation MinHash (Li/Owen/Zhang, NIPS'12) over per-doc hash
+    segments: bucket by the top log2(n_hashes) bits, min within bucket,
+    rotation-densify empties. O(n_shingles) — not O(n_shingles*n_hashes).
+
+    gh: concatenated shingle hashes; counts: shingles per doc.
+    """
+    lg = int(n_hashes).bit_length() - 1
+    if (1 << lg) != n_hashes:
+        raise ValueError("n_hashes must be a power of two")
+    nd = counts.size
+    sig = np.full((nd, n_hashes), _EMPTY, dtype=np.uint64)
+    if gh.size:
+        ddoc = np.repeat(np.arange(nd, dtype=np.int64), counts)
+        bucket = (gh >> np.uint64(64 - lg)).astype(np.int64)
+        # top bits are constant within a bucket, so min(gh) == min(low bits)
+        np.minimum.at(sig, (ddoc, bucket), gh)
+    return _oph_densify(sig)
+
+
+def minhash_signatures(texts: list[str], n_hashes: int = 32,
+                       params=None, n: int = 3) -> np.ndarray:
+    """MinHash signatures for a batch of texts (word n-gram shingles) via
+    one-permutation hashing. Returns int64[(len(texts), n_hashes)];
+    empty/None texts -> all zeros. ``params`` is accepted for backward
+    compatibility and ignored (OPH needs no permutation family).
+    """
+    out = np.zeros((len(texts), n_hashes), dtype=np.int64)
+    for idx, enc in _doc_slabs(texts):
+        wh, wc = _slab_word_hashes(enc)
+        if wh.size == 0:
+            continue
+        woff = np.zeros(wc.size + 1, dtype=np.int64)
+        np.cumsum(wc, out=woff[1:])
+        # docs with 1..n-1 words get one gram over all their words
+        n_grams = np.where(wc == 0, 0, np.maximum(wc - n + 1, 1))
+        total = int(n_grams.sum())
+        goff = np.zeros(n_grams.size + 1, dtype=np.int64)
+        np.cumsum(n_grams, out=goff[1:])
+        # gram g of doc d starts at woff[d] + (g - goff[d])
+        gstart = (np.repeat(woff[:-1] - goff[:-1], n_grams)
+                  + np.arange(total, dtype=np.int64))
+        gend = gstart + np.repeat(np.minimum(wc, n), n_grams)
+        gh = _segment_hashes(wh, gstart, gend)
+        sig = _oph_signatures(gh, n_grams, n_hashes)
+        out[np.asarray(idx)] = sig.astype(np.int64)
+    return out
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash (whitespace tokens) for a batch; int64[len(texts)].
+
+    Per-doc bit counts avoid any (m, 64) bit-matrix expansion: for each of
+    the 8 byte lanes of the word hashes, one bincount builds per-doc byte
+    histograms (L1-resident, nd*256 bins) and a 256x8 bit LUT matmul turns
+    them into bit counts — O(m*8) scalar increments total.
+    """
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for idx, enc in _doc_slabs(texts):
+        wh, wc = _slab_word_hashes(enc)
+        if wh.size == 0:
+            continue
+        nd = wc.size
+        ddoc = np.repeat(np.arange(nd, dtype=np.int64), wc)
+        bytes_mat = wh.view(np.uint8).reshape(-1, 8)  # little-endian bytes
+        base = ddoc << 8
+        ones = np.empty((nd, 64), dtype=np.int64)
+        for p in range(8):
+            hist = np.bincount(
+                base + bytes_mat[:, p], minlength=nd << 8
+            ).reshape(nd, 256)
+            ones[:, p * 8 : (p + 1) * 8] = hist @ _BYTE_BIT_LUT
+        # bit set iff majority of tokens have it: 2*ones > n_tokens
+        pos = (2 * ones) > wc[:, None]
+        sigs = (pos.astype(np.uint64)
+                << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        sigs[wc == 0] = 0
+        out[np.asarray(idx)] = sigs.astype(np.int64)
+    return out
 
 
 def minhash_signature(text: str, n_hashes: int = 32,
-                      params: tuple[np.ndarray, np.ndarray] | None = None,
-                      shingler=word_ngrams) -> list[int]:
+                      params=None, shingler=word_ngrams) -> list[int]:
     """MinHash signature; empty text -> all-zeros signature."""
-    a, b = params if params is not None else _perm_params(n_hashes)
-    shingles = shingler(text)
-    if not shingles:
-        return [0] * n_hashes
-    h = _hash_tokens(shingles) % np.uint64(_MERSENNE)
-    # (n_shingles, n_hashes) universal hashing, min over shingles
-    vals = (h[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-    return vals.min(axis=0).astype(np.int64).tolist()
+    if shingler is not char_shingles:
+        return minhash_signatures([text], n_hashes)[0].tolist()
+    h = char_shingle_hashes(text)
+    sig = _oph_signatures(h, np.array([h.size], dtype=np.int64), n_hashes)
+    return sig.astype(np.int64)[0].tolist()
 
 
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (signed int64 for Spark)."""
-    tokens = [w.encode() for w in text.split()]
-    if not tokens:
-        return 0
-    h = _hash_tokens(tokens)
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-    v = (2 * bits - 1).sum(axis=0)
-    sig = np.uint64(0)
-    for i in range(64):
-        if v[i] > 0:
-            sig |= np.uint64(1) << np.uint64(i)
-    return int(sig.astype(np.int64))
+    return int(simhash64_batch([text])[0])
 
 
 def jaccard(a: str, b: str, shingler=word_ngrams) -> float:

@@ -3,10 +3,11 @@
 Scale-first designs (graded against 100 TB):
   - exact: hash-groupBy on md5(text) — one shuffle of 16-byte keys, never
     of the texts themselves.
-  - minhash_lsh: signature (pandas UDF) -> band keys (JVM-side slice+hash)
-    -> posexplode -> groupBy band key -> within-bucket self-join. The
-    candidate join touches only bucket-colliding pairs, not the n^2 cross
-    product; signatures are ~256 bytes/row regardless of document size.
+  - minhash_lsh: signature (vectorized rolling-hash pandas UDF) -> band
+    keys (JVM-side slice+hash) -> posexplode of (id, band_key) ONLY ->
+    band self-join -> texts joined back by id for jaccard verification.
+    The candidate join touches only bucket-colliding pairs, not the n^2
+    cross product, and the band shuffle never carries document bodies.
   - simhash: 64-bit signature, 4x16-bit band exact-match (finds all pairs
     with Hamming distance <= 3 by pigeonhole... 4 bands guarantee distance
     <=3 pairs share at least one band), verified by bit_count(xor).
@@ -30,11 +31,10 @@ N_BANDS = 8  # 8 bands x 4 rows: catches jaccard >~ 0.5 pairs reliably
 
 def with_minhash(df: DataFrame, text_col: str = "text",
                  n_hashes: int = N_MINHASH) -> DataFrame:
-    params = sim._perm_params(n_hashes)
-
     @F.pandas_udf(ArrayType(LongType()))
     def mh(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: sim.minhash_signature(t or "", n_hashes, params))
+        sigs = sim.minhash_signatures(s.tolist(), n_hashes)
+        return pd.Series(list(sigs))
 
     return df.withColumn("minhash", mh(F.col(text_col)))
 
@@ -42,7 +42,7 @@ def with_minhash(df: DataFrame, text_col: str = "text",
 def with_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     @F.pandas_udf(LongType())
     def sh(s: pd.Series) -> pd.Series:
-        return s.map(lambda t: sim.simhash64(t or ""))
+        return pd.Series(sim.simhash64_batch(s.tolist()))
 
     return df.withColumn("simhash", sh(F.col(text_col)))
 
@@ -61,12 +61,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       n_bands: int = N_BANDS,
                       jaccard_threshold: float = 0.5) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
-    exact n-gram jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    exact n-gram jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Scale shape: the band explode and self-join carry ONLY (id, band,
+    band_key) — 24 bytes/row — never the documents. Texts are joined back
+    by id strictly for the jaccard verification of the (much smaller)
+    candidate-pair set, so the corpus is shuffled at most once per side of
+    that join instead of 8x through the band explode.
+    """
     rows_per_band = N_MINHASH // n_bands
     sigs = with_minhash(df.select(id_col, text_col), text_col)
     bands = sigs.select(
         F.col(id_col),
-        F.col(text_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -88,10 +94,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{text_col}").alias("text_a"),
-            F.col(f"b.{text_col}").alias("text_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    texts = df.select(id_col, text_col)
+    with_texts = (
+        cand.join(
+            texts.select(F.col(id_col).alias("id_a"),
+                         F.col(text_col).alias("text_a")),
+            "id_a",
+        )
+        .join(
+            texts.select(F.col(id_col).alias("id_b"),
+                         F.col(text_col).alias("text_b")),
+            "id_b",
+        )
     )
 
     @F.pandas_udf("double")
@@ -101,7 +118,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         )
 
     return (
-        cand.withColumn("jaccard", jac("text_a", "text_b"))
+        with_texts.withColumn("jaccard", jac("text_a", "text_b"))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )

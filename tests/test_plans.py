@@ -77,3 +77,20 @@ def test_narrow_decode_no_data_exchange(spark, tmp_path):
     # only the tiny path-distribution exchange is allowed
     assert p.count(") Exchange") <= 1
     assert "MapInArrow" in p or "mapInArrow" in p.lower()
+
+def test_lsh_band_join_carries_no_text(spark):
+    """The MinHash-LSH band explode/self-join must shuffle only (id, band,
+    band_key) — never the document bodies (VERDICT r1 item 4). Texts may
+    appear only downstream, joined back by id for jaccard verification."""
+    from fileconvert_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    p = plan_of(minhash_lsh_pairs(docs, "doc_id"))
+    gen_lines = [l for l in p.splitlines() if "Generate" in l]
+    assert gen_lines, p  # the posexplode must exist
+    for l in gen_lines:
+        assert "text" not in l, l
+    # the explode output feeding the self-join must not mention text either
+    for l in p.splitlines():
+        if "band_key" in l and "Arguments" in l:
+            assert "text" not in l, l

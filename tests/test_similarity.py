@@ -1,0 +1,118 @@
+"""Unit tests for the vectorized similarity kernels (no Spark).
+
+Covers: rolling-hash correctness properties, batch==scalar consistency,
+OPH MinHash agreement behavior, rotation densification on short docs,
+SimHash Hamming behavior, and empty/None/unicode edge cases.
+"""
+
+import numpy as np
+import pytest
+
+from fileconvert_spark.functions import similarity as sim
+
+
+def test_word_hashes_match_python_split():
+    text = "alpha  beta\tgamma\nalpha "
+    h = sim.word_hashes(text)
+    assert h.size == len(text.split())
+    # equal words hash equal, different words differ
+    assert h[0] == h[3]
+    assert len({int(x) for x in h[:3]}) == 3
+
+
+def test_word_hashes_position_independent():
+    # the P^{-s} rebase must make hashes independent of position
+    a = sim.word_hashes("xyzzy")
+    b = sim.word_hashes("padding words before xyzzy")
+    assert int(a[0]) == int(b[-1])
+
+
+def test_ngram_hashes_count_and_short_doc():
+    assert sim.word_ngram_hashes("a b c d e").size == 3
+    assert sim.word_ngram_hashes("a b").size == 1  # 1..n-1 words: one gram
+    assert sim.word_ngram_hashes("").size == 0
+    # 2-word gram != first 2-word window of a 3-gram corpus (length-salted)
+    g2 = sim.word_ngram_hashes("a b")
+    g3 = sim.word_ngram_hashes("a b c")
+    assert int(g2[0]) != int(g3[0])
+
+
+def test_char_shingle_hashes_roll():
+    h = sim.char_shingle_hashes("abcdefabcdef", k=5)
+    assert h.size == 12 - 5 + 1
+    assert int(h[0]) == int(h[6])  # "abcde" appears at 0 and 6
+    assert int(h[0]) != int(h[1])
+
+
+def test_minhash_batch_matches_scalar():
+    docs = ["the quick brown fox jumps over the lazy dog",
+            "", "single", "two words",
+            "unicode éèê tokens 你好 world " * 3]
+    batch = sim.minhash_signatures(docs, 32)
+    for i, d in enumerate(docs):
+        assert batch[i].tolist() == sim.minhash_signature(d, 32), i
+
+
+def test_simhash_batch_matches_scalar():
+    docs = ["the quick brown fox", "", "x", "a b c d e f g " * 40]
+    batch = sim.simhash64_batch(docs)
+    for i, d in enumerate(docs):
+        assert int(batch[i]) == sim.simhash64(d), i
+
+
+def test_minhash_empty_and_none():
+    sigs = sim.minhash_signatures([None, "", "   "], 32)
+    assert (sigs == 0).all()
+
+
+def test_minhash_agreement_tracks_jaccard():
+    base_words = [f"w{i}" for i in range(200)]
+    base = " ".join(base_words)
+    near = " ".join(base_words[:-5] + ["x1", "x2", "x3", "x4", "x5"])
+    far = " ".join(f"z{i}" for i in range(200))
+    s = sim.minhash_signatures([base, near, far], 32)
+    agree_near = (s[0] == s[1]).mean()
+    agree_far = (s[0] == s[2]).mean()
+    assert agree_near > 0.6
+    assert agree_far < 0.2
+    # identical docs -> identical signatures
+    s2 = sim.minhash_signatures([base], 32)
+    assert s2[0].tolist() == s[0].tolist()
+
+
+def test_minhash_densification_short_docs():
+    # 2 words -> 1 shingle -> 31 empty buckets must densify deterministically
+    a = sim.minhash_signatures(["hello world"], 32)[0]
+    b = sim.minhash_signatures(["hello world"], 32)[0]
+    assert a.tolist() == b.tolist()
+    assert len(set(a.tolist())) > 1  # densified values differ per bucket
+    c = sim.minhash_signatures(["goodbye world"], 32)[0]
+    assert a.tolist() != c.tolist()
+
+
+def test_minhash_rejects_non_power_of_two():
+    with pytest.raises(ValueError):
+        sim.minhash_signatures(["a b c d"], 24)
+
+
+def test_simhash_hamming_behavior():
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " tokZZZ"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    s = sim.simhash64_batch([base, near, far])
+    ham = lambda a, b: bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+    assert ham(s[0], s[1]) <= 6
+    assert ham(s[0], s[2]) > 10
+    assert sim.simhash64("") == 0
+
+
+def test_slab_boundaries_do_not_change_results(monkeypatch):
+    docs = [f"doc {i} body " + " ".join(f"t{i}_{j}" for j in range(50))
+            for i in range(40)]
+    full = sim.minhash_signatures(docs, 32)
+    sh_full = sim.simhash64_batch(docs)
+    monkeypatch.setattr(sim, "_SLAB_BYTES", 256)  # force many tiny slabs
+    split = sim.minhash_signatures(docs, 32)
+    sh_split = sim.simhash64_batch(docs)
+    assert (full == split).all()
+    assert (sh_full == sh_split).all()
