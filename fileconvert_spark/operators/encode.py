@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import uuid
 from collections.abc import Iterator
 
 import numpy as np
@@ -248,11 +249,19 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
     return out
 
 
-def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int) -> pa.RecordBatch:
-    """Encode all columns of one chunk -> a record batch of enc rows."""
+def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int,
+                       cache_ns: str | None = None) -> pa.RecordBatch:
+    """Encode all columns of one chunk -> a record batch of enc rows.
+
+    ``cache_ns`` namespaces the per-worker FSST table cache (reused Python
+    workers must not share trained tables across unrelated jobs/tables
+    whose columns happen to share a name — decode stays exact either way,
+    but a foreign table silently degrades the ratio until drift retrain).
+    """
     rows = {name: [] for name in ENC_ARROW_SCHEMA.names}
     for col in tbl.column_names:
-        fields = encode_column(tbl.column(col), cache_key=col)
+        key = f"{cache_ns}:{col}" if cache_ns else col
+        fields = encode_column(tbl.column(col), cache_key=key)
         rows["part_id"].append(part_id)
         rows["chunk_id"].append(chunk_id)
         rows["column"].append(col)
@@ -279,12 +288,14 @@ def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
 
 def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
                    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                   part_id_col: str | None = None):
+                   part_id_col: str | None = None,
+                   cache_ns: str | None = None):
     """Build the mapInArrow kernel: batches in -> enc record batches out.
 
     ``part_id_col``: optional column carrying the deterministic bucket id
     (B2 partitioning); it is popped from the data and used as part_id so
     checkpoint/resume is keyed by *bucket*, not by Spark's task numbering.
+    ``cache_ns``: job/table namespace for the worker FSST cache.
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -305,7 +316,7 @@ def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
             if part_id_col is not None:
                 tbl = tbl.drop_columns([part_id_col])
             cid = chunk_ids.get(pid, 0)
-            out = encode_chunk_table(tbl, pid, cid)
+            out = encode_chunk_table(tbl, pid, cid, cache_ns=cache_ns)
             chunk_ids[pid] = cid + 1
             bufs[pid], rows[pid], byts[pid] = [], 0, 0
             return out
@@ -339,10 +350,16 @@ def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
 
 def encode_df(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
               chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-              part_id_col: str | None = None):
+              part_id_col: str | None = None,
+              cache_ns: str | None = None):
     """DataFrame -> enc DataFrame (one row per partition x chunk x column)."""
+    if cache_ns is None:
+        # driver-side uuid shipped in the closure: every task of THIS job
+        # shares the FSST cache namespace, other jobs never collide
+        cache_ns = uuid.uuid4().hex[:12]
     return df.mapInArrow(
-        make_encode_fn(chunk_rows, chunk_bytes, part_id_col), ENC_SPARK_SCHEMA
+        make_encode_fn(chunk_rows, chunk_bytes, part_id_col, cache_ns),
+        ENC_SPARK_SCHEMA,
     )
 
 

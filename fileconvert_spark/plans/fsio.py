@@ -1,0 +1,133 @@
+"""Filesystem seam for encode/decode I/O (SURVEY.md §2 B13; the round-1
+"cluster-real storage" gap).
+
+Every part-file and manifest read/write in plans/manifest.py goes through
+this module instead of bare ``open()``/``os.*``, so a real cluster
+filesystem is a URI swap, not a code change:
+
+- plain paths -> ``pyarrow.fs.LocalFileSystem`` (today's behavior);
+- ``hdfs://`` / ``s3://`` / ``gs://`` / ``file://`` URIs -> resolved with
+  ``pyarrow.fs.FileSystem.from_uri`` *inside each process* (driver or
+  executor) — filesystem handles are created where they are used, never
+  pickled across the driver/executor boundary.
+
+Atomicity contract: on filesystems with atomic rename (local, HDFS) writes
+go to an attempt-unique ``*.<uuid>.tmp`` sibling and are moved into place —
+concurrent task attempts (speculative execution, zombie retries) each write
+their own tmp file, so a finished part file is never scribbled over by a
+straggler. On object stores the final PUT is already all-or-nothing, so
+writes stream directly to the destination key.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+
+def resolve(path: str) -> tuple[pafs.FileSystem, str]:
+    """(filesystem, fs-internal path) for a path or URI."""
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _has_atomic_move(fs: pafs.FileSystem) -> bool:
+    # LocalFileSystem.move is os.rename; HadoopFileSystem.move is FS rename.
+    return isinstance(fs, (pafs.LocalFileSystem,)) or type(fs).__name__ in (
+        "HadoopFileSystem",
+    )
+
+
+def _tmp_name(p: str) -> str:
+    # attempt-unique: include the Spark task attempt id when available so
+    # concurrent attempts for the same partition never share a tmp file
+    try:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        attempt = f"a{ctx.taskAttemptId()}-" if ctx is not None else ""
+    except Exception:  # noqa: BLE001 - non-Spark callers
+        attempt = ""
+    return f"{p}.{attempt}{uuid.uuid4().hex[:8]}.tmp"
+
+
+def makedirs(path: str) -> None:
+    fs, p = resolve(path)
+    fs.create_dir(p, recursive=True)
+
+
+def exists(path: str) -> bool:
+    fs, p = resolve(path)
+    return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def getsize(path: str) -> int:
+    fs, p = resolve(path)
+    info = fs.get_file_info(p)
+    return info.size if info.size is not None else 0
+
+
+def listdir(path: str) -> list[str]:
+    """Base names of entries directly under ``path`` ([] if missing)."""
+    fs, p = resolve(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(i.base_name for i in infos)
+
+
+def remove(path: str) -> None:
+    fs, p = resolve(path)
+    fs.delete_file(p)
+
+
+def read_bytes(path: str) -> bytes:
+    fs, p = resolve(path)
+    with fs.open_input_stream(p) as f:
+        return f.read()
+
+
+def write_bytes_atomic(path: str, data: bytes) -> None:
+    fs, p = resolve(path)
+    if _has_atomic_move(fs):
+        tmp = _tmp_name(p)
+        with fs.open_output_stream(tmp) as f:
+            f.write(data)
+        fs.move(tmp, p)
+    else:
+        with fs.open_output_stream(p) as f:
+            f.write(data)
+
+
+def write_parquet_atomic(table: pa.Table, path: str, **kwargs) -> int:
+    """Write a parquet file atomically; returns its final byte size."""
+    fs, p = resolve(path)
+    if _has_atomic_move(fs):
+        tmp = _tmp_name(p)
+        pq.write_table(table, tmp, filesystem=fs, **kwargs)
+        fs.move(tmp, p)
+    else:
+        pq.write_table(table, p, filesystem=fs, **kwargs)
+    info = fs.get_file_info(p)
+    return info.size if info.size is not None else 0
+
+
+def read_parquet(path: str) -> pa.Table:
+    fs, p = resolve(path)
+    return pq.read_table(p, filesystem=fs)
+
+
+def du_suffix(path: str, suffix: str = ".parquet") -> int:
+    """Total bytes of files under ``path`` (recursive) ending in suffix."""
+    fs, p = resolve(path)
+    try:
+        infos = fs.get_file_info(pafs.FileSelector(p, recursive=True))
+    except (FileNotFoundError, OSError):
+        return 0
+    return sum(i.size or 0 for i in infos
+               if i.type == pafs.FileType.File and i.base_name.endswith(suffix))

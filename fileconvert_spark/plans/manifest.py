@@ -17,7 +17,9 @@ Checkpoint/resume: a bucket whose manifest says status=done (and whose data
 file exists) is skipped on re-run — partition ids are deterministic bucket
 ids from operators/partitioning.py, so a restarted job re-encodes exactly
 the missing buckets (BASELINE.json line 6: "resumable from checkpoint after
-executor loss"). Writes are atomic (tmp + os.replace).
+executor loss"). Writes are atomic with attempt-unique tmp names and all
+I/O goes through the plans/fsio.py filesystem seam, so a cluster
+filesystem (HDFS/S3 URI) is a config swap.
 """
 
 from __future__ import annotations
@@ -30,8 +32,8 @@ from collections import Counter
 from collections.abc import Iterator
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
+from . import fsio
 from ..operators.encode import (
     DEFAULT_CHUNK_BYTES,
     DEFAULT_CHUNK_ROWS,
@@ -45,28 +47,18 @@ MANIFEST_SPARK_SCHEMA = (
 )
 
 
-def _atomic_write_bytes(path: str, data: bytes) -> None:
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(data)
-    os.replace(tmp, path)
-
-
 def scan_done_parts(out_dir: str) -> set[int]:
     """Buckets already encoded (manifest=done AND data file present)."""
     mdir = os.path.join(out_dir, "manifests")
     done: set[int] = set()
-    if not os.path.isdir(mdir):
-        return done
-    for name in os.listdir(mdir):
+    for name in fsio.listdir(mdir):
         if not name.endswith(".json"):
             continue
         try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
+            m = json.loads(fsio.read_bytes(os.path.join(mdir, name)))
         except (json.JSONDecodeError, OSError):
             continue  # torn write -> re-encode that bucket
-        if m.get("status") == "done" and os.path.exists(
+        if m.get("status") == "done" and fsio.exists(
             os.path.join(out_dir, "data", f"part-{m['part_id']:05d}.parquet")
         ):
             done.add(int(m["part_id"]))
@@ -80,7 +72,8 @@ def make_write_kernel(out_dir: str,
     """mapInArrow kernel: encode + write per-bucket parquet + manifest,
     yielding one manifest summary row per bucket."""
 
-    encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col)
+    encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col,
+                               cache_ns=out_dir)
     man_schema = pa.schema(
         [
             ("part_id", pa.int32()),
@@ -103,17 +96,18 @@ def make_write_kernel(out_dir: str,
             pid = int(enc_batch.column(0)[0].as_py())
             per_part.setdefault(pid, []).append(enc_batch)
 
-        os.makedirs(os.path.join(out_dir, "data"), exist_ok=True)
-        os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+        fsio.makedirs(os.path.join(out_dir, "data"))
+        fsio.makedirs(os.path.join(out_dir, "manifests"))
         rows: list[dict] = []
         for pid, enc_batches in per_part.items():
             tbl = pa.Table.from_batches(enc_batches)
             data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
-            tmp_path = data_path + ".tmp"
-            # compression=NONE: our codecs, not parquet's, account for size
-            pq.write_table(tbl, tmp_path, compression="none")
-            os.replace(tmp_path, data_path)
-            file_bytes = os.path.getsize(data_path)
+            # compression=NONE: our codecs, not parquet's, account for size;
+            # attempt-unique tmp + move (fsio) so speculative/zombie task
+            # attempts can never corrupt a part whose manifest says done
+            file_bytes = fsio.write_parquet_atomic(
+                tbl, data_path, compression="none"
+            )
 
             chunk_ids = tbl.column("chunk_id").to_pylist()
             columns = tbl.column("column").to_pylist()
@@ -140,7 +134,7 @@ def make_write_kernel(out_dir: str,
                 "wall_ms": wall_ms,
                 "status": "done",
             }
-            _atomic_write_bytes(
+            fsio.write_bytes_atomic(
                 os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"),
                 json.dumps(manifest, indent=1).encode(),
             )
@@ -178,14 +172,13 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     t0 = time.time()
     for name, col in (derived_cols or {}).items():
         df = df.withColumn(name, col)
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(out_dir)
     # bucketing is part of the table's identity: resuming with a different
     # n_buckets would re-bucket rows and duplicate them across old/new parts
     meta_path = os.path.join(out_dir, "_meta.json")
     pinned = None
-    if resume and os.path.exists(meta_path):
-        with open(meta_path) as f:
-            pinned = json.load(f)["n_buckets"]
+    if resume and fsio.exists(meta_path):
+        pinned = json.loads(fsio.read_bytes(meta_path))["n_buckets"]
 
     dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
                                   key_col=key_col, salt_cols=salt_cols,
@@ -193,17 +186,19 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     n_buckets = plan_info["n_buckets"]  # resolved (auto-sized when None)
 
     if pinned is None:
-        # fresh run: any stale data/manifests must not leak into this table
+        # fresh bucketing decision: stale data/manifests (from a previous,
+        # possibly differently-bucketed table whose _meta.json is gone)
+        # must never leak into this table's manifests/decode — clear them
+        # regardless of the resume flag
         for sub in ("data", "manifests"):
             p = os.path.join(out_dir, sub)
-            if not resume and os.path.isdir(p):
-                for name in os.listdir(p):
-                    os.remove(os.path.join(p, name))
-        _atomic_write_bytes(meta_path, json.dumps(
+            for name in fsio.listdir(p):
+                fsio.remove(os.path.join(p, name))
+        fsio.write_bytes_atomic(meta_path, json.dumps(
             {"n_buckets": n_buckets, "key_col": key_col,
              "salt_cols": list(salt_cols), "weight_col": weight_col}).encode())
-    _atomic_write_bytes(os.path.join(out_dir, "_schema.json"),
-                        df.schema.json().encode())
+    fsio.write_bytes_atomic(os.path.join(out_dir, "_schema.json"),
+                            df.schema.json().encode())
     done = scan_done_parts(out_dir) if resume else set()
     skipped = len(done)
     if done:
@@ -238,21 +233,18 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         "codec_histogram": dict(codec_hist),
         "plan": plan_info,
     }
-    _atomic_write_bytes(os.path.join(out_dir, "_summary.json"),
-                        json.dumps(summary, indent=1).encode())
+    fsio.write_bytes_atomic(os.path.join(out_dir, "_summary.json"),
+                            json.dumps(summary, indent=1).encode())
     return summary
 
 
 def read_all_manifests(out_dir: str) -> list[dict]:
     mdir = os.path.join(out_dir, "manifests")
     out = []
-    if not os.path.isdir(mdir):
-        return out
-    for name in sorted(os.listdir(mdir)):
+    for name in fsio.listdir(mdir):
         if name.endswith(".json"):
             try:
-                with open(os.path.join(mdir, name)) as f:
-                    out.append(json.load(f))
+                out.append(json.loads(fsio.read_bytes(os.path.join(mdir, name))))
             except (json.JSONDecodeError, OSError):
                 continue
     return out
@@ -272,18 +264,19 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
 
     from ..operators.encode import decode_df
 
-    with open(os.path.join(out_dir, "_schema.json")) as f:
-        schema = StructType.fromJson(json.load(f))
+    schema = StructType.fromJson(
+        json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
+    )
     data_dir = os.path.join(out_dir, "data")
     if not narrow:
         enc_df = spark.read.parquet(data_dir)
         return decode_df(enc_df, schema)
 
-    files = sorted(
+    files = [
         os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
+        for f in fsio.listdir(data_dir)
         if f.endswith(".parquet")
-    )
+    ]
     column_order = [f.name for f in schema.fields]
     fdf = spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(max(len(files), 1))
@@ -291,13 +284,12 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
     def decode_file_arrow(batches):
         # mapInArrow: decoded chunks go back to the JVM as Arrow batches
         # directly — no pandas materialization on the decode hot path
-        import pyarrow.parquet as pq2
-
         from ..operators.encode import decode_column
+        from . import fsio as fsio2  # resolve the FS inside the executor
 
         for b in batches:
             for path_val in b.column(0):
-                enc_tbl = pq2.read_table(path_val.as_py())
+                enc_tbl = fsio2.read_parquet(path_val.as_py())
                 chunk_ids = enc_tbl.column("chunk_id").to_pylist()
                 for cid in sorted(set(chunk_ids)):
                     mask = pa.compute.equal(enc_tbl.column("chunk_id"), cid)
@@ -324,9 +316,4 @@ def snappy_baseline_bytes(df, baseline_dir: str) -> int:
     same data — the size FileConvert's csv2parquet round-trip tests define
     (BASELINE.json line 6)."""
     df.write.mode("overwrite").option("compression", "snappy").parquet(baseline_dir)
-    total = 0
-    for root, _dirs, files in os.walk(baseline_dir):
-        for name in files:
-            if name.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, name))
-    return total
+    return fsio.du_suffix(baseline_dir, ".parquet")

@@ -198,3 +198,52 @@ def test_documents_table_mixed_types(spark, tmp_path):
                  salt_cols=("doc_id",), weight_col="text")
     dec = decode_table(spark, out)
     assert_roundtrip(docs, dec, ["doc_id"], sha_col="text")
+
+
+def test_stale_data_cleared_when_meta_missing(spark, corpus_df, tmp_path):
+    """resume=True with no _meta.json (fresh bucketing decision) must clear
+    leftover part files from a previous, differently-bucketed table —
+    otherwise foreign rows get merged into manifests and decode."""
+    out = str(tmp_path / "enc")
+    encode_table(spark, corpus_df, out, n_buckets=8)
+    n_files_8 = len([f for f in os.listdir(os.path.join(out, "data"))
+                     if f.endswith(".parquet")])
+    assert n_files_8 > 4
+    # previous table's identity is lost but its data/manifests linger
+    os.remove(os.path.join(out, "_meta.json"))
+    s = encode_table(spark, corpus_df, out, n_buckets=4, resume=True)
+    assert s["parts_skipped_resume"] == 0
+    files = [f for f in os.listdir(os.path.join(out, "data"))
+             if f.endswith(".parquet")]
+    assert len(files) <= 4
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+    assert dec.count() == corpus_df.count()  # no duplicated/foreign rows
+
+
+def test_fsio_uri_and_atomic_semantics(tmp_path):
+    """The fsio seam resolves file:// URIs and plain paths identically and
+    write_bytes_atomic leaves no tmp litter on success."""
+    from fileconvert_spark.plans import fsio
+
+    d = str(tmp_path / "fs")
+    fsio.makedirs(d)
+    p = os.path.join(d, "x.json")
+    fsio.write_bytes_atomic(p, b'{"a": 1}')
+    assert fsio.read_bytes(p) == b'{"a": 1}'
+    assert fsio.exists(p) and not fsio.exists(p + ".nope")
+    assert fsio.listdir(d) == ["x.json"]
+    assert fsio.getsize(p) == 8
+    # file:// URI path reaches the same bytes
+    assert fsio.read_bytes("file://" + p) == b'{"a": 1}'
+    # no tmp leftovers
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    import pyarrow as pa
+    t = pa.table({"a": [1, 2, 3]})
+    pq_path = os.path.join(d, "t.parquet")
+    size = fsio.write_parquet_atomic(t, pq_path, compression="none")
+    assert size == os.path.getsize(pq_path)
+    assert fsio.read_parquet(pq_path).equals(t)
+    assert fsio.du_suffix(d, ".parquet") == size
+    fsio.remove(pq_path)
+    assert not fsio.exists(pq_path)
