@@ -737,8 +737,13 @@ def lang_id_docs(spark, sf_dir):
 
 
 def quality_fingerprint_docs(spark, sf_dir):
+    """Quality score + BPE-ish token count + document fingerprint, all
+    JVM-side expressions. The fingerprint here is the sha256-based
+    oracle-checkable form (DuckDB lacks xxhash64); the xxhash64 rolling
+    fingerprint (functions/text.py fingerprint64) is the scale kernel and
+    is covered by unit tests."""
     from fileconvert_spark.functions.text import (
-        fingerprint64,
+        fingerprint_hex,
         quality_score,
         token_count_bpe,
     )
@@ -747,8 +752,8 @@ def quality_fingerprint_docs(spark, sf_dir):
     return d.select(
         "doc_id",
         F.round(quality_score(F.col("text")), 4).alias("quality"),
-        token_count_bpe(F.col("text")).alias("tok_bpe"),
-        fingerprint64(F.col("text")).alias("fp64"),
+        token_count_bpe(F.col("text")).cast("long").alias("tok_bpe"),
+        fingerprint_hex(F.col("text")).alias("fp_hex"),
     )
 
 
@@ -1173,6 +1178,64 @@ def oracle_sql() -> dict[str, str]:
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lang_id_docs": """
+            WITH t AS (
+                SELECT doc_id, lang, text, LENGTH(text) AS n,
+                       regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ws
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang, n,
+                    CASE WHEN n > 0 THEN
+                        LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE / n
+                    ELSE 0.0 END AS cjk_share,
+                    len(list_filter(ws, w -> list_contains(
+                        ['the','a','of','and','to','in','is','that','it','for'], w
+                    )))::DOUBLE / len(ws) AS s_en,
+                    len(list_filter(ws, w -> list_contains(
+                        ['el','la','de','que','y','en','un','una','los','por'], w
+                    )))::DOUBLE / len(ws) AS s_es,
+                    len(list_filter(ws, w -> list_contains(
+                        ['le','la','de','et','les','des','un','une','est','dans'], w
+                    )))::DOUBLE / len(ws) AS s_fr,
+                    len(list_filter(ws, w -> list_contains(
+                        ['der','die','das','und','ist','von','den','ein','eine','mit'], w
+                    )))::DOUBLE / len(ws) AS s_de
+                FROM t
+            )
+            SELECT doc_id, lang,
+                CASE WHEN n > 0 AND cjk_share > 0.2 THEN 'zh'
+                     WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                     WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                     WHEN s_fr >= s_de THEN 'fr'
+                     ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "quality_fingerprint_docs": """
+            WITH t AS (
+                SELECT doc_id, text, LENGTH(text) AS n,
+                       regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ws
+                FROM documents
+            ), q AS (
+                SELECT doc_id, text,
+                    CASE WHEN n >= 50 AND n <= 20000 THEN 1.0
+                         WHEN n > 0 THEN 0.5 ELSE 0.0 END AS len_ok,
+                    CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE
+                        LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / n
+                        END) < 0.2 THEN 1.0 ELSE 0.3 END AS punct_ok,
+                    CASE WHEN len(list_filter(ws, w -> list_contains(
+                        ['the','a','of','and','to','in','is','that','it','for'], w
+                        )))::DOUBLE / len(ws) > 0.05 THEN 1.0 ELSE 0.5
+                    END AS sw_ok
+                FROM t
+            )
+            SELECT doc_id,
+                ROUND((len_ok + punct_ok + sw_ok) / 3.0, 4) AS quality,
+                len(regexp_extract_all(
+                    text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS tok_bpe,
+                SUBSTRING(sha256(LOWER(regexp_replace(
+                    TRIM(text), '\\s+', ' ', 'g'))), 1, 16) AS fp_hex
+            FROM q
         """,
         "stream_window_counts": """
             SELECT CAST(EPOCH(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS window_start,

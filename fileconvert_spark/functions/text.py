@@ -93,3 +93,11 @@ def fingerprint64(col: Column) -> Column:
     whitespace-collapsed, lowercased (rolling-hash style content identity)."""
     normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
     return F.xxhash64(normalized)
+
+
+def fingerprint_hex(col: Column) -> Column:
+    """Oracle-checkable fingerprint: first 16 hex chars of sha256 of the
+    same normalization as fingerprint64 (cross-engine verifiable — DuckDB
+    has sha256 but not xxhash64)."""
+    normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.substring(F.sha2(normalized, 256), 1, 16)

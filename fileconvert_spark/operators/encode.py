@@ -74,7 +74,9 @@ _TYPE_REGISTRY: dict[str, pa.DataType] = {
     ]
 }
 
-_TS_RE = __import__("re").compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
+_RE = __import__("re")
+_TS_RE = _RE.compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
+_DEC_RE = _RE.compile(r"^decimal128\((\d+), (\d+)\)$")
 
 
 def _type_from_str(name: str) -> pa.DataType:
@@ -86,6 +88,9 @@ def _type_from_str(name: str) -> pa.DataType:
     m = _TS_RE.match(name)
     if m:
         return pa.timestamp(m.group(1), tz=m.group(2))
+    m = _DEC_RE.match(name)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
     raise NotImplementedError(f"unsupported column type for decode: {name}")
 
 
@@ -106,6 +111,61 @@ def _string_as_binary_view(arr: pa.Array) -> pa.Array:
         pa.binary(), len(arr),
         [arr.buffers()[0], arr.buffers()[1], arr.buffers()[2]],
         null_count=arr.null_count, offset=arr.offset)
+
+
+def _decimal_bytes(arr: pa.Array) -> np.ndarray:
+    """(n, 16) uint8 view of a decimal128 array's two's-complement values
+    (little-endian), honoring any slice offset. No per-row Python."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    start = arr.offset * 16
+    return raw[start : start + len(arr) * 16].reshape(-1, 16)
+
+
+def _decimal_to_int64(arr: pa.Array) -> np.ndarray | None:
+    """Unscaled int64 values of a decimal128 array, or None when any value
+    needs more than 64 bits (precision > 18 can overflow)."""
+    limbs = _decimal_bytes(arr).view(np.int64).reshape(-1, 2)  # [lo, hi]
+    lo, hi = limbs[:, 0], limbs[:, 1]
+    if not (hi == (lo >> 63)).all():  # hi must be pure sign extension
+        return None
+    return lo.copy()
+
+
+def _int64_to_decimal(vals: np.ndarray, dec_type: pa.DataType) -> pa.Array:
+    """Rebuild a decimal128 array from unscaled int64 values."""
+    vals = np.asarray(vals, dtype=np.int64)
+    limbs = np.empty((len(vals), 2), dtype=np.int64)
+    limbs[:, 0] = vals
+    limbs[:, 1] = vals >> 63  # sign extension
+    return pa.Array.from_buffers(
+        dec_type, len(vals), [None, pa.py_buffer(limbs.tobytes())]
+    )
+
+
+def _decimal_to_binary(arr: pa.Array) -> pa.Array:
+    """decimal128 -> variable binary of the 16-byte values (buffer-level)."""
+    data = _decimal_bytes(arr).tobytes()
+    n = len(arr)
+    offsets = np.arange(0, 16 * (n + 1), 16, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _binary_to_decimal(bin_arr: pa.Array, dec_type: pa.DataType) -> pa.Array:
+    """Inverse of _decimal_to_binary (all values are exactly 16 bytes)."""
+    bin_arr = (bin_arr.combine_chunks()
+               if isinstance(bin_arr, pa.ChunkedArray) else bin_arr)
+    n = len(bin_arr)
+    offs = np.frombuffer(bin_arr.buffers()[1], dtype=np.int32)[
+        bin_arr.offset : bin_arr.offset + n + 1]
+    data = np.frombuffer(bin_arr.buffers()[2], dtype=np.uint8)[
+        offs[0] : offs[0] + 16 * n]
+    return pa.Array.from_buffers(
+        dec_type, n, [None, pa.py_buffer(data.tobytes())]
+    )
 
 
 def _as_int64(arr: pa.Array) -> tuple[np.ndarray, str]:
@@ -129,6 +189,8 @@ def _as_int64(arr: pa.Array) -> tuple[np.ndarray, str]:
 
 
 def _from_int64(vals: np.ndarray, adapter: str, orig_type: pa.DataType) -> pa.Array:
+    if adapter == "dec":
+        return _int64_to_decimal(vals, orig_type)
     if adapter == "f64":
         return pa.array(np.asarray(vals, dtype=np.int64).view(np.float64))
     if adapter == "f32":
@@ -181,6 +243,26 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "bin"
         sha = hashlib.sha256(payload).digest()
+    elif pa.types.is_decimal(t):
+        _type_from_str(orig_type)  # fail fast (decimal256 etc. unsupported)
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        vals = _decimal_to_int64(clean)
+        raw_bytes = n * 16
+        if vals is not None:
+            # unscaled values fit int64 -> full int codec family (FoR/delta)
+            codec, payload, dict_blob, meta = codecs.select_and_encode_int(vals)
+            meta["vt"] = "int"
+            meta["ad"] = "dec"
+        else:
+            # >64-bit unscaled values: 16-byte buffers through the byte codecs
+            view = _binary_as_string_view(_decimal_to_binary(clean))
+            codec, payload, dict_blob, meta = codecs.select_and_encode_str(
+                view, allow_linedict=False,
+                cache=_WORKER_FSST_CACHE if cache_key else None,
+                cache_key=cache_key)
+            meta["vt"] = "dec16"
+        sha = hashlib.sha256(payload).digest()
     else:
         _type_from_str(orig_type)  # fail fast on unsupported column types
         vals, adapter = _as_int64(clean)
@@ -231,6 +313,11 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
         if not isinstance(clean, pa.Array):
             clean = clean.combine_chunks()
         clean = _string_as_binary_view(clean)
+    elif meta["vt"] == "dec16":
+        clean = codecs.decode_str(codec, payload, dict_blob, meta, n_valid)
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        clean = _binary_to_decimal(_string_as_binary_view(clean), orig_type)
     else:
         vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
         clean = _from_int64(vals, meta.get("ad", "i"), orig_type)

@@ -72,3 +72,47 @@ def assert_roundtrip(src: DataFrame, decoded: DataFrame,
     if problems or row["n_src"] != row["n_dec"]:
         raise AssertionError(f"round trip failed: {row}")
     return row
+
+
+def _multiset_fingerprint(df: DataFrame) -> DataFrame:
+    """1-row order-insensitive fingerprint of a DataFrame as a MULTISET of
+    rows: count + two independent sums of per-row hashes. Entirely
+    map-side-partial aggregation — shuffles one row regardless of size, so
+    it verifies tables with NO unique key (e.g. lineitem) at any scale.
+    Sums are decimal(38,0) (no overflow below ~10^19 rows)."""
+    cols = sorted(df.columns)
+    per_col = [
+        F.sha2(F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)), 256)
+        for c in cols
+    ]
+    row = F.concat_ws("", *per_col)
+    h1 = F.xxhash64(row).cast("decimal(38,0)")
+    h2 = F.xxhash64(F.concat(row, F.lit("#2"))).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h1).alias("hsum1"),
+        F.sum(h2).alias("hsum2"),
+    )
+
+
+def multiset_roundtrip_report(src: DataFrame, decoded: DataFrame) -> DataFrame:
+    """1-row report comparing src and decoded as row multisets (for tables
+    without a unique key): n_src, n_dec, fingerprint_match."""
+    s = _multiset_fingerprint(src.select(sorted(src.columns)))
+    d = _multiset_fingerprint(decoded.select(sorted(decoded.columns)))
+    return s.alias("s").crossJoin(d.alias("d")).select(
+        F.col("s.n").alias("n_src"),
+        F.col("d.n").alias("n_dec"),
+        (
+            (F.col("s.n") == F.col("d.n"))
+            & F.col("s.hsum1").eqNullSafe(F.col("d.hsum1"))
+            & F.col("s.hsum2").eqNullSafe(F.col("d.hsum2"))
+        ).alias("fingerprint_match"),
+    )
+
+
+def assert_multiset_roundtrip(src: DataFrame, decoded: DataFrame) -> dict:
+    row = multiset_roundtrip_report(src, decoded).collect()[0].asDict()
+    if not row["fingerprint_match"]:
+        raise AssertionError(f"multiset round trip failed: {row}")
+    return row

@@ -18,6 +18,8 @@ from fileconvert_spark.plans.manifest import (
 )
 
 KEYS = ["repo", "path", "commit"]
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
+                  "sf0.001")
 
 
 def test_encode_decode_in_memory(spark, corpus_df):
@@ -247,3 +249,62 @@ def test_fsio_uri_and_atomic_semantics(tmp_path):
     assert fsio.du_suffix(d, ".parquet") == size
     fsio.remove(pq_path)
     assert not fsio.exists(pq_path)
+
+
+def test_decimal_columns_roundtrip(spark, tmp_path):
+    """decimal128 round trip: precision<=18 rides the int codec family
+    (unscaled int64), precision>18 falls back to 16-byte buffers; nulls,
+    negatives, and >64-bit unscaled values included."""
+    from decimal import Decimal
+
+    rows = [
+        (i,
+         Decimal(f"{(-1)**i * i}.{i % 100:02d}"),
+         Decimal("12345678901234567890.123456789") * (i - 500),
+         Decimal("0.01") * i if i % 7 else None)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, small decimal(12,2), big decimal(38,9), nul decimal(10,2)",
+    )
+    out = str(tmp_path / "enc_dec")
+    encode_table(spark, df, out, n_buckets=2, key_col="id", salt_cols=(),
+                 weight_col="small")
+    dec = decode_table(spark, out)
+    assert dict(dec.dtypes) == dict(df.dtypes)
+    assert_roundtrip(df, dec, ["id"], sha_col=None)
+    # codec check: small decimals must use the int family, big ones bytes
+    mans = read_all_manifests(out)
+    cm = {}
+    for m in mans:
+        for k, v in m["codec_map"].items():
+            col, codec = k.split(":")
+            cm.setdefault(col, set()).add(codec)
+    assert cm["small"] & {"for", "delta", "dict", "rle_int", "raw_int"}, cm
+    assert cm["big"] & {"fsst", "dict", "rle_str", "raw"}, cm
+
+
+def test_multiset_verify_lineitem_no_unique_key(spark, tmp_path):
+    """Tables without a unique key (lineitem) verify via the order-
+    insensitive multiset fingerprint (closes NOTES_r1 item 5)."""
+    from fileconvert_spark.operators.verify import (
+        assert_multiset_roundtrip, multiset_roundtrip_report,
+    )
+
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    out = str(tmp_path / "enc_li")
+    encode_table(spark, li, out, n_buckets=4, key_col="l_orderkey",
+                 salt_cols=("l_linenumber",), weight_col="l_returnflag")
+    dec = decode_table(spark, out)
+    row = assert_multiset_roundtrip(li, dec)
+    assert row["n_src"] == row["n_dec"] == li.count()
+
+    # the fingerprint must catch a single corrupted value
+    corrupted = dec.withColumn(
+        "l_quantity",
+        F.when(F.col("l_orderkey") == dec.first()["l_orderkey"],
+               F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+    )
+    bad = multiset_roundtrip_report(li, corrupted).collect()[0]
+    assert not bad["fingerprint_match"]

@@ -239,3 +239,34 @@ def test_icebergish_snapshot(spark, tmp_path, docs):
     info = IcebergishTable(out).snapshot_info()
     assert info["n_files"] == 4
     assert info["total_rows"] == docs.count()
+
+
+def test_embedding_near_dups_finds_planted_pairs(spark):
+    """Planted >=0.95-cosine pairs must surface; orthogonal vectors must
+    not (VERDICT r1: an assertion-free 0-row query proves little)."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    dim = 16
+    base = rng.standard_normal((20, dim)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant: 100 = tiny perturbation of 0 (cos ~ 1); 101 = copy of 5
+    near = base[0] + 0.01 * rng.standard_normal(dim).astype(np.float32)
+    rows.append((100, near.tolist()))
+    rows.append((101, base[5].tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert (0, 100) in pairs and pairs[(0, 100)] > 0.99
+    assert (5, 101) in pairs and pairs[(5, 101)] > 0.999
+    # nothing else at this threshold among 20 random gaussians (16-dim)
+    assert len(pairs) == 2
+
+    # LSH-bucketed path (force past the brute-force cutoff) still finds
+    # the identical-vector pair (same bucket by construction)
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
+        df, threshold=0.95, n_planes=4, brute_force_below=4).collect()}
+    assert (5, 101) in lsh_pairs
