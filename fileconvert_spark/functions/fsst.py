@@ -156,45 +156,92 @@ def _sym_key(s: bytes) -> int:
     return int.from_bytes(s, "little")
 
 
+_HASH_BITS = 14  # 16384-slot tables for symbols of length >= 3
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _build_match_tables(table: list[bytes]):
+    """Per-length lookup structures for _match_all_positions.
+
+    L=1: direct 256-entry code LUT. L=2: direct 65536-entry LUT. L>=3:
+    open-addressed hash (one key per slot, lookup verifies the stored
+    key). Hash-slot collisions between symbols are BENIGN: the loser is
+    simply never matched at that length, so the greedy parse falls back to
+    a shorter symbol or an escape — the ratio dips microscopically, decode
+    stays exact. With <=255 symbols in 2^14 slots, ~2 expected collisions.
+    """
+    lut1 = np.full(256, ESCAPE, dtype=np.uint8)
+    lut2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
+    hashed: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for L in range(3, MAX_SYMBOL_LEN + 1):
+        pairs = [(code, s) for code, s in enumerate(table) if len(s) == L]
+        if not pairs:
+            continue
+        keys_t = np.zeros(1 << _HASH_BITS, dtype=np.uint64)
+        codes_t = np.full(1 << _HASH_BITS, ESCAPE, dtype=np.uint8)
+        for code, s in pairs:
+            k = _sym_key(s)
+            slot = ((k * int(_HASH_MULT)) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HASH_BITS)
+            keys_t[slot] = k
+            codes_t[slot] = code
+        hashed[L] = (keys_t, codes_t)
+    for code, s in enumerate(table):
+        if len(s) == 1:
+            lut1[s[0]] = code
+        elif len(s) == 2:
+            lut2[_sym_key(s)] = code
+    return lut1, lut2, hashed
+
+
 def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
                          table: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     """For every buffer position: (longest matching symbol len, its code).
 
     Matches never cross string boundaries (``lengths`` = per-string byte
-    lengths of the concatenated buffer).
+    lengths of the concatenated buffer). All lookups are O(1) gathers —
+    direct LUTs for 1-2 byte symbols, hashed tables for 3-8 (see
+    _build_match_tables).
     """
     n = len(buf)
     bestlen = np.zeros(n, dtype=np.int64)
     bestcode = np.zeros(n, dtype=np.uint8)
     if n == 0 or not table:
         return bestlen, bestcode
-    w = _window_keys(buf)
+    lut1, lut2, hashed = _build_match_tables(table)
     # distance to end of the containing string, per position
     ends = np.cumsum(lengths.astype(np.int64))
     dist = np.repeat(ends, lengths) - np.arange(n, dtype=np.int64)
 
-    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for L in range(1, MAX_SYMBOL_LEN + 1):
-        pairs = [(_sym_key(s), code) for code, s in enumerate(table) if len(s) == L]
-        if pairs:
-            pairs.sort()
-            keys = np.array([p[0] for p in pairs], dtype=np.uint64)
-            codes = np.array([p[1] for p in pairs], dtype=np.uint8)
-            by_len[L] = (keys, codes)
+    # L=1 (always present: training guarantees single-byte coverage)
+    c1 = lut1[buf]
+    hit = c1 != ESCAPE
+    bestlen[hit] = 1
+    bestcode[hit] = c1[hit]
+
+    has2 = (lut2 != ESCAPE).any()
+    if not has2 and not hashed:
+        return bestlen, bestcode
+    w = _window_keys(buf)
+
+    if has2:
+        k2 = (w & np.uint64(0xFFFF)).astype(np.uint32)
+        c2 = lut2[k2]
+        hit = (c2 != ESCAPE) & (dist >= 2)
+        bestlen[hit] = 2
+        bestcode[hit] = c2[hit]
 
     kL = np.empty(n, dtype=np.uint64)
-    hit = np.empty(n, dtype=bool)
-    for L in sorted(by_len):  # ascending: longer matches overwrite shorter
-        keys, codes = by_len[L]
-        mask = np.uint64((1 << (8 * L)) - 1) if L < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    slots = np.empty(n, dtype=np.uint64)
+    for L in sorted(hashed):  # ascending: longer matches overwrite shorter
+        keys_t, codes_t = hashed[L]
+        mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
+                else np.uint64(0xFFFFFFFFFFFFFFFF))
         np.bitwise_and(w, mask, out=kL)
-        idx = np.searchsorted(keys, kL)
-        np.minimum(idx, len(keys) - 1, out=idx)
-        np.equal(keys[idx], kL, out=hit)
-        if L > 1:
-            hit &= dist >= L
+        np.multiply(kL, _HASH_MULT, out=slots)
+        slots >>= np.uint64(64 - _HASH_BITS)
+        hit = (keys_t[slots] == kL) & (codes_t[slots] != ESCAPE) & (dist >= L)
         bestlen[hit] = L
-        bestcode[hit] = codes[idx[hit]]
+        bestcode[hit] = codes_t[slots[hit]]
     return bestlen, bestcode
 
 
@@ -202,43 +249,100 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
                   table: list[bytes]) -> tuple[bytes, np.ndarray]:
     """Greedy-encode concatenated strings; returns (enc bytes, enc lengths).
 
-    The only sequential step: one Python iteration per emitted token.
+    The greedy parse is evaluated as a pointer walk vectorized ACROSS
+    strings: every position's jump target is ``i + max(bestlen, 1)``
+    (matches never cross string boundaries), so one gather per round
+    advances EVERY string's cursor by one token. Rounds = tokens of the
+    longest string; work per round = O(live strings), all NumPy — the
+    former one-Python-iteration-per-token loop is gone.
     """
     arr = np.frombuffer(buf, dtype=np.uint8)
     n = len(arr)
     if n == 0:
         return b"", np.zeros(len(lengths), dtype=np.int64)
-    bestlen, bestcode = _match_all_positions(arr, lengths, table)
-    bl = bestlen.tolist()
-    bc = bestcode.tolist()
-    raw = buf  # bytes: O(1) int at escape positions, no 8x list blow-up
-    out = bytearray()
-    boundaries = np.cumsum(lengths.astype(np.int64)).tolist()
-    enc_offsets = [0] * len(boundaries)
-    b_i = 0
-    i = 0
-    append = out.append
-    n_bounds = len(boundaries)
-    while i < n:
-        # flush boundaries at or before i (handles empty strings) BEFORE
-        # emitting the token that starts the next string
-        while b_i < n_bounds and boundaries[b_i] <= i:
-            enc_offsets[b_i] = len(out)
-            b_i += 1
-        L = bl[i]
-        if L:
-            append(bc[i])
-            i += L
-        else:
-            append(ESCAPE)
-            append(raw[i])
-            i += 1
-    while b_i < n_bounds:
-        enc_offsets[b_i] = len(out)
-        b_i += 1
-    enc_offs = np.asarray(enc_offsets, dtype=np.int64)
-    enc_lengths = np.diff(np.concatenate([[0], enc_offs]))
-    return bytes(out), enc_lengths
+    lengths = np.asarray(lengths, dtype=np.int64)
+    bounds = np.cumsum(lengths)
+    starts = bounds - lengths
+    lut1, lut2, hashed = _build_match_tables(table)
+    has2 = bool((lut2 != ESCAPE).any())
+    hlens = sorted(hashed)
+    w = _window_keys(arr) if (has2 or hlens) else None
+
+    is_tok = np.zeros(n, dtype=bool)
+    live = lengths > 0
+    cur = starts[live]
+    ends = bounds[live]
+    # hybrid walk strategy: with many short strings, match ONLY at cursor
+    # positions (each round advances every live string one token — total
+    # match work ~= ratio*n, not n). With few long strings the cursor set
+    # is too small to amortize per-round NumPy overhead, so precompute
+    # matches for all positions once and just chase pointers.
+    long_strings = cur.size > 0 and (n // cur.size) > 256
+    if long_strings:
+        blh, bch = _match_all_positions(arr, lengths, table)
+        nxt = np.arange(n, dtype=np.int64)
+        nxt += np.maximum(blh, 1)
+        while cur.size:
+            is_tok[cur] = True
+            cur = nxt[cur]
+            keep = cur < ends
+            if not keep.all():
+                cur = cur[keep]
+                ends = ends[keep]
+        cur = np.empty(0, dtype=np.int64)  # skip the cursor-match loop
+    else:
+        blh = np.zeros(n, dtype=np.int64)
+        bch = np.zeros(n, dtype=np.uint8)
+    while cur.size:
+        m = cur.size
+        bl = np.zeros(m, dtype=np.int64)
+        bc = np.full(m, ESCAPE, dtype=np.uint8)
+        c1 = lut1[arr[cur]]
+        hit = c1 != ESCAPE
+        bl[hit] = 1
+        bc[hit] = c1[hit]
+        if has2 or hlens:
+            rem = ends - cur
+            k8 = w[cur]
+        if has2:
+            c2 = lut2[k8 & np.uint64(0xFFFF)]
+            hit = (c2 != ESCAPE) & (rem >= 2)
+            bl[hit] = 2
+            bc[hit] = c2[hit]
+        for L in hlens:  # ascending: longer matches overwrite shorter
+            keys_t, codes_t = hashed[L]
+            mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
+                    else np.uint64(0xFFFFFFFFFFFFFFFF))
+            kL = k8 & mask
+            slots = (kL * _HASH_MULT) >> np.uint64(64 - _HASH_BITS)
+            ct = codes_t[slots]
+            hit = (keys_t[slots] == kL) & (ct != ESCAPE) & (rem >= L)
+            bl[hit] = L
+            bc[hit] = ct[hit]
+        is_tok[cur] = True
+        blh[cur] = bl
+        bch[cur] = bc
+        cur = cur + np.maximum(bl, 1)
+        keep = cur < ends
+        if not keep.all():
+            cur = cur[keep]
+            ends = ends[keep]
+
+    p = np.flatnonzero(is_tok)
+    tok_is_code = blh[p] > 0
+    sizes = np.where(tok_is_code, 1, 2)  # code byte vs ESCAPE+literal
+    offs = np.empty(p.size + 1, dtype=np.int64)
+    offs[0] = 0
+    np.cumsum(sizes, out=offs[1:])
+    out = np.empty(offs[-1], dtype=np.uint8)
+    out[offs[:-1]] = np.where(tok_is_code, bch[p], ESCAPE)
+    esc = ~tok_is_code
+    if esc.any():
+        out[offs[:-1][esc] + 1] = arr[p[esc]]
+    # enc length of string k = output offset at its first token >= bounds[k]
+    enc_end = offs[np.searchsorted(p, bounds, side="left")]
+    enc_lengths = np.diff(np.concatenate([[0], enc_end]))
+    return out.tobytes(), enc_lengths
 
 
 # ------------------------------------------------------------------ decoding

@@ -362,13 +362,10 @@ def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int,
 def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
     """Decode one chunk's enc rows back into the original columns."""
     by_col = {}
-    n_rows = 0
-    for i in range(enc_tbl.num_rows):
-        row = {name: enc_tbl.column(name)[i].as_py() for name in enc_tbl.column_names}
+    for row in enc_tbl.to_pylist():  # one C-level conversion, no as_py loop
         by_col[row["column"]] = decode_column(
             row["codec"], row["payload"], row["dict"], row["meta"],
             row["n_rows"], row["validity"])
-        n_rows = row["n_rows"]
     arrays = [by_col[c] for c in column_order]
     return pa.Table.from_arrays(arrays, names=column_order)
 

@@ -290,17 +290,19 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
         for b in batches:
             for path_val in b.column(0):
                 enc_tbl = fsio2.read_parquet(path_val.as_py())
-                chunk_ids = enc_tbl.column("chunk_id").to_pylist()
-                for cid in sorted(set(chunk_ids)):
-                    mask = pa.compute.equal(enc_tbl.column("chunk_id"), cid)
-                    chunk = enc_tbl.filter(mask)
-                    cols = {}
-                    for i in range(chunk.num_rows):
-                        row = {n: chunk.column(n)[i].as_py()
-                               for n in chunk.column_names}
-                        cols[row["column"]] = decode_column(
+                # one C-level conversion for the whole part file instead of
+                # per-cell .as_py() round trips through Python objects
+                enc_rows = enc_tbl.to_pylist()
+                by_chunk: dict[int, list[dict]] = {}
+                for row in enc_rows:
+                    by_chunk.setdefault(row["chunk_id"], []).append(row)
+                for cid in sorted(by_chunk):
+                    cols = {
+                        row["column"]: decode_column(
                             row["codec"], row["payload"], row["dict"],
                             row["meta"], row["n_rows"], row["validity"])
+                        for row in by_chunk[cid]
+                    }
                     arrays = [
                         cols[c].combine_chunks()
                         if isinstance(cols[c], pa.ChunkedArray) else cols[c]
