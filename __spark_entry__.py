@@ -76,7 +76,10 @@ def entry(spark: SparkSession) -> DataFrame:
             ).alias("sha_mismatches")
         )
     )
-    return report.crossJoin(mism).orderBy("column", "codec")
+    out = report.crossJoin(mism).orderBy("column", "codec")
+    rows = out.collect()  # materialize while enc is cached...
+    enc.unpersist()       # ...then release the executor cache
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ------------------------------------------------------- oracle-checked set
@@ -712,10 +715,17 @@ def dedup_simhash_docs(spark, sf_dir):
 
 
 def embedding_near_dup_pairs(spark, sf_dir):
+    """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
+    to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
+    cosine rounded to 4 places so Spark/DuckDB summation order can't flip
+    the hash."""
     from fileconvert_spark.operators.dedup import embedding_near_dups
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dups(e, threshold=0.9).orderBy("id_a", "id_b")
+    pairs = embedding_near_dups(e, threshold=0.5)
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a", "id_b")
 
 
 def knn_ivf(spark, sf_dir):
@@ -1178,6 +1188,72 @@ def oracle_sql() -> dict[str, str]:
                    MIN(l_quantity) AS min_qty,
                    MAX(l_quantity) AS max_qty
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "embedding_near_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "training_pipeline_demo": """
+            WITH t AS (
+                SELECT doc_id, text, LENGTH(text) AS n,
+                       regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS ws
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text, n, ws,
+                    ((CASE WHEN n >= 50 AND n <= 20000 THEN 1.0
+                           WHEN n > 0 THEN 0.5 ELSE 0.0 END)
+                     + (CASE WHEN (CASE WHEN n = 0 THEN 0.0 ELSE
+                          LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / n
+                          END) < 0.2 THEN 1.0 ELSE 0.3 END)
+                     + (CASE WHEN len(list_filter(ws, w -> list_contains(
+                          ['the','a','of','and','to','in','is','that','it','for'], w
+                          )))::DOUBLE / len(ws) > 0.05 THEN 1.0 ELSE 0.5 END)
+                    ) / 3.0 AS quality
+                FROM t
+            ), kept AS (
+                SELECT * FROM scored WHERE quality >= 0.5
+            ), deduped AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                                 ORDER BY doc_id) AS rn
+                    FROM kept) WHERE rn = 1
+            ), langs AS (
+                SELECT quality, text,
+                    CASE WHEN n > 0 AND
+                        LENGTH(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE / n > 0.2
+                        THEN 'zh'
+                    ELSE (
+                        WITH s AS (SELECT
+                            len(list_filter(ws, w -> list_contains(
+                                ['the','a','of','and','to','in','is','that','it','for'], w
+                            )))::DOUBLE / len(ws) AS s_en,
+                            len(list_filter(ws, w -> list_contains(
+                                ['el','la','de','que','y','en','un','una','los','por'], w
+                            )))::DOUBLE / len(ws) AS s_es,
+                            len(list_filter(ws, w -> list_contains(
+                                ['le','la','de','et','les','des','un','une','est','dans'], w
+                            )))::DOUBLE / len(ws) AS s_fr,
+                            len(list_filter(ws, w -> list_contains(
+                                ['der','die','das','und','ist','von','den','ein','eine','mit'], w
+                            )))::DOUBLE / len(ws) AS s_de)
+                        SELECT CASE
+                            WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                            WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                            WHEN s_fr >= s_de THEN 'fr' ELSE 'de' END FROM s
+                    ) END AS lang_pred
+                FROM deduped
+            )
+            SELECT lang_pred, COUNT(*) AS n_docs,
+                CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE
+                    len(regexp_split_to_array(TRIM(text), '\\s+')) END)
+                    AS BIGINT) AS total_tokens,
+                ROUND(AVG(quality), 4) AS avg_quality
+            FROM langs GROUP BY lang_pred ORDER BY lang_pred
         """,
         "lang_id_docs": """
             WITH t AS (

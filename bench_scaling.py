@@ -37,8 +37,12 @@ from fileconvert_spark.plans.manifest import make_write_kernel, MANIFEST_SPARK_S
 spark = get_spark("scale", master=f"local[{{cores}}]", shuffle_partitions=max(cores, 8))
 spark.range(cores * 4, numPartitions=cores * 4).mapInArrow(lambda it: it, "id long").count()
 df = spark.read.parquet(sys.argv[2])
-dfb, _ = plan_buckets(df, 128)
-shuffled = repartition_by_bucket(dfb, 128)
+# buckets auto-size from bytes like encode_table, but never fewer than
+# 4x the LARGEST level's cores so every parallelism level stays saturated
+# with the SAME bucketing (identical work at every level)
+n_buckets = max(128, 4 * 32)
+dfb, _ = plan_buckets(df, n_buckets)
+shuffled = repartition_by_bucket(dfb, n_buckets)
 walls, raw = [], 0
 for run in range(n_runs):
     out = f"/tmp/fcs_scale_{{cores}}"

@@ -223,25 +223,43 @@ def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
         return bestlen, bestcode
     w = _window_keys(buf)
 
-    if has2:
-        k2 = (w & np.uint64(0xFFFF)).astype(np.uint32)
-        c2 = lut2[k2]
-        hit = (c2 != ESCAPE) & (dist >= 2)
-        bestlen[hit] = 2
-        bestcode[hit] = c2[hit]
-
+    # preallocated scratch reused across lengths: fresh-page allocation is
+    # this host's bottleneck, so every per-L op below runs with out=
     kL = np.empty(n, dtype=np.uint64)
-    slots = np.empty(n, dtype=np.uint64)
+    slots = np.empty(n, dtype=np.int64)
+    codes = np.empty(n, dtype=np.uint8)
+    keys_g = np.empty(n, dtype=np.uint64)
+    hit = np.empty(n, dtype=bool)
+    tmpb = np.empty(n, dtype=bool)
+
+    if has2:
+        np.bitwise_and(w, np.uint64(0xFFFF), out=kL)
+        np.copyto(slots, kL, casting="unsafe")
+        np.take(lut2, slots, out=codes)
+        np.not_equal(codes, ESCAPE, out=hit)
+        np.greater_equal(dist, 2, out=tmpb)
+        hit &= tmpb
+        bestlen[hit] = 2
+        bestcode[hit] = codes[hit]
+
     for L in sorted(hashed):  # ascending: longer matches overwrite shorter
         keys_t, codes_t = hashed[L]
         mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
                 else np.uint64(0xFFFFFFFFFFFFFFFF))
         np.bitwise_and(w, mask, out=kL)
-        np.multiply(kL, _HASH_MULT, out=slots)
-        slots >>= np.uint64(64 - _HASH_BITS)
-        hit = (keys_t[slots] == kL) & (codes_t[slots] != ESCAPE) & (dist >= L)
+        np.multiply(kL, _HASH_MULT, out=kL)
+        kL >>= np.uint64(64 - _HASH_BITS)
+        np.copyto(slots, kL, casting="unsafe")
+        np.bitwise_and(w, mask, out=kL)  # recompute key (kL was reused)
+        np.take(keys_t, slots, out=keys_g)
+        np.take(codes_t, slots, out=codes)
+        np.equal(keys_g, kL, out=hit)
+        np.not_equal(codes, ESCAPE, out=tmpb)
+        hit &= tmpb
+        np.greater_equal(dist, L, out=tmpb)
+        hit &= tmpb
         bestlen[hit] = L
-        bestcode[hit] = codes_t[slots[hit]]
+        bestcode[hit] = codes[hit]
     return bestlen, bestcode
 
 
@@ -269,31 +287,18 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
     w = _window_keys(arr) if (has2 or hlens) else None
 
     is_tok = np.zeros(n, dtype=bool)
+    blh = np.zeros(n, dtype=np.int64)
+    bch = np.zeros(n, dtype=np.uint8)
     live = lengths > 0
     cur = starts[live]
     ends = bounds[live]
-    # hybrid walk strategy: with many short strings, match ONLY at cursor
+    # adaptive walk: while MANY strings are live, match only at cursor
     # positions (each round advances every live string one token — total
-    # match work ~= ratio*n, not n). With few long strings the cursor set
-    # is too small to amortize per-round NumPy overhead, so precompute
-    # matches for all positions once and just chase pointers.
-    long_strings = cur.size > 0 and (n // cur.size) > 256
-    if long_strings:
-        blh, bch = _match_all_positions(arr, lengths, table)
-        nxt = np.arange(n, dtype=np.int64)
-        nxt += np.maximum(blh, 1)
-        while cur.size:
-            is_tok[cur] = True
-            cur = nxt[cur]
-            keep = cur < ends
-            if not keep.all():
-                cur = cur[keep]
-                ends = ends[keep]
-        cur = np.empty(0, dtype=np.int64)  # skip the cursor-match loop
-    else:
-        blh = np.zeros(n, dtype=np.int64)
-        bch = np.zeros(n, dtype=np.uint8)
-    while cur.size:
+    # match work ~= ratio*n, not n). Once the live set is too small to
+    # amortize per-round NumPy overhead (skewed lengths shrink it), each
+    # remaining string switches to precomputed matching over its own slice
+    # + pointer-doubling chain enumeration (O(log tokens) rounds).
+    while cur.size >= 16:
         m = cur.size
         bl = np.zeros(m, dtype=np.int64)
         bc = np.full(m, ESCAPE, dtype=np.uint8)
@@ -327,6 +332,32 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
         if not keep.all():
             cur = cur[keep]
             ends = ends[keep]
+
+    # tail: few (possibly very long) strings left — per string, match its
+    # remaining slice in one vectorized pass, then enumerate the greedy
+    # chain by pointer doubling (after round k, `known` holds the chain
+    # nodes at distances [0, 2^k) and ptr jumps 2^k, so ptr[known] is
+    # exactly the duplicate-free nodes at distances [2^k, 2^{k+1}))
+    for c, e in zip(cur.tolist(), ends.tolist()):
+        m = e - c
+        sub = arr[c:e]
+        bl_s, bc_s = _match_all_positions(
+            sub, np.array([m], dtype=np.int64), table)
+        ptr = np.empty(m + 1, dtype=np.int64)
+        ptr[:m] = np.arange(m, dtype=np.int64) + np.maximum(bl_s, 1)
+        ptr[m] = m  # absorbing terminal
+        np.minimum(ptr, m, out=ptr)
+        known = np.array([0], dtype=np.int64)
+        while True:
+            new = ptr[known]
+            new = new[new < m]
+            if new.size == 0:
+                break
+            known = np.concatenate([known, new])
+            ptr = ptr[ptr]
+        is_tok[c + known] = True
+        blh[c + known] = bl_s[known]
+        bch[c + known] = bc_s[known]
 
     p = np.flatnonzero(is_tok)
     tok_is_code = blh[p] > 0
