@@ -483,6 +483,42 @@ def stream_window_counts(spark, sf_dir):
     ).orderBy("window_start", "event_type")
 
 
+def stream_incremental_encode(spark, sf_dir):
+    """Incremental encode (SURVEY.md §2 C19 stretch): AvailableNow file
+    stream -> foreachBatch batch-encode with resume semantics -> decode ->
+    full-outer verify vs source. Rows-only check (the encode job itself is
+    not SQL-expressible); the single output row carries the counts that
+    must match: n == n_text_match == source row count."""
+    _ensure_workers(spark)
+    import shutil
+
+    from fileconvert_spark.plans.manifest import decode_table
+    from fileconvert_spark.streaming.incremental import incremental_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="incenc_")
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir)
+    shutil.copy(os.path.join(sf_dir, "documents.parquet"),
+                os.path.join(src_dir, "documents.parquet"))
+    out = os.path.join(tmp, "enc")
+    incremental_encode(spark, src_dir, out, docs.schema,
+                       os.path.join(tmp, "ckpt"),
+                       key_col="source", salt_cols=("doc_id",),
+                       weight_col="text")
+    dec = None
+    for e in sorted(os.listdir(out)):
+        if e.startswith("epoch="):
+            d = decode_table(spark, os.path.join(out, e))
+            dec = d if dec is None else dec.unionByName(d)
+    o, d = docs.alias("o"), dec.alias("d")
+    return o.join(d, F.col("o.doc_id") == F.col("d.doc_id"), "full_outer").agg(
+        F.count(F.col("o.doc_id")).alias("n"),
+        F.sum(F.col("o.text").eqNullSafe(F.col("d.text")).cast("long"))
+        .alias("n_text_match"),
+    )
+
+
 def csv_roundtrip_documents(spark, sf_dir):
     from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
 
@@ -869,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline_demo": training_pipeline_demo,
         # streaming (SURVEY.md §2 C19)
         "stream_window_counts": stream_window_counts,
+        "stream_incremental_encode": stream_incremental_encode,
     }
 
 
@@ -1087,6 +1124,9 @@ def oracle_sql() -> dict[str, str]:
         "csv_roundtrip_documents": """
             SELECT COUNT(*) AS n, COUNT(*) AS n_text_match, COUNT(*) AS n_chars_match
             FROM documents
+        """,
+        "stream_incremental_encode": """
+            SELECT COUNT(*) AS n, COUNT(*) AS n_text_match FROM documents
         """,
         "knn_bruteforce": """
             SELECT q_id, rank, vec_id FROM (

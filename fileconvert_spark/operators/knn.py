@@ -11,6 +11,7 @@ shuffle/scan shrinks by ~C/n_probe at 100 TB while recall stays high.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -73,46 +74,47 @@ def train_centroids(df: DataFrame, n_centroids: int = 16,
     return cent
 
 
-def _centroid_array_lit(cent: np.ndarray):
-    return F.array(*[
-        F.array(*[F.lit(float(v)) for v in row]) for row in cent
-    ])
-
-
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
-    """IVF ANN: probe only the n_probe nearest centroid cells per query."""
-    cent = train_centroids(df, n_centroids, vec_col)
-    cents = _centroid_array_lit(cent)
+    """IVF ANN: probe only the n_probe nearest centroid cells per query.
 
-    def cell_of(vec):
-        # argmax over centroid dot products, JVM-side
-        sims = F.transform(cents, lambda c: _dot(vec, c) / _norm_expr(vec))
-        return F.array_position(sims, F.array_max(sims)).cast("int") - 1
+    Centroids ship as a Spark broadcast variable consumed by vectorized
+    Pandas UDFs (one matmul per Arrow batch) — not as plan literals, so
+    1024 centroids x 768 dims costs one broadcast, not a megabyte of
+    expression tree re-analyzed per query.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent = train_centroids(df, n_centroids, vec_col)
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+    n_probe_eff = min(n_probe, len(cent))
+
+    def _matrix(vecs: pd.Series) -> np.ndarray:
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return m
+
+    @F.pandas_udf("int")
+    def cell_udf(vecs: pd.Series) -> pd.Series:
+        sims = _matrix(vecs) @ bc.value.T
+        return pd.Series(sims.argmax(axis=1).astype(np.int32))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(vecs: pd.Series) -> pd.Series:
+        sims = _matrix(vecs) @ bc.value.T
+        idx = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe_eff]
+        return pd.Series([row.astype("int32").tolist() for row in idx])
 
     base = df.select(F.col(id_col), F.col(vec_col),
-                     cell_of(F.col(vec_col)).alias("cell"),
+                     cell_udf(F.col(vec_col)).alias("cell"),
                      _norm_expr(F.col(vec_col)).alias("_n"))
-
-    def probe_cells(qvec):
-        sims = F.transform(cents, lambda c: _dot(qvec, c))
-        order = F.reverse(F.array_sort(sims))
-        # fewer centroids than n_probe -> probe them all (element_at past
-        # the end would be NULL and silently empty the result)
-        thresh = F.element_at(order, F.least(F.lit(n_probe), F.size(order)))
-        return F.filter(
-            F.transform(F.sequence(F.lit(0), F.lit(int(len(cent)) - 1)),
-                        lambda i: F.when(F.element_at(sims, i + 1) >= thresh, i)
-                        .otherwise(F.lit(-1))),
-            lambda x: x >= 0,
-        )
 
     q = queries.select(
         F.col(q_id_col), F.col(q_vec_col),
         _norm_expr(F.col(q_vec_col)).alias("_qn"),
-        F.explode(probe_cells(F.col(q_vec_col))).alias("cell"),
+        F.explode(probe_udf(F.col(q_vec_col))).alias("cell"),
     )
     scored = base.join(F.broadcast(q), "cell").select(
         F.col(q_id_col), F.col(id_col),

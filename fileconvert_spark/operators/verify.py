@@ -64,7 +64,17 @@ def roundtrip_report(src: DataFrame, decoded: DataFrame,
 
 
 def assert_roundtrip(src: DataFrame, decoded: DataFrame,
-                     key_cols: list[str], sha_col: str | None = "content") -> dict:
+                     key_cols: list[str] | None,
+                     sha_col: str | None = "content") -> dict:
+    """Per-key join verify; falls back to the order-insensitive multiset
+    fingerprint when no key is given or the key is not unique (a dup-key
+    join would explode and report false mismatches)."""
+    if not key_cols:
+        return assert_multiset_roundtrip(src, decoded)
+    key_unique = (src.groupBy(*key_cols).count()
+                  .filter(F.col("count") > 1).limit(1).isEmpty())
+    if not key_unique:
+        return assert_multiset_roundtrip(src, decoded)
     row = roundtrip_report(src, decoded, key_cols, sha_col).collect()[0].asDict()
     problems = {k: v for k, v in row.items()
                 if k in ("missing", "extra", "value_mismatches", "sha_mismatches")

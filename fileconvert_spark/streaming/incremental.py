@@ -134,7 +134,9 @@ def stateful_user_counts(spark: SparkSession, events_path: str, schema,
 
 def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,
                        schema, checkpoint_dir: str,
-                       key_col: str = "repo") -> None:
+                       key_col: str = "repo",
+                       salt_cols: tuple[str, ...] = ("path", "commit"),
+                       weight_col: str = "content") -> None:
     """Encode newly-arrived corpus files exactly once (AvailableNow).
 
     Each micro-batch runs the batch encode job with resume semantics; the
@@ -151,7 +153,7 @@ def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,
         encode_table(
             df.sparkSession, df, f"{out_dir}/epoch={epoch_id}",
             n_buckets=df.sparkSession.sparkContext.defaultParallelism,
-            key_col=key_col,
+            key_col=key_col, salt_cols=salt_cols, weight_col=weight_col,
         )
 
     q = (
