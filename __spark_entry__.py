@@ -455,6 +455,24 @@ def enc_roundtrip_documents(spark, sf_dir):
     )
 
 
+def dedup_cluster_embeddings(spark, sf_dir):
+    """Near-dup keeper selection: connected components (min-label
+    propagation) over the cosine>=0.5 embedding pair graph ->
+    (vec_id, component). Oracle mirrors the pair predicate and closes it
+    with a recursive CTE."""
+    from fileconvert_spark.operators.dedup import (
+        connected_components, embedding_near_dups,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(e, threshold=0.5)
+    return (
+        connected_components(pairs)
+        .select(F.col("id").alias("vec_id"), "component")
+        .orderBy("vec_id")
+    )
+
+
 def knn_bruteforce(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.knn import brute_force_topk
@@ -895,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_docs": dedup_minhash_docs,
         "dedup_simhash_docs": dedup_simhash_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "dedup_cluster_embeddings": dedup_cluster_embeddings,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf": knn_ivf,
         "text_token_counts": text_token_counts,
@@ -1237,6 +1256,23 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
             ORDER BY id_a, id_b
+        """,
+        "dedup_cluster_embeddings": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), reach(id, label) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label FROM reach r
+                JOIN edges e ON e.src = r.id
+            )
+            SELECT id AS vec_id, MIN(label) AS component
+            FROM reach GROUP BY id ORDER BY vec_id
         """,
         "training_pipeline_demo": """
             WITH t AS (

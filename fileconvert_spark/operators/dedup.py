@@ -161,6 +161,44 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, component),
+    component = min node id in the cluster. This is the keeper-selection
+    step of dedup: keep ``id == component``, drop the rest.
+
+    Scale shape: min-label propagation — per iteration one join+groupBy
+    shuffle keyed on node ids (8-byte rows); iterations ~= graph diameter
+    (near-dup clusters are shallow; capped at ``max_iter``). Each iteration
+    is checkpointed via localCheckpoint to keep the plan from growing.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least("label", F.coalesce("nlabel", "label"))
+                    .alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,

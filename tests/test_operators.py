@@ -270,3 +270,18 @@ def test_embedding_near_dups_finds_planted_pairs(spark):
     lsh_pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dups(
         df, threshold=0.95, n_planes=4, brute_force_below=4).collect()}
     assert (5, 101) in lsh_pairs
+
+
+def test_connected_components_clusters(spark):
+    """Min-label propagation finds transitive near-dup clusters: a chain
+    a-b, b-c, plus an isolated pair d-e, must yield components {a,b,c}
+    and {d,e} labeled by their min ids."""
+    from fileconvert_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (3, 7), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
