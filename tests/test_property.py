@@ -71,3 +71,52 @@ def test_binary_roundtrip_property(blobs):
     back = _string_as_binary_view(out if isinstance(out, pa.Array)
                                   else out.combine_chunks())
     assert back.equals(arr), codec
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.decimals(min_value=-(10**9), max_value=10**9, places=2)),
+    max_size=100,
+))
+def test_decimal_small_roundtrip_property(vals):
+    """decimal(12,2) (int64-backed path) roundtrips exactly incl. nulls."""
+    from fileconvert_spark.operators.encode import decode_column, encode_column
+
+    arr = pa.array(vals, type=pa.decimal128(12, 2))
+    f = encode_column(arr)
+    out = decode_column(f["codec"], f["payload"], f["dict"], f["meta"],
+                        f["n_rows"], f["validity"])
+    assert out.equals(arr), f["codec"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.decimals(min_value=-(10**30), max_value=10**30, places=6)),
+    max_size=60,
+))
+def test_decimal_wide_roundtrip_property(vals):
+    """decimal(38,6) (16-byte buffer path) roundtrips exactly incl. nulls."""
+    from fileconvert_spark.operators.encode import decode_column, encode_column
+
+    arr = pa.array(vals, type=pa.decimal128(38, 6))
+    f = encode_column(arr)
+    out = decode_column(f["codec"], f["payload"], f["dict"], f["meta"],
+                        f["n_rows"], f["validity"])
+    assert out.equals(arr), f["codec"]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(max_size=80), max_size=40))
+def test_minhash_identity_property(texts):
+    """Identical texts always get identical signatures; signatures are
+    invariant to batch composition (pure per-document function)."""
+    from fileconvert_spark.functions import similarity as sim
+
+    sigs = sim.minhash_signatures(texts, 32)
+    for i, t in enumerate(texts):
+        assert sigs[i].tolist() == sim.minhash_signature(t, 32), i
+    sh = sim.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(sh[i]) == sim.simhash64(t), i
