@@ -226,6 +226,7 @@ def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
     # preallocated scratch reused across lengths: fresh-page allocation is
     # this host's bottleneck, so every per-L op below runs with out=
     kL = np.empty(n, dtype=np.uint64)
+    mul = np.empty(n, dtype=np.uint64)
     slots = np.empty(n, dtype=np.int64)
     codes = np.empty(n, dtype=np.uint8)
     keys_g = np.empty(n, dtype=np.uint64)
@@ -247,10 +248,9 @@ def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
         mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
                 else np.uint64(0xFFFFFFFFFFFFFFFF))
         np.bitwise_and(w, mask, out=kL)
-        np.multiply(kL, _HASH_MULT, out=kL)
-        kL >>= np.uint64(64 - _HASH_BITS)
-        np.copyto(slots, kL, casting="unsafe")
-        np.bitwise_and(w, mask, out=kL)  # recompute key (kL was reused)
+        np.multiply(kL, _HASH_MULT, out=mul)
+        mul >>= np.uint64(64 - _HASH_BITS)
+        np.copyto(slots, mul, casting="unsafe")
         np.take(keys_t, slots, out=keys_g)
         np.take(codes_t, slots, out=codes)
         np.equal(keys_g, kL, out=hit)
