@@ -455,6 +455,30 @@ def enc_roundtrip_documents(spark, sf_dir):
     )
 
 
+def dataset_split_counts(spark, sf_dir):
+    """Deterministic content-hash train/val/test split (98/1/1): counts
+    per (split, lang). Pure function of the text, so re-runs, resumes and
+    cluster shapes all agree — and DuckDB can mirror it exactly."""
+    from fileconvert_spark.operators.sampling import with_split
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        with_split(d, "text")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def boilerplate_ngrams_docs(spark, sf_dir):
+    """Top repeated word 8-grams across distinct documents (boilerplate /
+    benchmark-contamination detection), all JVM-side."""
+    from fileconvert_spark.functions.text import boilerplate_ngrams
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, n=8, min_docs=2, top_k=10)
+
+
 def dedup_cluster_embeddings(spark, sf_dir):
     """Near-dup keeper selection: connected components (min-label
     propagation) over the cosine>=0.5 embedding pair graph ->
@@ -499,6 +523,23 @@ def stream_window_counts(spark, sf_dir):
         "n",
         F.col("total_value").cast("decimal(30,8)").cast("double").alias("total_value"),
     ).orderBy("window_start", "event_type")
+
+
+def enc_roundtrip_embeddings(spark, sf_dir):
+    """Nested-column encode: the embeddings table's array<float> column
+    round-trips through the codec engine (list lengths + flattened child
+    values, each through the full codec machinery)."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dec = decode_df(encode_df(emb, chunk_rows=8192), emb.schema)
+    o, d = emb.alias("o"), dec.alias("d")
+    return o.join(d, F.col("o.vec_id") == F.col("d.vec_id"), "full_outer").agg(
+        F.count(F.col("o.vec_id")).alias("n"),
+        F.sum(F.col("o.embedding").eqNullSafe(F.col("d.embedding"))
+              .cast("long")).alias("n_vec_match"),
+    )
 
 
 def stream_incremental_encode(spark, sf_dir):
@@ -904,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_arith": date_arith,
         # engine surface (SURVEY.md §2.B)
         "enc_roundtrip_documents": enc_roundtrip_documents,
+        "enc_roundtrip_embeddings": enc_roundtrip_embeddings,
         "enc_codec_report": enc_codec_report,
         "enc_corpus_demo": enc_corpus_demo,
         # reference capability (SURVEY.md §2.A)
@@ -914,6 +956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs": dedup_simhash_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "dedup_cluster_embeddings": dedup_cluster_embeddings,
+        "dataset_split_counts": dataset_split_counts,
+        "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "knn_bruteforce": knn_bruteforce,
         "knn_ivf": knn_ivf,
         "text_token_counts": text_token_counts,
@@ -1147,6 +1191,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_incremental_encode": """
             SELECT COUNT(*) AS n, COUNT(*) AS n_text_match FROM documents
         """,
+        "enc_roundtrip_embeddings": """
+            SELECT COUNT(*) AS n, COUNT(*) AS n_vec_match FROM embeddings
+        """,
         "knn_bruteforce": """
             SELECT q_id, rank, vec_id FROM (
                 SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
@@ -1330,6 +1377,34 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS total_tokens,
                 ROUND(AVG(quality), 4) AS avg_quality
             FROM langs GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "dataset_split_counts": """
+            SELECT CASE
+                       WHEN b < 98 THEN 'train'
+                       WHEN b < 99 THEN 'val'
+                       ELSE 'test' END AS split,
+                   lang, COUNT(*) AS n_docs
+            FROM (SELECT lang,
+                         CAST(concat('0x', substring(md5(text), 1, 4))
+                              AS BIGINT) % 100 AS b
+                  FROM documents) t
+            GROUP BY 1, 2 ORDER BY split, lang
+        """,
+        "boilerplate_ngrams_docs": """
+            WITH w AS (
+                SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(ws[i : i + 7], ' ') AS ngram
+                FROM w, LATERAL (
+                    SELECT unnest(generate_series(1, len(ws) - 7)) AS i)
+                WHERE len(ws) >= 8
+            )
+            SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY ngram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+            ORDER BY n_docs DESC, ngram ASC LIMIT 10
         """,
         "lang_id_docs": """
             WITH t AS (

@@ -95,6 +95,43 @@ def fingerprint64(col: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def word_ngram_col(col: Column, n: int = 8) -> Column:
+    """array<string> of word n-grams, entirely JVM-side (split + slice
+    inside a transform over a sequence — no UDF). Docs with < n words
+    produce an empty array."""
+    words = F.split(F.trim(col), r"\s+")
+    return F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
+                       n: int = 8, min_docs: int = 2, top_k: int = 10):
+    """Boilerplate / contamination detector: word n-grams appearing in
+    >= min_docs distinct documents, ranked by document frequency.
+
+    Scale shape: the explode emits (id, ngram) pairs; distinct + groupBy
+    shuffle on the ngram string. For 100 TB, hash the ngram to 8 bytes
+    first (xxhash64) and resolve top-k strings by a second pass — here the
+    string key keeps the result oracle-checkable.
+    """
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(word_ngram_col(F.col(text_col), n)).alias("ngram"),
+    ).distinct()
+    return (
+        pairs.groupBy("ngram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(top_k)
+    )
+
+
 def fingerprint_hex(col: Column) -> Column:
     """Oracle-checkable fingerprint: first 16 hex chars of sha256 of the
     same normalization as fingerprint64 (cross-engine verifiable — DuckDB

@@ -77,6 +77,8 @@ _TYPE_REGISTRY: dict[str, pa.DataType] = {
 _RE = __import__("re")
 _TS_RE = _RE.compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
 _DEC_RE = _RE.compile(r"^decimal128\((\d+), (\d+)\)$")
+# field name varies by producer: pyarrow says "item", Spark "element"
+_LIST_RE = _RE.compile(r"^(?:large_)?list<\w+: (.+)>$")
 
 
 def _type_from_str(name: str) -> pa.DataType:
@@ -91,7 +93,29 @@ def _type_from_str(name: str) -> pa.DataType:
     m = _DEC_RE.match(name)
     if m:
         return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    m = _LIST_RE.match(name)
+    if m:
+        return pa.list_(_type_from_str(m.group(1)))  # recursive (list<list<..>>)
     raise NotImplementedError(f"unsupported column type for decode: {name}")
+
+
+def _pack_frames(*blobs: bytes) -> bytes:
+    """[u32 len][bytes] per frame — container for nested codec streams."""
+    return b"".join(
+        __import__("struct").pack("<I", len(b)) + b for b in blobs
+    )
+
+
+def _unpack_frames(buf, n_frames: int) -> list[bytes]:
+    import struct as _st
+
+    buf = memoryview(buf)
+    out, off = [], 0
+    for _ in range(n_frames):
+        ln = _st.unpack_from("<I", buf, off)[0]
+        out.append(bytes(buf[off + 4 : off + 4 + ln]))
+        off += 4 + ln
+    return out
 
 
 def _binary_as_string_view(arr: pa.Array) -> pa.Array:
@@ -263,6 +287,31 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
                 cache_key=cache_key)
             meta["vt"] = "dec16"
         sha = hashlib.sha256(payload).digest()
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        _type_from_str(orig_type)  # fail fast on unsupported child types
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        # per-row lengths + compacted child values, each encoded with the
+        # full codec machinery (recursive: list<list<...>> works too)
+        import pyarrow.compute as pc
+
+        lengths = pc.list_value_length(clean).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        child = pc.list_flatten(clean)
+        lc, lp, _ld, lm = codecs.select_and_encode_int(lengths)
+        cf = encode_column(child,
+                           cache_key=f"{cache_key}.item" if cache_key else None)
+        payload = _pack_frames(
+            lp, cf["payload"], cf["dict"] or b"", cf["validity"] or b"")
+        dict_blob = None
+        meta = {
+            "vt": "list", "lc": lc, "lm": lm,
+            "cc": cf["codec"], "cm": cf["meta"], "cn": int(cf["n_rows"]),
+            "cd": cf["dict"] is not None, "cv": cf["validity"] is not None,
+        }
+        codec = f"list[{cf['codec']}]"
+        raw_bytes = int(cf["raw_bytes"]) + 4 * n
+        sha = hashlib.sha256(payload).digest()
     else:
         _type_from_str(orig_type)  # fail fast on unsupported column types
         vals, adapter = _as_int64(clean)
@@ -318,6 +367,19 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
         if not isinstance(clean, pa.Array):
             clean = clean.combine_chunks()
         clean = _binary_to_decimal(_string_as_binary_view(clean), orig_type)
+    elif meta["vt"] == "list":
+        lp, cp, cd, cv = _unpack_frames(payload, 4)
+        lengths = codecs.decode_int(meta["lc"], lp, None, meta["lm"], n_valid)
+        child = decode_column(
+            meta["cc"], cp, cd if meta["cd"] else None, meta["cm"],
+            int(meta["cn"]), cv if meta["cv"] else None)
+        if isinstance(child, pa.ChunkedArray):
+            child = child.combine_chunks()
+        offs = np.concatenate(
+            [[0], np.cumsum(np.asarray(lengths, dtype=np.int64))]
+        ).astype(np.int32)
+        clean = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), child)
     else:
         vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
         clean = _from_int64(vals, meta.get("ad", "i"), orig_type)

@@ -1,0 +1,39 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+Split assignment must be a pure function of content (not of partitioning,
+row order, or cluster size) so re-runs, resumes, and different cluster
+shapes always agree — the property a random() split lacks. The bucket is
+the first 4 hex chars of md5(key) as an integer mod 100: JVM-side,
+codegen-friendly, and reproducible in any engine with md5 (so the DuckDB
+oracle can mirror it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def split_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from content hash."""
+    return (F.conv(F.substring(F.md5(col), 1, 4), 16, 10)
+            .cast("long") % n_buckets)
+
+
+def with_split(df: DataFrame, key_col: str,
+               train_pct: int = 98, val_pct: int = 1) -> DataFrame:
+    """Adds a ``split`` column: 'train' / 'val' / 'test' by hash bucket.
+
+    Percentages are integer buckets of 1% (test gets the remainder).
+    """
+    b = split_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def sample_fraction(df: DataFrame, key_col: str, pct: int) -> DataFrame:
+    """Deterministic pct% content-hash sample (stable across runs/shapes)."""
+    return df.filter(split_bucket(F.col(key_col)) < pct)

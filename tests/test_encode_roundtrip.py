@@ -308,3 +308,35 @@ def test_multiset_verify_lineitem_no_unique_key(spark, tmp_path):
     )
     bad = multiset_roundtrip_report(li, corrupted).collect()[0]
     assert not bad["fingerprint_match"]
+
+
+def test_list_columns_roundtrip_job(spark, tmp_path):
+    """Nested list columns (array<float> embeddings shape + ragged int
+    lists with nulls) round-trip through the full encode_table/decode_table
+    job, manifests included."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [
+        (i,
+         rng.standard_normal(8).astype(np.float32).tolist(),
+         None if i % 13 == 0 else list(range(i % 5)))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<float>, tags array<long>")
+    out = str(tmp_path / "enc_list")
+    encode_table(spark, df, out, n_buckets=4, key_col="id", salt_cols=(),
+                 weight_col="id")
+    dec = decode_table(spark, out)
+    assert dict(dec.dtypes) == dict(df.dtypes)
+    from pyspark.sql import functions as F2
+    o, d = df.alias("o"), dec.alias("d")
+    row = o.join(d, F2.col("o.id") == F2.col("d.id"), "full_outer").agg(
+        F2.count(F2.col("o.id")).alias("n"),
+        F2.sum(F2.col("o.vec").eqNullSafe(F2.col("d.vec")).cast("long"))
+        .alias("vec_ok"),
+        F2.sum(F2.col("o.tags").eqNullSafe(F2.col("d.tags")).cast("long"))
+        .alias("tags_ok"),
+    ).collect()[0]
+    assert row["n"] == row["vec_ok"] == row["tags_ok"] == 2000

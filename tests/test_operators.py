@@ -285,3 +285,40 @@ def test_connected_components_clusters(spark):
     comp = {r["id"]: r["component"]
             for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from fileconvert_spark.operators.sampling import (
+        sample_fraction, with_split,
+    )
+
+    df = spark.createDataFrame([(i, f"document body {i}") for i in range(5000)],
+                               "doc_id long, text string")
+    counts = {r["split"]: r["n"] for r in
+              with_split(df, "text").groupBy("split")
+              .agg(F.count("*").alias("n")).collect()}
+    assert 0.95 * 5000 <= counts["train"] <= 0.995 * 5000
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+    # identical content always lands in the same split (pure hash function)
+    a = with_split(df, "text").select("doc_id", "split")
+    b = with_split(df.repartition(7), "text").select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0
+    # sample_fraction is a subset relation: 5% within 10%
+    s5 = {r["doc_id"] for r in sample_fraction(df, "text", 5).collect()}
+    s10 = {r["doc_id"] for r in sample_fraction(df, "text", 10).collect()}
+    assert s5 <= s10 and 0 < len(s5) < len(s10)
+
+
+def test_boilerplate_ngrams_finds_shared_template(spark):
+    from fileconvert_spark.functions.text import boilerplate_ngrams
+
+    header = "copyright acme corp all rights reserved do not distribute"
+    rows = [(i, f"{header} unique body {i} " +
+             " ".join(f"w{i}_{j}" for j in range(10))) for i in range(20)]
+    rows += [(100 + i, " ".join(f"solo{i}_{j}" for j in range(30)))
+             for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = boilerplate_ngrams(df, n=8, min_docs=10, top_k=5).collect()
+    assert top, "shared header must surface"
+    assert all(r["n_docs"] == 20 for r in top)
+    assert any("copyright acme corp" in r["ngram"] for r in top)

@@ -120,3 +120,25 @@ def test_minhash_identity_property(texts):
     sh = sim.simhash64_batch(texts)
     for i, t in enumerate(texts):
         assert int(sh[i]) == sim.simhash64(t), i
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.one_of(st.none(),
+              st.lists(st.one_of(st.none(),
+                                 st.integers(-(2**62), 2**62)),
+                       max_size=8)),
+    max_size=50,
+))
+def test_list_column_roundtrip_property(rows):
+    """list<int64> with outer nulls, empty lists, and child nulls
+    roundtrips exactly through the recursive list codec."""
+    from fileconvert_spark.operators.encode import decode_column, encode_column
+
+    arr = pa.array(rows, type=pa.list_(pa.int64()))
+    f = encode_column(arr)
+    out = decode_column(f["codec"], f["payload"], f["dict"], f["meta"],
+                        f["n_rows"], f["validity"])
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    assert out.equals(arr), f["codec"]
