@@ -542,6 +542,34 @@ def enc_roundtrip_embeddings(spark, sf_dir):
     )
 
 
+def enc_roundtrip_events_struct(spark, sf_dir):
+    """Nested struct + map encode: events columns packed into a struct and
+    props parsed into map<string,string> round-trip through the codec
+    engine (recursive per-field encode). Map equality is compared via
+    map_entries (Spark cannot compare MapType directly); entry order is
+    preserved exactly by the codec."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    e = _t(spark, sf_dir, "events")
+    src = e.select(
+        "event_id",
+        F.struct("event_type", "value", "ts").alias("ev"),
+        F.from_json("props", "map<string,string>").alias("props"),
+    )
+    dec = decode_df(encode_df(src, chunk_rows=8192), src.schema)
+    o, d = src.alias("o"), dec.alias("d")
+    return o.join(d, F.col("o.event_id") == F.col("d.event_id"),
+                  "full_outer").agg(
+        F.count(F.col("o.event_id")).alias("n"),
+        F.sum(F.col("o.ev").eqNullSafe(F.col("d.ev")).cast("long"))
+        .alias("n_struct_match"),
+        F.sum(F.map_entries(F.col("o.props"))
+              .eqNullSafe(F.map_entries(F.col("d.props"))).cast("long"))
+        .alias("n_map_match"),
+    )
+
+
 def stream_incremental_encode(spark, sf_dir):
     """Incremental encode (SURVEY.md §2 C19 stretch): AvailableNow file
     stream -> foreachBatch batch-encode with resume semantics -> decode ->
@@ -946,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine surface (SURVEY.md §2.B)
         "enc_roundtrip_documents": enc_roundtrip_documents,
         "enc_roundtrip_embeddings": enc_roundtrip_embeddings,
+        "enc_roundtrip_events_struct": enc_roundtrip_events_struct,
         "enc_codec_report": enc_codec_report,
         "enc_corpus_demo": enc_corpus_demo,
         # reference capability (SURVEY.md §2.A)
@@ -1193,6 +1222,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "enc_roundtrip_embeddings": """
             SELECT COUNT(*) AS n, COUNT(*) AS n_vec_match FROM embeddings
+        """,
+        "enc_roundtrip_events_struct": """
+            SELECT COUNT(*) AS n, COUNT(*) AS n_struct_match,
+                   COUNT(*) AS n_map_match
+            FROM events
         """,
         "knn_bruteforce": """
             SELECT q_id, rank, vec_id FROM (

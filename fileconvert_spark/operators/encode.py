@@ -79,6 +79,25 @@ _TS_RE = _RE.compile(r"^timestamp\[(s|ms|us|ns)(?:, tz=(.+))?\]$")
 _DEC_RE = _RE.compile(r"^decimal128\((\d+), (\d+)\)$")
 # field name varies by producer: pyarrow says "item", Spark "element"
 _LIST_RE = _RE.compile(r"^(?:large_)?list<\w+: (.+)>$")
+_STRUCT_RE = _RE.compile(r"^struct<(.*)>$")
+_MAP_RE = _RE.compile(r"^map<(.+)>$")
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 ('a: int64, b: list<...>')."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def _type_from_str(name: str) -> pa.DataType:
@@ -96,6 +115,17 @@ def _type_from_str(name: str) -> pa.DataType:
     m = _LIST_RE.match(name)
     if m:
         return pa.list_(_type_from_str(m.group(1)))  # recursive (list<list<..>>)
+    m = _STRUCT_RE.match(name)
+    if m:
+        fields = []
+        for part in _split_top_level(m.group(1)):
+            fname, ftype = part.split(": ", 1)
+            fields.append(pa.field(fname, _type_from_str(ftype)))
+        return pa.struct(fields)
+    m = _MAP_RE.match(name)
+    if m:
+        kt, vt = _split_top_level(m.group(1))
+        return pa.map_(_type_from_str(kt), _type_from_str(vt))
     raise NotImplementedError(f"unsupported column type for decode: {name}")
 
 
@@ -312,6 +342,57 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         codec = f"list[{cf['codec']}]"
         raw_bytes = int(cf["raw_bytes"]) + 4 * n
         sha = hashlib.sha256(payload).digest()
+    elif pa.types.is_struct(t):
+        _type_from_str(orig_type)  # fail fast on unsupported field types
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        frames: list[bytes] = []
+        fmeta: list[dict] = []
+        raw_bytes = 0
+        for i in range(t.num_fields):
+            fname = t.field(i).name
+            cf = encode_column(
+                clean.field(i),
+                cache_key=f"{cache_key}.{fname}" if cache_key else None)
+            frames += [cf["payload"], cf["dict"] or b"",
+                       cf["validity"] or b""]
+            fmeta.append({"nm": fname, "cc": cf["codec"], "cm": cf["meta"],
+                          "cn": int(cf["n_rows"]),
+                          "cd": cf["dict"] is not None,
+                          "cv": cf["validity"] is not None})
+            raw_bytes += int(cf["raw_bytes"])
+        payload = _pack_frames(*frames)
+        dict_blob = None
+        meta = {"vt": "struct", "fs": fmeta}
+        codec = "struct"
+        sha = hashlib.sha256(payload).digest()
+    elif pa.types.is_map(t):
+        _type_from_str(orig_type)  # fail fast on unsupported key/value types
+        if not isinstance(clean, pa.Array):
+            clean = clean.combine_chunks()
+        # offsets are contiguous per the Arrow spec (row i spans exactly
+        # [offsets[i], offsets[i+1])), so per-row lengths are diff(offsets)
+        # and the live entries are one child slice
+        offs = np.frombuffer(clean.buffers()[1], dtype=np.int32,
+                             count=len(clean) + 1, offset=clean.offset * 4)
+        lengths = np.diff(offs).astype(np.int64)
+        total = int(offs[-1] - offs[0])
+        entries = pa.StructArray.from_arrays(
+            [clean.keys.slice(offs[0], total),
+             clean.items.slice(offs[0], total)],
+            ["key", "value"])
+        lc, lp, _ld, lm = codecs.select_and_encode_int(lengths)
+        cf = encode_column(entries,
+                           cache_key=f"{cache_key}.entries" if cache_key else None)
+        payload = _pack_frames(lp, cf["payload"], cf["dict"] or b"",
+                               cf["validity"] or b"")
+        dict_blob = None
+        meta = {"vt": "map", "lc": lc, "lm": lm,
+                "cc": cf["codec"], "cm": cf["meta"], "cn": int(cf["n_rows"]),
+                "cd": cf["dict"] is not None, "cv": cf["validity"] is not None}
+        codec = "map"
+        raw_bytes = int(cf["raw_bytes"]) + 4 * n
+        sha = hashlib.sha256(payload).digest()
     else:
         _type_from_str(orig_type)  # fail fast on unsupported column types
         vals, adapter = _as_int64(clean)
@@ -380,6 +461,33 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
         ).astype(np.int32)
         clean = pa.ListArray.from_arrays(
             pa.array(offs, type=pa.int32()), child)
+    elif meta["vt"] == "struct":
+        fs = meta["fs"]
+        blobs = _unpack_frames(payload, 3 * len(fs))
+        arrays = []
+        for i, fm in enumerate(fs):
+            p_, d_, v_ = blobs[3 * i : 3 * i + 3]
+            a = decode_column(fm["cc"], p_, d_ if fm["cd"] else None,
+                              fm["cm"], int(fm["cn"]),
+                              v_ if fm["cv"] else None)
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            arrays.append(a)
+        clean = pa.StructArray.from_arrays(arrays, [fm["nm"] for fm in fs])
+    elif meta["vt"] == "map":
+        lp, cp, cd, cv = _unpack_frames(payload, 4)
+        lengths = codecs.decode_int(meta["lc"], lp, None, meta["lm"], n_valid)
+        entries = decode_column(
+            meta["cc"], cp, cd if meta["cd"] else None, meta["cm"],
+            int(meta["cn"]), cv if meta["cv"] else None)
+        if isinstance(entries, pa.ChunkedArray):
+            entries = entries.combine_chunks()
+        offs = np.concatenate(
+            [[0], np.cumsum(np.asarray(lengths, dtype=np.int64))]
+        ).astype(np.int32)
+        clean = pa.MapArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            entries.field(0), entries.field(1))
     else:
         vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
         clean = _from_int64(vals, meta.get("ad", "i"), orig_type)
@@ -512,30 +620,41 @@ def encode_df(df, chunk_rows: int = DEFAULT_CHUNK_ROWS,
 def decode_df(enc_df, src_schema):
     """enc DataFrame -> original DataFrame (bit-identical values).
 
-    One shuffle of compressed bytes, grouped by (part_id, chunk_id);
-    ``src_schema`` is the Spark schema of the original table.
+    One shuffle of compressed bytes co-locating each (part_id, chunk_id)
+    group, then a narrow Arrow-native kernel: enc rows of a chunk are
+    buffered per key until the partition iterator ends (a chunk's rows
+    always share a partition after the repartition) and decoded straight
+    to Arrow record batches — no pandas on the decode path, so every
+    Arrow type the codecs support (incl. struct/map/list) flows through.
     """
     column_order = [f.name for f in src_schema.fields]
 
-    def decode_group(pdf):
-        import pandas as pd
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        groups: dict[tuple[int, int], dict[str, dict]] = {}
+        expected = len(column_order)
 
-        arrays = {}
-        for _, row in pdf.iterrows():
-            arr = decode_column(
-                row["codec"], bytes(row["payload"]),
-                bytes(row["dict"]) if row["dict"] is not None else None,
-                row["meta"], int(row["n_rows"]),
-                bytes(row["validity"]) if row["validity"] is not None else None,
-            )
-            arrays[row["column"]] = arr
-        tbl = pa.Table.from_arrays([arrays[c] for c in column_order],
-                                   names=column_order)
-        # ArrowDtype keeps nullable int64 exact (plain to_pandas would
-        # promote int64-with-null to float64, corrupting values > 2^53)
-        return tbl.to_pandas(types_mapper=pd.ArrowDtype)
+        def build(cols: dict[str, dict]) -> pa.RecordBatch:
+            arrays = []
+            for c in column_order:
+                row = cols[c]
+                a = decode_column(row["codec"], row["payload"], row["dict"],
+                                  row["meta"], row["n_rows"], row["validity"])
+                if isinstance(a, pa.ChunkedArray):
+                    a = a.combine_chunks()
+                arrays.append(a)
+            return pa.RecordBatch.from_arrays(arrays, names=column_order)
+
+        for b in batches:
+            for row in b.to_pylist():  # few rows per batch; blobs copy once
+                key = (row["part_id"], row["chunk_id"])
+                cols = groups.setdefault(key, {})
+                cols[row["column"]] = row
+                if len(cols) == expected:  # chunk complete -> emit eagerly
+                    yield build(groups.pop(key))
+        for cols in groups.values():  # defensive: partial chunks at end
+            yield build(cols)
 
     return (
-        enc_df.groupBy("part_id", "chunk_id")
-        .applyInPandas(decode_group, schema=src_schema)
+        enc_df.repartition("part_id", "chunk_id")
+        .mapInArrow(decode_partition, schema=src_schema)
     )

@@ -340,3 +340,34 @@ def test_list_columns_roundtrip_job(spark, tmp_path):
         .alias("tags_ok"),
     ).collect()[0]
     assert row["n"] == row["vec_ok"] == row["tags_ok"] == 2000
+
+
+def test_struct_map_columns_roundtrip_job(spark, tmp_path):
+    """struct and map columns round-trip through the full encode_table /
+    decode_table job (recursive nested codec)."""
+    rows = [
+        (i,
+         (i * 2, f"name{i % 5}", None if i % 4 == 0 else float(i)),
+         {f"k{j}": f"v{i}_{j}" for j in range(i % 3)})
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id long, st struct<a: long, b: string, c: double>, "
+        "mp map<string, string>",
+    )
+    out = str(tmp_path / "enc_nested")
+    encode_table(spark, df, out, n_buckets=4, key_col="id", salt_cols=(),
+                 weight_col="id")
+    dec = decode_table(spark, out)
+    assert dict(dec.dtypes) == dict(df.dtypes)
+    o, d = df.alias("o"), dec.alias("d")
+    row = o.join(d, F.col("o.id") == F.col("d.id"), "full_outer").agg(
+        F.count(F.col("o.id")).alias("n"),
+        F.sum(F.col("o.st").eqNullSafe(F.col("d.st")).cast("long"))
+        .alias("st_ok"),
+        F.sum(F.map_entries(F.col("o.mp"))
+              .eqNullSafe(F.map_entries(F.col("d.mp"))).cast("long"))
+        .alias("mp_ok"),
+    ).collect()[0]
+    assert row["n"] == row["st_ok"] == row["mp_ok"] == 1500
