@@ -103,6 +103,10 @@ def main() -> None:
     corpus.unpersist()
     spark.catalog.clearCache()
 
+    # single-core kernel micro-throughputs (min-of-3 warm) — the dedup/FSST
+    # hot paths the round-1 verdict flagged; tracked per round
+    extras.update(_kernel_micro_bench())
+
     qmap = E.queries()
     for name in [
         "q1_pricing_summary",
@@ -112,9 +116,12 @@ def main() -> None:
         "window_lag_runs",
         "dedup_exact_docs",
         "dedup_minhash_docs",
+        "dedup_cluster_embeddings",
+        "boilerplate_ngrams_docs",
         "knn_bruteforce",
         "stream_window_counts",
         "enc_roundtrip_documents",
+        "enc_roundtrip_embeddings",
     ]:
         t0 = time.time()
         df = qmap[name](spark, sf_dir)
@@ -134,6 +141,47 @@ def main() -> None:
     }
     print(json.dumps(out))
     spark.stop()
+
+
+def _kernel_micro_bench() -> dict:
+    """Single-core MB/s of the signature/FSST kernels (min-of-3 warm)."""
+    import numpy as np
+
+    from fileconvert_spark.corpus import make_codefiles
+    from fileconvert_spark.functions import fsst, similarity as sim
+
+    rng = np.random.Generator(np.random.PCG64(1))
+    docs = [" ".join(f"w{rng.integers(0, 50000)}" for _ in range(400))
+            for _ in range(1000)]
+    nb = sum(len(d.encode()) for d in docs)
+
+    def best(fn):
+        b = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            b = min(b, time.time() - t0)
+        return b
+
+    out = {
+        "minhash_mb_s": round(nb / best(
+            lambda: sim.minhash_signatures(docs, 32)) / 1e6, 1),
+        "simhash_mb_s": round(nb / best(
+            lambda: sim.simhash64_batch(docs)) / 1e6, 1),
+    }
+    import pyarrow as pa
+
+    df = make_codefiles(30000)
+    arr = pa.array(df["path"].tolist(), type=pa.string())
+    offs = __import__("numpy").frombuffer(
+        arr.buffers()[1], dtype="int32", count=len(arr) + 1)
+    raw = int(offs[-1])
+    buf = arr.buffers()[2].to_pybytes()
+    table = fsst.train(buf[:16384],
+                       lengths=__import__("numpy").diff(offs))
+    out["fsst_path_mb_s"] = round(raw / best(
+        lambda: fsst.fsst_encode_array(arr, table)) / 1e6, 1)
+    return out
 
 
 def _warm_fn(batches):
