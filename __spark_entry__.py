@@ -479,6 +479,30 @@ def boilerplate_ngrams_docs(spark, sf_dir):
     return boilerplate_ngrams(d, n=8, min_docs=2, top_k=10)
 
 
+def dedup_near_pipeline(spark, sf_dir):
+    """Full near-dup dedup pipeline: MinHash-LSH candidate pairs ->
+    jaccard-verified edges -> connected components -> drop non-keepers ->
+    per-language survivor stats. Rows-only (MinHash signatures are not
+    SQL-expressible); the composition itself is the point: every stage is
+    a bounded-shuffle DataFrame op."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import (
+        connected_components, minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", jaccard_threshold=0.5)
+    comp = connected_components(pairs)
+    dropped = comp.filter(F.col("id") != F.col("component"))
+    kept = d.join(dropped, d.doc_id == dropped.id, "left_anti")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
 def dedup_cluster_embeddings(spark, sf_dir):
     """Near-dup keeper selection: connected components (min-label
     propagation) over the cosine>=0.5 embedding pair graph ->
@@ -985,6 +1009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs": dedup_simhash_docs,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "dedup_cluster_embeddings": dedup_cluster_embeddings,
+        "dedup_near_pipeline": dedup_near_pipeline,
         "dataset_split_counts": dataset_split_counts,
         "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
         "knn_bruteforce": knn_bruteforce,

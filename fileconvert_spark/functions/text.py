@@ -122,7 +122,7 @@ def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
     pairs = df.select(
         F.col(id_col),
         F.explode(word_ngram_col(F.col(text_col), n)).alias("ngram"),
-    ).distinct()
+    )
     return (
         pairs.groupBy("ngram")
         .agg(F.countDistinct(id_col).alias("n_docs"))

@@ -52,6 +52,7 @@ def get_spark(
         # content rows are KBs; cap Arrow batches by bytes, not just rows,
         # so the JVM<->Python Arrow IPC boundary streams bounded batches.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
