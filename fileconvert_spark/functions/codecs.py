@@ -199,27 +199,58 @@ def dec_fsst_str(payload, dict_blob, meta, n):
     return fsst.fsst_decode_array(payload, bytes(dict_blob))
 
 
-def enc_linedict_str(arr: pa.Array, cache=None, cache_key=None):
-    """Dictionary over text *lines*: split rows on '\\n', dict-encode the
-    flattened lines, bit-pack per-row line counts + line indices; the unique
-    line dictionary is itself FSST- or raw-encoded (whichever is smaller).
-    Exact reconstruction via join('\\n'), including trailing/CRLF content.
-    """
+def _sepdict_prepare(arr: pa.Array, sep: str) -> dict:
+    """Split rows on ``sep`` + dictionary-encode the segments (the shared
+    prep for both the exact size estimate and the actual encode)."""
     if pa.types.is_large_string(arr.type):
         arr = arr.cast(pa.string())
-    lines = pc.split_pattern(arr, "\n")
+    lines = pc.split_pattern(arr, sep)
     flat = lines.values if isinstance(lines, pa.ListArray) else lines.combine_chunks().values
     list_offs = np.frombuffer(lines.buffers()[1], dtype=np.int32,
                               count=len(arr) + 1, offset=lines.offset * 4)
     counts = np.diff(list_offs).astype(np.uint64)
-    de = pc.dictionary_encode(flat)
+    return {"counts": counts, "de": pc.dictionary_encode(flat),
+            "nl": int(len(flat)), "sep": sep}
+
+
+def enc_linedict_str(arr: pa.Array, cache=None, cache_key=None,
+                     sep: str = "\n", pre: dict | None = None):
+    """Dictionary over text *segments*: split rows on ``sep``, dict-encode
+    the flattened segments, bit-pack per-row segment counts + indices; the
+    unique segment dictionary is itself FSST- or raw-encoded (whichever is
+    smaller). Exact reconstruction via join(sep), including trailing/CRLF
+    content. sep='\\n' is the multi-line-text codec ("linedict");
+    sep='/' targets path-like columns ("pathdict") whose components are
+    low-cardinality even when whole paths are unique. ``pre``: reuse a
+    _sepdict_prepare result (the selection trial already paid for it).
+    """
+    if pre is None:
+        pre = _sepdict_prepare(arr, sep)
+    if "payload" not in pre:
+        _sepdict_pack(pre)
+    payload = pre["payload"]
+    dict_blob = _flagged_blob_encode(pre["uniques"], cache, cache_key)
+    meta = {"k": pre["k"], "nl": pre["nl"]}
+    if sep != "\n":
+        meta["sep"] = sep
+    return payload, dict_blob, meta
+
+
+def _sepdict_pack(pre: dict) -> None:
+    """Build the exact index/count payload for a _sepdict_prepare result
+    (shared by the selection estimate and the winner's encode)."""
+    de = pre["de"]
     idx = de.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
     k = len(de.dictionary)
     ranked, order = freq_remap(idx, k) if k else (idx, np.arange(0))
-    uniques = de.dictionary.take(pa.array(order)) if k else de.dictionary
-    payload = pack_uints_auto(counts) + pack_uints_auto(ranked)
-    dict_blob = _flagged_blob_encode(uniques, cache, cache_key)
-    return payload, dict_blob, {"k": k, "nl": int(len(flat))}
+    pre["uniques"] = de.dictionary.take(pa.array(order)) if k else de.dictionary
+    pre["payload"] = pack_uints_auto(pre["counts"]) + pack_uints_auto(ranked)
+    pre["k"] = k
+
+
+def enc_pathdict_str(arr: pa.Array, cache=None, cache_key=None,
+                     pre: dict | None = None):
+    return enc_linedict_str(arr, cache, cache_key, sep="/", pre=pre)
 
 
 def dec_linedict_str(payload, dict_blob, meta, n):
@@ -231,7 +262,7 @@ def dec_linedict_str(payload, dict_blob, meta, n):
     offs = np.zeros(n + 1, dtype=np.int32)
     offs[1:] = np.cumsum(counts).astype(np.int32)
     lst = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()), values)
-    return pc.binary_join(lst, "\n")
+    return pc.binary_join(lst, meta.get("sep", "\n"))
 
 
 # --------------------------------------------------------------------------
@@ -338,6 +369,7 @@ STR_CODECS = {
     "rle": (enc_rle_str, dec_rle_str),
     "fsst": (enc_fsst_str, dec_fsst_str),
     "linedict": (enc_linedict_str, dec_linedict_str),
+    "pathdict": (enc_pathdict_str, dec_linedict_str),
 }
 
 INT_CODECS = {
@@ -396,24 +428,40 @@ def select_and_encode_str(arr: pa.Array,
             np.concatenate([[True], np.diff(de.indices.to_numpy(zero_copy_only=False)) != 0])))
         _, rv_bytes = _string_buffers(rv)
         est["rle"] = packed_size(runs, 32) + rv_bytes * 0.9 + runs * 2 + 24
-    # linedict: only for multi-line text; train-free sample estimate
-    # (split + dictionary_encode are C++; no FSST training in the trial)
-    if allow_linedict and st["avg_len"] >= 40:
-        step = max(1, n // _EST_SAMPLE_ROWS)
-        sample = arr.take(np.arange(0, n, step))
-        _, sample_bytes = _string_buffers(sample)
-        if sample_bytes > 0:
-            lines = pc.split_pattern(sample, "\n")
-            flat = lines.values
-            sde = pc.dictionary_encode(flat)
-            _, uniq_bytes = _string_buffers(sde.dictionary)
-            n_idx = len(flat)
-            kk = max(len(sde.dictionary), 1)
-            idx_bits = packed_size(n_idx, bitwidth_for(kk - 1))
-            blob = uniq_bytes * (0.7 if uniq_bytes >= _FSST_BLOB_MIN else 1.0) + kk * 2
-            # dict dedup only improves with more rows; sample ratio is an
-            # upper bound on the real ratio
-            est["linedict"] = (idx_bits + blob) / sample_bytes * n_bytes
+    # linedict/pathdict: EXACT segment-dictionary sizing on the full chunk
+    # (split + dictionary_encode are cheap C++ kernels, and segment-dedup
+    # ratios are dedup-driven — a row sample systematically overestimates
+    # them). The prep is kept and reused by the winner's actual encode.
+    pre_by_codec: dict[str, dict] = {}
+
+    def _sepdict_est(sep: str, name: str) -> float:
+        pre = _sepdict_prepare(arr, sep)
+        _sepdict_pack(pre)  # exact index/count payload, kept for the winner
+        pre_by_codec[name] = pre
+        _, uniq_bytes = _string_buffers(pre["uniques"])
+        kk = max(pre["k"], 1)
+        if uniq_bytes >= _FSST_BLOB_MIN:
+            # trial-FSST the segment dictionary (same sampling optimism as
+            # the fsst candidate's own estimate, so the comparison is fair)
+            blob_ratio, _tbl = fsst.estimate_ratio(pre["uniques"],
+                                                   _EST_SAMPLE_ROWS)
+            blob = uniq_bytes * min(blob_ratio, 1.0)
+        else:
+            blob = float(uniq_bytes)
+        return len(pre["payload"]) + blob + kk * 2
+
+    if allow_linedict and st["avg_len"] >= 8:
+        # a segment dictionary only beats a whole-value dictionary when
+        # values actually split: require >= 1 separator per value on avg
+        if st["avg_len"] >= 40:
+            n_nl = pc.sum(pc.count_substring(arr, "\n")).as_py() or 0
+            if n_nl >= n:
+                est["linedict"] = _sepdict_est("\n", "linedict")
+        # path-shaped values: '/'-separated components are low-cardinality
+        # even when whole values are unique
+        n_slash = pc.sum(pc.count_substring(arr, "/")).as_py() or 0
+        if n_slash >= n:
+            est["pathdict"] = _sepdict_est("/", "pathdict")
 
     # fsst: trial-encode a sample (only sensible when values are mostly
     # unique); the trial-trained table is reused for the real encode —
@@ -421,7 +469,8 @@ def select_and_encode_str(arr: pa.Array,
     # already estimates below what an FSST table (<=255 symbols of <=8
     # bytes) can realistically reach on text, saving a training pass.
     fsst_table = None
-    linedict_clearly_wins = est.get("linedict", 1e18) < 0.35 * n_bytes
+    linedict_clearly_wins = min(est.get("linedict", 1e18),
+                                est.get("pathdict", 1e18)) < 0.35 * n_bytes
     if k > max(4, n // 16) and st["avg_len"] >= 4 and not linedict_clearly_wins:
         fkey = f"{cache_key}/fsst" if cache_key else None
         cached = cache.get(fkey) if cache and fkey else None
@@ -437,6 +486,8 @@ def select_and_encode_str(arr: pa.Array,
             cache.put(fkey, fsst_table)
         est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
 
+    if __import__("os").environ.get("FCS_DEBUG_EST"):
+        print("est:", {c: int(v) for c, v in est.items()}, flush=True)
     winner = min(est, key=lambda c: est[c])
     if winner == "dict":
         payload, dict_blob, meta = enc_dict_str(arr, de, cache,
@@ -445,7 +496,12 @@ def select_and_encode_str(arr: pa.Array,
         payload, dict_blob, meta = enc_fsst_str(arr, fsst_table)
     elif winner == "linedict":
         payload, dict_blob, meta = enc_linedict_str(
-            arr, cache, f"{cache_key}/ld" if cache_key else None)
+            arr, cache, f"{cache_key}/ld" if cache_key else None,
+            pre=pre_by_codec.get("linedict"))
+    elif winner == "pathdict":
+        payload, dict_blob, meta = enc_pathdict_str(
+            arr, cache, f"{cache_key}/pd" if cache_key else None,
+            pre=pre_by_codec.get("pathdict"))
     else:
         payload, dict_blob, meta = STR_CODECS[winner][0](arr)
     enc_size = len(payload) + (len(dict_blob) if dict_blob else 0)

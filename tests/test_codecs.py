@@ -183,3 +183,32 @@ def test_enc_never_bigger_than_raw_plus_eps():
 def test_fsst_table_roundtrip():
     table = fsst.train(b"hello world hello world abcabcabc")
     assert fsst.deserialize_table(fsst.serialize_table(table)) == table
+
+
+def test_selection_pathdict_for_paths():
+    """Path-like columns (unique values, low-cardinality '/'-separated
+    components) must pick the segment dictionary over FSST."""
+    import pyarrow as pa
+
+    dirs = ["src", "lib", "test", "docs", "pkg"]
+    names = [f"file{i}.py" for i in range(40)]
+    paths = [f"{dirs[i % 5]}/{dirs[(i // 5) % 5]}/mod{i % 97}/{names[i % 40]}"
+             for i in range(5000)]
+    arr = pa.array(paths, type=pa.string())
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec == "pathdict", codec
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr)
+    _, raw = codecs._string_buffers(arr)
+    assert len(payload) + len(dict_blob or b"") < 0.5 * raw
+
+
+def test_pathdict_no_separator_falls_back():
+    """Values without '/' must never pick pathdict (pure overhead)."""
+    import pyarrow as pa
+
+    arr = pa.array([f"{i:040x}" for i in range(3000)], type=pa.string())
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec != "pathdict", codec
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr)

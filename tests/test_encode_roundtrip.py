@@ -371,3 +371,15 @@ def test_struct_map_columns_roundtrip_job(spark, tmp_path):
         .alias("mp_ok"),
     ).collect()[0]
     assert row["n"] == row["st_ok"] == row["mp_ok"] == 1500
+
+
+def test_encode_decode_via_file_uri(spark, corpus_df, tmp_path):
+    """The whole job works when out_dir is a file:// URI — proving the
+    fsio seam end-to-end (a cluster FS would differ only in scheme)."""
+    out = "file://" + str(tmp_path / "enc_uri")
+    s = encode_table(spark, corpus_df, out, n_buckets=4)
+    assert s["n_parts"] >= 1
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+    s2 = encode_table(spark, corpus_df, out, n_buckets=4)
+    assert s2["parts_skipped_resume"] == s["n_parts"]  # resume through URI

@@ -322,3 +322,37 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     assert top, "shared header must surface"
     assert all(r["n_docs"] == 20 for r in top)
     assert any("copyright acme corp" in r["ngram"] for r in top)
+
+
+def test_csv_tsv_options_roundtrip(spark, tmp_path):
+    """A1/A5/A7: TSV (custom sep) with a custom null token and embedded
+    newlines/quotes round-trips; NULL vs quoted-empty stays distinct."""
+    from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
+
+    rows = [
+        (1, "plain", 1.5),
+        (2, None, None),
+        (3, "", 0.0),
+        (4, "multi\nline \"quoted\"", -2.25),
+        (5, "tab\there", 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, txt string, x double")
+    src = str(tmp_path / "src.parquet")
+    df.write.parquet(src)
+    tsv_dir = str(tmp_path / "tsv")
+    pq_dir = str(tmp_path / "back")
+    parquet2csv(spark, src, tsv_dir, sep="\t", null_value="\\N")
+    back = csv2parquet(spark, tsv_dir, pq_dir, sep="\t", null_value="\\N",
+                       schema=df.schema)
+    o, b = df.alias("o"), back.alias("b")
+    bad = (
+        o.join(b, F.col("o.id") == F.col("b.id"), "full_outer")
+        .filter(~F.col("o.txt").eqNullSafe(F.col("b.txt"))
+                | ~F.col("o.x").eqNullSafe(F.col("b.x")))
+        .count()
+    )
+    assert bad == 0
+    assert back.count() == 5
+    # NULL and "" must be distinguishable after the round trip
+    vals = {r["id"]: r["txt"] for r in back.collect()}
+    assert vals[2] is None and vals[3] == ""
