@@ -48,6 +48,7 @@ from .bitpack import (
 # dict-blob flag bytes: how a string dictionary payload is itself encoded
 _BLOB_RAW = 0
 _BLOB_FSST = 1
+_BLOB_HEX = 2
 
 # try FSST on dictionary blobs above this size: below it the absolute
 # savings (~1-2 KB) never repay a symbol-table training pass
@@ -95,6 +96,13 @@ class FsstTableCache:
 def _flagged_blob_encode(arr: pa.Array, cache: FsstTableCache | None = None,
                          cache_key: str | None = None) -> bytes:
     raw = str_blob_encode(arr)
+    # hash-like value sets (hex) pack at exactly 2 chars/byte — better and
+    # far cheaper than FSST on incompressible-to-FSST hex digits
+    if len(raw) >= 64 and _hex_eligible(arr):
+        payload, _none, hmeta = enc_hex_str(arr)
+        hx = bytes([1 if hmeta.get("hc") == "up" else 0]) + payload
+        if len(hx) < len(raw):
+            return bytes([_BLOB_HEX]) + hx
     if len(raw) >= _FSST_BLOB_MIN:
         table = cache.get(cache_key) if cache and cache_key else None
         payload, table_blob = fsst.fsst_encode_array(arr, table)
@@ -121,6 +129,10 @@ def _flagged_blob_decode(blob: bytes | memoryview) -> pa.Array:
     body = blob[1:]
     if flag == _BLOB_RAW:
         return str_blob_decode(body)
+    if flag == _BLOB_HEX:
+        meta = {"hc": "up" if body[0] else "lo"}
+        half_lens, consumed = unpack_uints_framed(body[1:])
+        return dec_hex_str(bytes(body[1:]), None, meta, len(half_lens))
     tlen = U32.unpack_from(body, 0)[0]
     table_blob = bytes(body[4 : 4 + tlen])
     return fsst.fsst_decode_array(body[4 + tlen :], table_blob)
@@ -146,6 +158,61 @@ def enc_raw_str(arr: pa.Array):
 
 def dec_raw_str(payload, dict_blob, meta, n):
     return str_blob_decode(payload)
+
+
+# hex-pack: ascii hex digit -> nibble (lowercase table, uppercase table)
+_HEX_LUT_LO = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"0123456789abcdef"):
+    _HEX_LUT_LO[_c] = _i
+_HEX_LUT_UP = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate(b"0123456789ABCDEF"):
+    _HEX_LUT_UP[_c] = _i
+_HEX_CHARS_LO = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+_HEX_CHARS_UP = np.frombuffer(b"0123456789ABCDEF", dtype=np.uint8)
+
+
+def _hex_eligible(arr: pa.Array) -> bool:
+    """True iff EVERY value is even-length single-case hex (exact check —
+    a single mismatching value disqualifies the whole chunk)."""
+    lengths, nb = _string_buffers(arr)
+    if nb == 0 or (lengths % 2).any():
+        return False
+    if bool(pc.all(pc.match_substring_regex(arr, r"^[0-9a-f]*$")).as_py()):
+        return True
+    return bool(pc.all(pc.match_substring_regex(arr, r"^[0-9A-F]*$")).as_py())
+
+
+def enc_hex_str(arr: pa.Array):
+    """Pack single-case even-length hex strings at 2 chars/byte (hash-like
+    columns: commits, digests). Caller guarantees eligibility via
+    _hex_eligible; decode restores the exact original characters."""
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    lengths, nb = _string_buffers(arr)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                            count=len(arr) + 1, offset=arr.offset * 4)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8,
+                         count=nb, offset=int(offsets[0]))
+    up = bool(((data >= ord("A")) & (data <= ord("F"))).any())
+    lut = _HEX_LUT_UP if up else _HEX_LUT_LO
+    nib = lut[data]
+    packed = ((nib[0::2] << np.uint8(4)) | nib[1::2]).tobytes()
+    payload = pack_uints_framed((lengths // 2).astype(np.uint64)) + packed
+    return payload, None, {"hc": "up" if up else "lo"}
+
+
+def dec_hex_str(payload, dict_blob, meta, n):
+    buf = memoryview(payload)
+    half_lens, consumed = unpack_uints_framed(buf)
+    packed = np.frombuffer(buf[consumed:], dtype=np.uint8)
+    chars = _HEX_CHARS_UP if meta.get("hc") == "up" else _HEX_CHARS_LO
+    out = np.empty(packed.size * 2, dtype=np.uint8)
+    out[0::2] = chars[packed >> np.uint8(4)]
+    out[1::2] = chars[packed & np.uint8(0x0F)]
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(half_lens.astype(np.int64) * 2, out=offsets[1:])
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(out.tobytes()))
 
 
 def enc_dict_str(arr: pa.Array, de: pa.Array | None = None,
@@ -370,6 +437,7 @@ STR_CODECS = {
     "fsst": (enc_fsst_str, dec_fsst_str),
     "linedict": (enc_linedict_str, dec_linedict_str),
     "pathdict": (enc_pathdict_str, dec_linedict_str),
+    "hex": (enc_hex_str, dec_hex_str),
 }
 
 INT_CODECS = {
@@ -462,6 +530,14 @@ def select_and_encode_str(arr: pa.Array,
         n_slash = pc.sum(pc.count_substring(arr, "/")).as_py() or 0
         if n_slash >= n:
             est["pathdict"] = _sepdict_est("/", "pathdict")
+
+    # hex-pack: hash-like columns (commits, digests) — 2 chars/byte exact.
+    # Sample-gate the (cheap) full regex check to hex-looking data only.
+    if st["avg_len"] >= 4 and k > n // 4:
+        probe = arr.slice(0, min(n, 8))
+        if _hex_eligible(probe) and _hex_eligible(arr):
+            _, hx_bytes = _string_buffers(arr)
+            est["hex"] = hx_bytes / 2 + packed_size(n, 8) + 16
 
     # fsst: trial-encode a sample (only sensible when values are mostly
     # unique); the trial-trained table is reused for the real encode —

@@ -65,6 +65,9 @@ def test_str_blob_roundtrip():
 @pytest.mark.parametrize("case", list(STR_CASES))
 def test_str_codec_roundtrip(codec, case):
     arr = pa.array(STR_CASES[case], type=pa.string())
+    if codec == "hex" and not codecs._hex_eligible(arr):
+        pytest.skip("hex codec requires even-length single-case hex values; "
+                    "selection only picks it after _hex_eligible")
     enc, dec = codecs.STR_CODECS[codec]
     payload, dict_blob, meta = enc(arr)
     out = dec(payload, dict_blob, meta, len(arr))
@@ -210,5 +213,52 @@ def test_pathdict_no_separator_falls_back():
     arr = pa.array([f"{i:040x}" for i in range(3000)], type=pa.string())
     codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
     assert codec != "pathdict", codec
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr)
+
+
+def test_hex_codec_roundtrip_and_selection():
+    """Hash-like columns: unique hex strings pick the hex codec at exactly
+    2 chars/byte; mixed case or odd lengths fall back."""
+    import hashlib
+
+    import pyarrow as pa
+
+    vals = [hashlib.sha1(str(i).encode()).hexdigest() for i in range(3000)]
+    arr = pa.array(vals, type=pa.string())
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec == "hex", codec
+    out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
+    assert out.cast(pa.string()).equals(arr)
+    _, raw = codecs._string_buffers(arr)
+    assert len(payload) < 0.6 * raw
+
+    # uppercase variant
+    arr_up = pa.array([v.upper() for v in vals[:500]], type=pa.string())
+    c2, p2, d2, m2 = codecs.select_and_encode_str(arr_up)
+    out2 = codecs.decode_str(c2, p2, d2, m2, len(arr_up))
+    assert out2.cast(pa.string()).equals(arr_up)
+
+    # a single non-hex value disqualifies the chunk, roundtrip still exact
+    dirty = pa.array(vals[:100] + ["not-hex!"], type=pa.string())
+    c3, p3, d3, m3 = codecs.select_and_encode_str(dirty)
+    assert c3 != "hex"
+    out3 = codecs.decode_str(c3, p3, d3, m3, len(dirty))
+    assert out3.cast(pa.string()).equals(dirty)
+
+
+def test_hex_blob_inside_dict_codec():
+    """Repeated hex values: dict wins, and the unique-value blob hex-packs
+    (commits: few uniques, many references)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    uniq = [hashlib.sha1(str(i).encode()).hexdigest() for i in range(200)]
+    vals = [uniq[i % 200] for i in range(20000)]
+    arr = pa.array(vals, type=pa.string())
+    codec, payload, dict_blob, meta = codecs.select_and_encode_str(arr)
+    assert codec == "dict", codec
+    assert dict_blob[0] == 2  # _BLOB_HEX
     out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
     assert out.cast(pa.string()).equals(arr)
