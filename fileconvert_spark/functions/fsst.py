@@ -9,11 +9,14 @@ greedy longest-match with code 255 reserved as a one-byte escape for bytes
 not covered by the table. Each string is encoded independently (no token
 spans a string boundary), preserving FSST's per-string random access.
 
-Hot path is vectorized: candidate matches for all positions are found by
-building little-endian uint64 window keys and binary-searching the per-length
-symbol key sets; only the final greedy scan (one step per emitted token) is a
-Python loop, bounded by the compressed output size. Training is bounded by
-``SAMPLE_BYTES`` so its cost is constant per chunk.
+Hot path is vectorized end-to-end: symbol lookups are O(1) gathers
+(direct LUTs for 1-2 byte symbols, open-addressed hash tables for 3-8,
+keyed by little-endian uint64 window keys), and the greedy parse is a
+pointer walk with no per-token Python — cursor rounds advance every live
+string one token at a time while many strings are live, and the skewed
+tail switches to per-string slice matching + pointer-doubling chain
+enumeration. Training is bounded by ``SAMPLE_BYTES`` so its cost is
+constant per chunk.
 
 Capability parity note: the reference (renesugar/FileConvert, see SURVEY.md
 §0 — empty checkout, cited via BASELINE.json line 6) delegates string
@@ -157,6 +160,8 @@ def _sym_key(s: bytes) -> int:
 
 
 _HASH_BITS = 14  # 16384-slot tables for symbols of length >= 3
+_TAIL_SWITCH = 256  # live strings below this -> per-string tail (the
+                    # per-round NumPy overhead stops amortizing)
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -298,7 +303,7 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
     # amortize per-round NumPy overhead (skewed lengths shrink it), each
     # remaining string switches to precomputed matching over its own slice
     # + pointer-doubling chain enumeration (O(log tokens) rounds).
-    while cur.size >= 16:
+    while cur.size >= _TAIL_SWITCH:
         m = cur.size
         bl = np.zeros(m, dtype=np.int64)
         bc = np.full(m, ESCAPE, dtype=np.uint8)
