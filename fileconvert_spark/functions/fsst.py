@@ -199,20 +199,22 @@ def _build_match_tables(table: list[bytes]):
 
 
 def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
-                         table: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+                         table: list[bytes],
+                         tables=None) -> tuple[np.ndarray, np.ndarray]:
     """For every buffer position: (longest matching symbol len, its code).
 
     Matches never cross string boundaries (``lengths`` = per-string byte
     lengths of the concatenated buffer). All lookups are O(1) gathers —
     direct LUTs for 1-2 byte symbols, hashed tables for 3-8 (see
-    _build_match_tables).
+    _build_match_tables). ``tables``: pass a prebuilt _build_match_tables
+    result when calling repeatedly for the same symbol table.
     """
     n = len(buf)
     bestlen = np.zeros(n, dtype=np.int64)
     bestcode = np.zeros(n, dtype=np.uint8)
     if n == 0 or not table:
         return bestlen, bestcode
-    lut1, lut2, hashed = _build_match_tables(table)
+    lut1, lut2, hashed = tables if tables is not None else _build_match_tables(table)
     # distance to end of the containing string, per position
     ends = np.cumsum(lengths.astype(np.int64))
     dist = np.repeat(ends, lengths) - np.arange(n, dtype=np.int64)
@@ -347,7 +349,8 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
         m = e - c
         sub = arr[c:e]
         bl_s, bc_s = _match_all_positions(
-            sub, np.array([m], dtype=np.int64), table)
+            sub, np.array([m], dtype=np.int64), table,
+            tables=(lut1, lut2, hashed))
         ptr = np.empty(m + 1, dtype=np.int64)
         ptr[:m] = np.arange(m, dtype=np.int64) + np.maximum(bl_s, 1)
         ptr[m] = m  # absorbing terminal
