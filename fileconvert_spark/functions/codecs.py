@@ -97,8 +97,10 @@ def _flagged_blob_encode(arr: pa.Array, cache: FsstTableCache | None = None,
                          cache_key: str | None = None) -> bytes:
     raw = str_blob_encode(arr)
     # hash-like value sets (hex) pack at exactly 2 chars/byte — better and
-    # far cheaper than FSST on incompressible-to-FSST hex digits
-    if len(raw) >= 64 and _hex_eligible(arr):
+    # far cheaper than FSST on incompressible-to-FSST hex digits.
+    # (probe a few values first so non-hex blobs skip the full regex pass)
+    if (len(raw) >= 64 and _hex_eligible(arr.slice(0, min(len(arr), 8)))
+            and _hex_eligible(arr)):
         payload, _none, hmeta = enc_hex_str(arr)
         hx = bytes([1 if hmeta.get("hc") == "up" else 0]) + payload
         if len(hx) < len(raw):

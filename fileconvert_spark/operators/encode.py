@@ -644,8 +644,11 @@ def decode_df(enc_df, src_schema):
                 arrays.append(a)
             return pa.RecordBatch.from_arrays(arrays, names=column_order)
 
+        needed = set(column_order)
         for b in batches:
             for row in b.to_pylist():  # few rows per batch; blobs copy once
+                if row["column"] not in needed:
+                    continue  # decoding a projection of the encoded table
                 key = (row["part_id"], row["chunk_id"])
                 cols = groups.setdefault(key, {})
                 cols[row["column"]] = row
