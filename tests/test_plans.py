@@ -94,3 +94,21 @@ def test_lsh_band_join_carries_no_text(spark):
     for l in p.splitlines():
         if "band_key" in l and "Arguments" in l:
             assert "text" not in l, l
+
+
+def test_grouped_decode_single_exchange(spark):
+    """decode_df must shuffle compressed bytes exactly once (the
+    (part_id, chunk_id) co-location repartition) and decode via
+    mapInArrow — no pandas stages, no extra exchanges."""
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    enc = encode_df(docs, chunk_rows=2048)
+    p = plan_of(decode_df(enc, docs.schema))
+    n_exchanges = sum(
+        1 for l in p.splitlines()
+        if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchanges == 1, p
+    assert "MapInArrow" in p or "mapinarrow" in p.lower()
+    assert "FlatMapGroupsInPandas" not in p
