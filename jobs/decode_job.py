@@ -1,0 +1,51 @@
+"""Cluster entry point: decode an encoded table back to parquet, with an
+optional bit-identity verification against the original source.
+
+    spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
+        jobs/decode_job.py <enc_dir> <out_parquet> [src_parquet]
+
+- <enc_dir>: directory written by jobs/encode_job.py (local path or URI).
+- <out_parquet>: where to write the decoded table.
+- [src_parquet]: if given, verifies the round trip and prints the report —
+  key-join mode when the table has a unique key, order-insensitive
+  multiset-fingerprint mode otherwise (exit code 1 on any mismatch).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 3:
+        print(__doc__, file=sys.stderr)
+        return 2
+    enc_dir, out = argv[1], argv[2]
+    src = argv[3] if len(argv) > 3 else None
+
+    spark = SparkSession.builder.appName("fcs-decode").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from fileconvert_spark.operators.verify import multiset_roundtrip_report
+    from fileconvert_spark.plans.manifest import decode_table
+
+    dec = decode_table(spark, enc_dir)
+    dec.write.mode("overwrite").parquet(out)
+
+    rc = 0
+    if src is not None:
+        src_df = spark.read.parquet(src)
+        report = multiset_roundtrip_report(
+            src_df, spark.read.parquet(out)).collect()[0].asDict()
+        print(json.dumps({k: (str(v) if not isinstance(v, (int, bool)) else v)
+                          for k, v in report.items()}))
+        rc = 0 if report["fingerprint_match"] else 1
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
