@@ -528,10 +528,22 @@ def select_and_encode_str(arr: pa.Array,
             if n_nl >= n:
                 est["linedict"] = _sepdict_est("\n", "linedict")
         # path-shaped values: '/'-separated components are low-cardinality
-        # even when whole values are unique
+        # even when whole values are unique. The exact full-chunk trial is
+        # real work (split + dictionary_encode + pack), so pre-filter
+        # slash-heavy columns whose segments DON'T dedup (URLs with unique
+        # query strings): sample rows, split, and skip the trial only when
+        # the sampled segments are almost all unique — a sample *over*states
+        # uniqueness, so >=0.95 unique in-sample means the full chunk can't
+        # dedup enough for a segment dictionary to win.
         n_slash = pc.sum(pc.count_substring(arr, "/")).as_py() or 0
         if n_slash >= n:
-            est["pathdict"] = _sepdict_est("/", "pathdict")
+            probe = arr.slice(0, min(n, 256))
+            segs = pc.split_pattern(probe, "/")
+            flat = segs.values if isinstance(segs, pa.ListArray) \
+                else segs.combine_chunks().values
+            nseg = len(flat)
+            if nseg == 0 or len(pc.unique(flat)) < 0.95 * nseg:
+                est["pathdict"] = _sepdict_est("/", "pathdict")
 
     # hex-pack: hash-like columns (commits, digests) — 2 chars/byte exact.
     # Sample-gate the (cheap) full regex check to hex-looking data only.
@@ -564,8 +576,6 @@ def select_and_encode_str(arr: pa.Array,
             cache.put(fkey, fsst_table)
         est["fsst"] = ratio * n_bytes + 600 + packed_size(n, 16)
 
-    if __import__("os").environ.get("FCS_DEBUG_EST"):
-        print("est:", {c: int(v) for c, v in est.items()}, flush=True)
     winner = min(est, key=lambda c: est[c])
     if winner == "dict":
         payload, dict_blob, meta = enc_dict_str(arr, de, cache,

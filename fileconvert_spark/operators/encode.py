@@ -654,8 +654,13 @@ def decode_df(enc_df, src_schema):
                 cols[row["column"]] = row
                 if len(cols) == expected:  # chunk complete -> emit eagerly
                     yield build(groups.pop(key))
-        for cols in groups.values():  # defensive: partial chunks at end
-            yield build(cols)
+        for key, cols in groups.items():  # incomplete chunks are corruption
+            missing = needed - set(cols)
+            raise ValueError(
+                f"decode: chunk part_id={key[0]} chunk_id={key[1]} is "
+                f"incomplete — missing encoded columns {sorted(missing)} "
+                f"(have {sorted(cols)}); the manifest and the encoded rows "
+                "disagree (torn write or mixed manifests?)")
 
     return (
         enc_df.repartition("part_id", "chunk_id")
