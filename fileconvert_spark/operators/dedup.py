@@ -167,101 +167,179 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     component = min node id in the cluster. This is the keeper-selection
     step of dedup: keep ``id == component``, drop the rest.
 
-    Scale shape: min-label propagation — per iteration one join+groupBy
-    shuffle keyed on node ids (8-byte rows); iterations ~= graph diameter
-    (near-dup clusters are shallow; capped at ``max_iter``). Each iteration
-    is checkpointed via localCheckpoint to keep the plan from growing.
+    Scale shape: min-label propagation with a pointer-doubling hop — per
+    iteration one join+groupBy shuffle keyed on node ids (8-byte rows) for
+    the neighbor minimum, plus a labels⋈labels self-join that applies
+    label <- label[label], halving long chains so iterations are
+    O(log diameter), not O(diameter). Convergence detection is folded into
+    the frame the iteration already materializes (a ``changed`` flag column
+    counted by one cheap aggregate over the localCheckpoint — no extra join
+    and no extra shuffle). Each iteration is checkpointed to keep the plan
+    from growing.
     """
+    import warnings
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     sym = sym.localCheckpoint()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
+        # pointer doubling: my label's current label (labels is a function,
+        # so the left join yields at most one row per id)
+        hop = labels.select(F.col("id").alias("label"),
+                            F.col("label").alias("hlabel"))
         new_labels = (
             labels.join(neighbor_min, "id", "left")
-            .select("id", F.least("label", F.coalesce("nlabel", "label"))
-                    .alias("label"))
+            .join(hop, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    "label",
+                    F.coalesce("nlabel", "label"),
+                    F.coalesce("hlabel", "label"),
+                ).alias("new_label"),
+                (F.least("label", F.coalesce("nlabel", "label"),
+                         F.coalesce("hlabel", "label"))
+                 < F.col("label")).alias("changed"),
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label")).limit(1).count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.sum(F.col("changed").cast("long")).alias("c")).first()["c"] or 0
+        labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — components may be split; "
+            "raise max_iter for graphs with very long chains", RuntimeWarning)
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def _pairs_within_groups(grouped: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine pairs >= threshold within (ki, kj) comparison groups.
+
+    Input schema: (ki int, kj int, side int, id long, vec array<numeric>).
+    Diagonal groups (ki == kj) hold one copy of each row (side 0) and
+    compare the upper triangle; off-diagonal groups hold side-0 rows from
+    block ki and side-1 rows from block kj and compare the full cross.
+    Each group is ONE dense NumPy matrix product inside applyInPandas —
+    vectorized, Arrow-batched, parallel across the group grid — instead of
+    a catalyst zip_with/aggregate per candidate pair (which planned as a
+    single-task join and evaluated ~n^2 interpreted array expressions).
+    """
+    import numpy as np
+
+    def _mat(col) -> "np.ndarray":
+        m = np.array(col.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return m
+
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ki, kj = int(key[0]), int(key[1])
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["id"].to_numpy()
+        if len(ids_a) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ma = _mat(a["vec"])
+        if ki == kj:
+            if len(ids_a) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = ma @ ma.T
+            iu, ju = np.triu_indices(len(ids_a), k=1)
+            cs = sims[iu, ju]
+            keep = cs >= threshold
+            left, right, cs = ids_a[iu[keep]], ids_a[ju[keep]], cs[keep]
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_b = b["id"].to_numpy()
+            if len(ids_b) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = ma @ _mat(b["vec"]).T
+            ri, ci = np.nonzero(sims >= threshold)
+            left, right, cs = ids_a[ri], ids_b[ci], sims[ri, ci]
+        return pd.DataFrame({
+            "id_a": np.minimum(left, right).astype(np.int64),
+            "id_b": np.maximum(left, right).astype(np.int64),
+            "cosine": cs.astype(np.float64),
+        })
+
+    return grouped.groupBy("ki", "kj").applyInPandas(
+        compute, schema="id_a long, id_b long, cosine double")
 
 
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
                         n_planes: int = 8,
-                        brute_force_below: int = 4096) -> DataFrame:
-    """Cosine near-duplicates via random-hyperplane LSH buckets + exact
-    cosine within buckets. n_planes=8 -> 256 buckets; at 100 TB scale raise
-    n_planes (buckets ~ 2^planes) so bucket joins stay bounded. Inputs
-    smaller than ``brute_force_below`` compare exhaustively (one bucket) —
-    LSH recall (~(1-(theta/pi))^planes per pair) is only worth paying when
-    the cross product is genuinely unaffordable."""
+                        brute_force_below: int = 4096,
+                        n_blocks: int = 8) -> DataFrame:
+    """Cosine near-duplicates: random-hyperplane LSH buckets + exact cosine
+    within buckets (the 100-TB path), or exact blocked all-pairs for inputs
+    below ``brute_force_below`` — LSH recall (~(1-theta/pi)^planes per
+    pair) is only worth paying when the cross product is genuinely
+    unaffordable. Both paths compare via dense per-group NumPy matmuls
+    (see _pairs_within_groups).
+
+    Exact path scale shape: rows hash into ``n_blocks`` blocks; every
+    unordered block pair is one comparison group, so the O(n^2/B^2) matmuls
+    parallelize across B(B+1)/2 tasks and the shuffle replicates each row
+    ~B/2+1 times (vectors only, bounded by choosing B ~ sqrt(tasks wanted)).
+    LSH path: n_planes=8 -> 256 buckets; at 100 TB raise n_planes so bucket
+    groups stay executor-sized (recall falls with planes — re-verify pairs
+    downstream or union multiple plane sets if higher recall is needed).
+    """
     import numpy as np
 
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:  # empty input -> empty pair frame
         return df.sparkSession.createDataFrame(
-            [], f"id_a long, id_b long, cosine double")
+            [], "id_a long, id_b long, cosine double")
     small = df.limit(brute_force_below + 1).count() <= brute_force_below
-    if small:
-        n_planes = 0  # single bucket == exact all-pairs
 
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(vec_col).alias("vec"))
+
+    if small:
+        nb = max(int(n_blocks), 1)
+        blk = F.pmod(F.xxhash64(F.col("id")), F.lit(nb)).cast("int")
+        blocked = base.select("id", "vec", blk.alias("blk"))
+        # side 0 covers (blk, j) for j >= blk (incl. the diagonal); side 1
+        # covers (i, blk) for i < blk — each unordered block pair once.
+        a = blocked.select(
+            F.col("blk").alias("ki"),
+            F.explode(F.sequence(F.col("blk"), F.lit(nb - 1))).alias("kj"),
+            F.lit(0).alias("side"), "id", "vec")
+        b = blocked.filter(F.col("blk") > 0).select(
+            F.explode(F.sequence(F.lit(0), F.col("blk") - 1)).alias("ki"),
+            F.col("blk").alias("kj"),
+            F.lit(1).alias("side"), "id", "vec")
+        return _pairs_within_groups(a.unionByName(b), threshold)
+
+    # LSH path: bucket by hyperplane sign bits (one broadcast matmul per
+    # Arrow batch), then exact within-bucket comparison per group.
     rng = np.random.Generator(np.random.PCG64(7))
     dim = int(dim_row["d"])
-    planes = rng.standard_normal((max(n_planes, 1), dim))
+    planes = rng.standard_normal((n_planes, dim))
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0),
-                              lambda a, x: a + x.cast("double") * x.cast("double")))
-    normed = df.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("nv"),
-    )
-    sign_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    "nv",
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                    lambda x, w: x * w,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias(f"b{p}")
-        for p in range(n_planes)
-    ]
-    bucket_expr = (
-        F.lit(0) if n_planes == 0
-        else sum([sb * (2 ** p) for p, sb in enumerate(sign_bits[:n_planes])])
-    )
-    bucketed = normed.select(F.col(id_col), F.col("nv"),
-                             bucket_expr.alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = F.aggregate(
-        F.zip_with(F.col("a.nv"), F.col("b.nv"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    @F.pandas_udf("int")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (m @ bc.value.T) >= 0
+        return pd.Series((bits @ weights[: bc.value.shape[0]]).astype(np.int32))
+
+    bucketed = base.select(
+        bucket_udf(F.col("vec")).alias("ki"), "id", "vec",
+    ).select("ki", F.col("ki").alias("kj"), F.lit(0).alias("side"),
+             "id", "vec")
+    return _pairs_within_groups(bucketed, threshold)
