@@ -52,11 +52,25 @@ def brute_force_topk(df: DataFrame, queries: DataFrame, k: int = 5,
 
 def train_centroids(df: DataFrame, n_centroids: int = 16,
                     vec_col: str = "embedding", sample_rows: int = 2048,
-                    iters: int = 5, seed: int = 42) -> np.ndarray:
+                    iters: int = 5, seed: int = 42,
+                    id_col: str | None = None) -> np.ndarray:
     """Tiny k-means on a driver-side sample (IVF coarse quantizer).
-    Sample size is bounded — at 10^12 rows the driver still sees <= 2048."""
+    Sample size is bounded — at 10^12 rows the driver still sees <= 2048.
+
+    The sample is the ``sample_rows`` smallest ``xxhash64(id, seed)`` rows:
+    a deterministic, row-order-independent uniform draw that plans as
+    TakeOrderedAndProject (per-partition top-N, then merge — no full sort).
+    A plain ``.limit()`` would take the FIRST N rows, and on any naturally
+    ordered table (by repo, by date) the quantizer would train on one
+    biased corner of the space and recall would quietly degrade at scale.
+    """
+    key_src = F.col(id_col) if id_col else F.col(vec_col)
     sample = np.array(
-        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
+        df.select(F.col(vec_col), F.xxhash64(key_src, F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .toPandas()[vec_col]
+        .tolist(),
         dtype=np.float64,
     )
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -87,7 +101,7 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
-    cent = train_centroids(df, n_centroids, vec_col)
+    cent = train_centroids(df, n_centroids, vec_col, id_col=id_col)
     bc = df.sparkSession.sparkContext.broadcast(cent)
     n_probe_eff = min(n_probe, len(cent))
 

@@ -78,6 +78,31 @@ def test_knn_ivf_agrees_with_bruteforce(spark):
             assert r["vec_id"] == r["q_id"]
 
 
+def test_ivf_centroids_independent_of_row_order(spark):
+    """The quantizer sample must be a hash-draw, not first-N: training on
+    an adversarially sorted input (all rows ordered along one embedding
+    dimension) must yield the same centroids and the same IVF results as
+    the natural order."""
+    import numpy as np
+    from fileconvert_spark.operators.knn import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    sorted_emb = emb.orderBy(F.element_at("embedding", 1)).repartition(4)
+
+    c_nat = train_centroids(emb, 8, id_col="vec_id")
+    c_sorted = train_centroids(sorted_emb, 8, id_col="vec_id")
+    assert np.allclose(c_nat, c_sorted)
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    a = {(r["q_id"], r["rank"], r["vec_id"])
+         for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=2).collect()}
+    b = {(r["q_id"], r["rank"], r["vec_id"])
+         for r in ivf_topk(sorted_emb, q, k=3, n_centroids=8, n_probe=2).collect()}
+    assert a == b
+
+
 def test_lang_id_on_clear_text(spark):
     from fileconvert_spark.functions.text import lang_id
 
