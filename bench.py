@@ -169,6 +169,14 @@ def _kernel_micro_bench() -> dict:
         "simhash_mb_s": round(nb / best(
             lambda: sim.simhash64_batch(docs)) / 1e6, 1),
     }
+
+    # jaccard verification of LSH-like candidate pairs (docs repeat across
+    # pairs, as band-join candidates do); r02's per-pair set-op kernel ran
+    # ~8k pairs/s on this shape
+    cand = [(docs[i % 300], docs[(i * 7 + 1) % 300]) for i in range(4000)]
+    cta, ctb = [p[0] for p in cand], [p[1] for p in cand]
+    out["jaccard_pairs_s"] = round(len(cand) / best(
+        lambda: sim.jaccard_batch(cta, ctb)))
     import pyarrow as pa
 
     df = make_codefiles(30000)

@@ -239,6 +239,39 @@ def _oph_signatures(gh: np.ndarray, counts: np.ndarray,
     return _oph_densify(sig)
 
 
+def _slab_gram_hashes(enc: list[bytes], n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram hashes for one slab: (concatenated gram hashes uint64[m],
+    grams-per-doc int64[n_docs]). Docs with 1..n-1 words get one gram over
+    all their words (same convention as ``word_ngrams``)."""
+    wh, wc = _slab_word_hashes(enc)
+    if wh.size == 0:
+        return np.empty(0, np.uint64), np.zeros(len(enc), np.int64)
+    woff = np.zeros(wc.size + 1, dtype=np.int64)
+    np.cumsum(wc, out=woff[1:])
+    n_grams = np.where(wc == 0, 0, np.maximum(wc - n + 1, 1))
+    total = int(n_grams.sum())
+    goff = np.zeros(n_grams.size + 1, dtype=np.int64)
+    np.cumsum(n_grams, out=goff[1:])
+    # gram g of doc d starts at woff[d] + (g - goff[d])
+    gstart = (np.repeat(woff[:-1] - goff[:-1], n_grams)
+              + np.arange(total, dtype=np.int64))
+    gend = gstart + np.repeat(np.minimum(wc, n), n_grams)
+    return _segment_hashes(wh, gstart, gend), n_grams
+
+
+def batch_gram_hashes(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram hashes for a batch of texts: (concatenated hashes in doc
+    order, grams per doc). Slab-batched like the signature kernels."""
+    chunks: list[np.ndarray] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    for idx, enc in _doc_slabs(texts):
+        gh, ng = _slab_gram_hashes(enc, n)
+        chunks.append(gh)
+        counts[np.asarray(idx)] = ng
+    gh_all = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    return gh_all, counts
+
+
 def minhash_signatures(texts: list[str], n_hashes: int = 32,
                        params=None, n: int = 3) -> np.ndarray:
     """MinHash signatures for a batch of texts (word n-gram shingles) via
@@ -248,21 +281,9 @@ def minhash_signatures(texts: list[str], n_hashes: int = 32,
     """
     out = np.zeros((len(texts), n_hashes), dtype=np.int64)
     for idx, enc in _doc_slabs(texts):
-        wh, wc = _slab_word_hashes(enc)
-        if wh.size == 0:
+        gh, n_grams = _slab_gram_hashes(enc, n)
+        if gh.size == 0:
             continue
-        woff = np.zeros(wc.size + 1, dtype=np.int64)
-        np.cumsum(wc, out=woff[1:])
-        # docs with 1..n-1 words get one gram over all their words
-        n_grams = np.where(wc == 0, 0, np.maximum(wc - n + 1, 1))
-        total = int(n_grams.sum())
-        goff = np.zeros(n_grams.size + 1, dtype=np.int64)
-        np.cumsum(n_grams, out=goff[1:])
-        # gram g of doc d starts at woff[d] + (g - goff[d])
-        gstart = (np.repeat(woff[:-1] - goff[:-1], n_grams)
-                  + np.arange(total, dtype=np.int64))
-        gend = gstart + np.repeat(np.minimum(wc, n), n_grams)
-        gh = _segment_hashes(wh, gstart, gend)
         sig = _oph_signatures(gh, n_grams, n_hashes)
         out[np.asarray(idx)] = sig.astype(np.int64)
     return out
@@ -323,3 +344,88 @@ def jaccard(a: str, b: str, shingler=word_ngrams) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _unique_per_doc(doc: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deduplicate (doc, hash) pairs: one lexsort + first-occurrence mask."""
+    order = np.lexsort((h, doc))
+    d, hh = doc[order], h[order]
+    first = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]
+    return d[first], hh[first]
+
+
+def jaccard_batch(texts_a: list[str], texts_b: list[str],
+                  n: int = 3) -> np.ndarray:
+    """Exact word-n-gram Jaccard for a batch of text pairs, fully
+    vectorized: gram sets are 64-bit rolling hashes (the same kernel the
+    MinHash signatures use). Each UNIQUE text in the batch is hashed and
+    set-deduplicated exactly once — LSH candidate sets repeat documents
+    across many pairs, so this amortizes the O(bytes) hashing — and the
+    per-pair set sizes/intersections come from one gather plus one lexsort
+    over the whole batch. No Python set-ops per pair. Hash collisions
+    (2^-64-ish per gram pair) can in principle nudge a Jaccard by one
+    gram, which is noise at dedup thresholds. Returns
+    float64[len(pairs)]; both-empty -> 1.0, one-empty -> 0.0, identical
+    texts -> 1.0 (matching ``jaccard``)."""
+    if len(texts_a) != len(texts_b):
+        raise ValueError("texts_a and texts_b must be the same length")
+    npair = len(texts_a)
+    if npair == 0:
+        return np.empty(0, dtype=np.float64)
+
+    uniq: dict[str, int] = {}
+    def _ids(ts: list[str]) -> np.ndarray:
+        out = np.empty(len(ts), dtype=np.int64)
+        for i, t in enumerate(ts):
+            t = t or ""
+            j = uniq.get(t)
+            if j is None:
+                j = len(uniq)
+                uniq[t] = j
+            out[i] = j
+        return out
+
+    ida, idb = _ids(texts_a), _ids(texts_b)
+    gh, cnt = batch_gram_hashes(list(uniq), n)  # insertion order == id order
+    nd = len(uniq)
+    ud, uh = _unique_per_doc(np.repeat(np.arange(nd, dtype=np.int64), cnt), gh)
+    ucnt = np.bincount(ud, minlength=nd)        # unique grams per doc
+    uoff = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(ucnt, out=uoff[1:])               # uh grouped by doc id
+
+    # dense-rank the global gram-hash vocabulary once, so each (pair, gram)
+    # packs EXACTLY into one int64 sort key: (pair << rank_bits) | rank.
+    # One np.sort of the packed keys then replaces a 2-key lexsort, and
+    # adjacent-equal keys are precisely the per-pair intersections.
+    gu = np.unique(uh)
+    ur = np.searchsorted(gu, uh).astype(np.int64)  # rank of each doc gram
+    rank_bits = max(int(gu.size).bit_length(), 1)
+
+    out = np.ones(npair, dtype=np.float64)      # identical texts -> 1.0
+    live = np.flatnonzero(ida != idb)
+    na, nb = ucnt[ida[live]], ucnt[idb[live]]
+    if live.size << rank_bits >= 1 << 62:  # packed key would overflow
+        raise ValueError("jaccard_batch: batch too large to pack sort keys "
+                         "— split the candidate batch")
+
+    def _gather_keys(docids: np.ndarray) -> np.ndarray:
+        lens = ucnt[docids]
+        total = int(lens.sum())
+        goff = np.zeros(docids.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=goff[1:])
+        pos = (np.repeat(uoff[docids] - goff[:-1], lens)
+               + np.arange(total, dtype=np.int64))
+        pair = np.repeat(np.arange(docids.size, dtype=np.int64), lens)
+        return (pair << rank_bits) | ur[pos]
+
+    # each side is set-unique per pair, so a key appearing twice in the
+    # concatenation appears once per side == one intersecting gram
+    keys = np.concatenate([_gather_keys(ida[live]), _gather_keys(idb[live])])
+    keys.sort()
+    dup = keys[1:] == keys[:-1]
+    inter = np.bincount(keys[1:][dup] >> rank_bits, minlength=live.size)
+    union = np.maximum(na + nb - inter, 1)
+    out[live] = np.where(
+        (na == 0) & (nb == 0), 1.0,
+        np.where((na == 0) | (nb == 0), 0.0, inter / union))
+    return out

@@ -113,8 +113,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
     @F.pandas_udf("double")
     def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        # batched hash-set jaccard: two lexsorts over the whole Arrow
+        # batch, no Python set-ops per candidate pair
         return pd.Series(
-            [sim.jaccard(x or "", y or "") for x, y in zip(ta, tb)], dtype="float64"
+            sim.jaccard_batch(ta.fillna("").tolist(), tb.fillna("").tolist()),
+            dtype="float64",
         )
 
     return (

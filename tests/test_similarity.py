@@ -116,3 +116,30 @@ def test_slab_boundaries_do_not_change_results(monkeypatch):
     sh_split = sim.simhash64_batch(docs)
     assert (full == split).all()
     assert (sh_full == sh_split).all()
+
+
+def test_jaccard_batch_matches_scalar():
+    import numpy as np
+
+    docs = [
+        "",
+        "a b c d e f g",
+        "a b c d e f g",          # identical to previous
+        "a b c d e f X",
+        "one two",                # fewer than n words -> single gram
+        "one two",
+        "completely different words here now",
+        None,
+    ]
+    pairs = [(a, b) for a in docs for b in docs]
+    ta = [a or "" for a, _ in pairs]
+    tb = [b or "" for _, b in pairs]
+    got = sim.jaccard_batch(ta, tb)
+    want = np.array([sim.jaccard(a, b) for a, b in zip(ta, tb)])
+    assert np.abs(got - want).max() == 0.0
+
+
+def test_jaccard_batch_empty_and_identity():
+    assert sim.jaccard_batch([], []).size == 0
+    out = sim.jaccard_batch(["", "x y z"], ["", "x y z"])
+    assert out.tolist() == [1.0, 1.0]
