@@ -141,133 +141,151 @@ def deserialize_table(blob: bytes | memoryview) -> list[bytes]:
 def _window_keys(buf: np.ndarray) -> np.ndarray:
     """LE uint64 key of the 8 bytes starting at each position (zero-padded).
 
-    Allocation-lean: one scratch buffer reused across the 8 byte lanes
-    (fresh-page allocation is the bottleneck on this host, not FLOPs).
+    One pass: an overlapping stride-1 view over the padded byte buffer
+    reads the unaligned 8-byte window at every position directly
+    (little-endian hosts — the same assumption _sym_key makes), replacing
+    eight shift-or passes over n uint64.
     """
     n = len(buf)
-    padded = np.concatenate([buf, np.zeros(MAX_SYMBOL_LEN, np.uint8)])
-    w = padded[:n].astype(np.uint64)
-    tmp = np.empty(n, dtype=np.uint64)
-    for k in range(1, MAX_SYMBOL_LEN):
-        np.copyto(tmp, padded[k : k + n], casting="unsafe")
-        tmp <<= np.uint64(8 * k)
-        w |= tmp
-    return w
+    pad = MAX_SYMBOL_LEN + (-n - MAX_SYMBOL_LEN) % 8
+    padded = np.concatenate([buf, np.zeros(pad, np.uint8)])
+    view = np.lib.stride_tricks.as_strided(
+        padded.view(np.uint64), shape=(n,), strides=(1,))
+    return np.ascontiguousarray(view)
 
 
 def _sym_key(s: bytes) -> int:
     return int.from_bytes(s, "little")
 
 
-_HASH_BITS = 14  # 16384-slot tables for symbols of length >= 3
+_HASH_BITS = 12  # 4096-slot 3-byte-prefix ways (~60 KB each, L2-resident)
 _TAIL_SWITCH = 256  # live strings below this -> per-string tail (the
                     # per-round NumPy overhead stops amortizing)
+_WALK_SEG = 1024    # walk-time chop size for long strings (see encode_buffer)
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_HASH_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)
+# mask of the low L bytes of a little-endian uint64 window, L = 0..8
+_LEN_MASK = np.array([0] + [(1 << (8 * L)) - 1 for L in range(1, 8)]
+                     + [0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
 
 
 def _build_match_tables(table: list[bytes]):
-    """Per-length lookup structures for _match_all_positions.
+    """Lookup structures for the greedy longest-match.
 
-    L=1: direct 256-entry code LUT. L=2: direct 65536-entry LUT. L>=3:
-    open-addressed hash (one key per slot, lookup verifies the stored
-    key). Hash-slot collisions between symbols are BENIGN: the loser is
-    simply never matched at that length, so the greedy parse falls back to
-    a shorter symbol or an escape — the ratio dips microscopically, decode
-    stays exact. With <=255 symbols in 2^14 slots, ~2 expected collisions.
+    L=1: direct 256-entry code LUT. L=2: direct 65536-entry LUT. L>=3: a
+    2-way lossy hash table keyed on the first 3 bytes (the FSST paper's
+    single-probe design, doubled), each slot holding (symbol value,
+    length, code) — two probes per position cover every length 3..8
+    instead of one probe per length class. Two symbols sharing a 3-byte
+    prefix land in the two ways; only a third same-prefix symbol (or a
+    double hash collision) is dropped, which is BENIGN: the loser is never
+    matched at length >= 3, the greedy parse falls back to a shorter
+    symbol or an escape, the ratio dips microscopically, decode stays
+    exact.
     """
-    lut1 = np.full(256, ESCAPE, dtype=np.uint8)
-    lut2 = np.full(1 << 16, ESCAPE, dtype=np.uint8)
-    hashed: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    for L in range(3, MAX_SYMBOL_LEN + 1):
-        pairs = [(code, s) for code, s in enumerate(table) if len(s) == L]
-        if not pairs:
-            continue
-        keys_t = np.zeros(1 << _HASH_BITS, dtype=np.uint64)
-        codes_t = np.full(1 << _HASH_BITS, ESCAPE, dtype=np.uint8)
-        for code, s in pairs:
-            k = _sym_key(s)
-            slot = ((k * int(_HASH_MULT)) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HASH_BITS)
-            keys_t[slot] = k
-            codes_t[slot] = code
-        hashed[L] = (keys_t, codes_t)
+    # lut12[k16] = (len << 8) | code for the best 1-2 byte match of a 2-byte
+    # window (0 = no match): ONE gather resolves both short lengths
+    lut12 = np.zeros(1 << 16, dtype=np.uint16)
+    ones = np.zeros(256, dtype=np.uint16)
     for code, s in enumerate(table):
         if len(s) == 1:
-            lut1[s[0]] = code
-        elif len(s) == 2:
-            lut2[_sym_key(s)] = code
-    return lut1, lut2, hashed
+            ones[s[0]] = (1 << 8) | code
+    lut12[:] = np.tile(ones, 256)  # low byte of k16 = first byte
+    for code, s in enumerate(table):
+        if len(s) == 2:
+            lut12[_sym_key(s)] = (2 << 8) | code
+    h3 = None
+    longs = [(code, s) for code, s in enumerate(table) if len(s) >= 3]
+    if longs:
+        size = 1 << _HASH_BITS
+        sym_t = np.zeros(2 * size, dtype=np.uint64)   # ways concatenated
+        lc_t = np.zeros(2 * size, dtype=np.uint16)    # (len << 8) | code
+        # longer first: they claim slots, shorter ones fill leftovers
+        # (greedy prefers the longest match); ties prefer the earlier code
+        for code, s in sorted(longs, key=lambda cs: (-len(cs[1]), cs[0])):
+            k3 = _sym_key(s[:3])
+            sa = ((k3 * int(_HASH_MULT)) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HASH_BITS)
+            sb = size + (((k3 * int(_HASH_MULT2)) & 0xFFFFFFFFFFFFFFFF)
+                         >> (64 - _HASH_BITS))
+            slot = sa if lc_t[sa] == 0 else (sb if lc_t[sb] == 0 else -1)
+            if slot < 0:
+                continue  # both ways taken by longer/earlier symbols
+            sym_t[slot] = _sym_key(s)
+            lc_t[slot] = (len(s) << 8) | code
+        h3 = (sym_t, lc_t)
+    return lut12, ones, h3
 
 
 def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
                          table: list[bytes],
-                         tables=None) -> tuple[np.ndarray, np.ndarray]:
+                         tables=None, w: np.ndarray | None = None
+                         ) -> tuple[np.ndarray, np.ndarray]:
     """For every buffer position: (longest matching symbol len, its code).
 
     Matches never cross string boundaries (``lengths`` = per-string byte
     lengths of the concatenated buffer). All lookups are O(1) gathers —
-    direct LUTs for 1-2 byte symbols, hashed tables for 3-8 (see
-    _build_match_tables). ``tables``: pass a prebuilt _build_match_tables
-    result when calling repeatedly for the same symbol table.
+    direct LUTs for 1-2 byte symbols, one 3-byte-prefix hash probe for 3-8
+    (see _build_match_tables). ``tables``: pass a prebuilt
+    _build_match_tables result when calling repeatedly for the same symbol
+    table. ``w``: precomputed window keys for ``buf`` (a slice of a larger
+    buffer's keys is fine — windows that cross into following bytes only
+    differ above the length mask, and the dist guard kills those matches).
     """
     n = len(buf)
-    bestlen = np.zeros(n, dtype=np.int64)
-    bestcode = np.zeros(n, dtype=np.uint8)
     if n == 0 or not table:
-        return bestlen, bestcode
-    lut1, lut2, hashed = tables if tables is not None else _build_match_tables(table)
+        return np.zeros(n, dtype=np.int64), np.zeros(n, dtype=np.uint8)
+    lut12, ones, h3 = tables if tables is not None else _build_match_tables(table)
     # distance to end of the containing string, per position
     ends = np.cumsum(lengths.astype(np.int64))
     dist = np.repeat(ends, lengths) - np.arange(n, dtype=np.int64)
+    if w is None:
+        w = _window_keys(buf)
 
-    # L=1 (always present: training guarantees single-byte coverage)
-    c1 = lut1[buf]
-    hit = c1 != ESCAPE
-    bestlen[hit] = 1
-    bestcode[hit] = c1[hit]
-
-    has2 = (lut2 != ESCAPE).any()
-    if not has2 and not hashed:
-        return bestlen, bestcode
-    w = _window_keys(buf)
-
-    # preallocated scratch reused across lengths: fresh-page allocation is
-    # this host's bottleneck, so every per-L op below runs with out=
+    # preallocated scratch (fresh-page allocation is this host's
+    # bottleneck, so every op below runs with out=)
     kL = np.empty(n, dtype=np.uint64)
-    mul = np.empty(n, dtype=np.uint64)
     slots = np.empty(n, dtype=np.int64)
-    codes = np.empty(n, dtype=np.uint8)
-    keys_g = np.empty(n, dtype=np.uint64)
+    combo = np.empty(n, dtype=np.uint16)  # (len << 8) | code; 0 = no match
     hit = np.empty(n, dtype=bool)
     tmpb = np.empty(n, dtype=bool)
 
-    if has2:
-        np.bitwise_and(w, np.uint64(0xFFFF), out=kL)
-        np.copyto(slots, kL, casting="unsafe")
-        np.take(lut2, slots, out=codes)
-        np.not_equal(codes, ESCAPE, out=hit)
-        np.greater_equal(dist, 2, out=tmpb)
-        hit &= tmpb
-        bestlen[hit] = 2
-        bestcode[hit] = codes[hit]
+    # lengths 1-2 in one gather
+    np.bitwise_and(w, np.uint64(0xFFFF), out=kL)
+    np.copyto(slots, kL, casting="unsafe")
+    np.take(lut12, slots, out=combo)
+    # a 2-byte hit at the final byte of a string must fall back to the
+    # 1-byte entry for that byte (the LUT saw the next string's byte)
+    np.greater_equal(combo, 2 << 8, out=hit)
+    np.less(dist, 2, out=tmpb)
+    hit &= tmpb
+    if hit.any():
+        combo[hit] = ones[buf[hit]]
 
-    for L in sorted(hashed):  # ascending: longer matches overwrite shorter
-        keys_t, codes_t = hashed[L]
-        mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
-                else np.uint64(0xFFFFFFFFFFFFFFFF))
-        np.bitwise_and(w, mask, out=kL)
-        np.multiply(kL, _HASH_MULT, out=mul)
-        mul >>= np.uint64(64 - _HASH_BITS)
-        np.copyto(slots, mul, casting="unsafe")
-        np.take(keys_t, slots, out=keys_g)
-        np.take(codes_t, slots, out=codes)
-        np.equal(keys_g, kL, out=hit)
-        np.not_equal(codes, ESCAPE, out=tmpb)
-        hit &= tmpb
-        np.greater_equal(dist, L, out=tmpb)
-        hit &= tmpb
-        bestlen[hit] = L
-        bestcode[hit] = codes[hit]
-    return bestlen, bestcode
+    if h3 is not None:
+        sym_t, lc_t = h3
+        lc_g = np.empty(n, dtype=np.uint16)
+        lens_g = np.empty(n, dtype=np.uint16)
+        sym_g = np.empty(n, dtype=np.uint64)
+        k3 = np.empty(n, dtype=np.uint64)
+        np.bitwise_and(w, np.uint64(0xFFFFFF), out=k3)
+        for mult, base in ((_HASH_MULT, 0), (_HASH_MULT2, 1 << _HASH_BITS)):
+            np.multiply(k3, mult, out=kL)
+            kL >>= np.uint64(64 - _HASH_BITS)
+            np.copyto(slots, kL, casting="unsafe")
+            if base:
+                slots += base
+            np.take(lc_t, slots, out=lc_g)
+            np.take(sym_t, slots, out=sym_g)
+            np.right_shift(lc_g, 8, out=lens_g)
+            # matched iff the window's low len bytes equal the stored symbol
+            np.bitwise_and(w, _LEN_MASK[lens_g], out=kL)
+            np.equal(kL, sym_g, out=hit)
+            np.greater(lc_g, combo, out=tmpb)  # only longer can win
+            hit &= tmpb
+            np.greater_equal(dist, lens_g, out=tmpb)
+            hit &= tmpb
+            combo[hit] = lc_g[hit]
+    return (combo >> 8).astype(np.int64), (combo & 0xFF).astype(np.uint8)
 
 
 def encode_buffer(buf: bytes, lengths: np.ndarray,
@@ -287,54 +305,55 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
         return b"", np.zeros(len(lengths), dtype=np.int64)
     lengths = np.asarray(lengths, dtype=np.int64)
     bounds = np.cumsum(lengths)
-    starts = bounds - lengths
-    lut1, lut2, hashed = _build_match_tables(table)
-    has2 = bool((lut2 != ESCAPE).any())
-    hlens = sorted(hashed)
-    w = _window_keys(arr) if (has2 or hlens) else None
+    lut12, ones, h3 = _build_match_tables(table)
+    w = _window_keys(arr)
 
     is_tok = np.zeros(n, dtype=bool)
-    blh = np.zeros(n, dtype=np.int64)
-    bch = np.zeros(n, dtype=np.uint8)
-    live = lengths > 0
-    cur = starts[live]
-    ends = bounds[live]
-    # adaptive walk: while MANY strings are live, match only at cursor
-    # positions (each round advances every live string one token — total
+    bfh = np.zeros(n, dtype=np.uint16)  # (len << 8) | code per token start
+    # virtually chop long strings into <= _WALK_SEG-byte pieces for the
+    # WALK ONLY: the greedy parse restarts at each cut (a symbol never
+    # spans one), which costs < len(symbol)/_WALK_SEG ~ 1% of ratio, and in
+    # exchange the round count is bounded by _WALK_SEG tokens regardless of
+    # string-length skew — a single 2 MB string no longer forces thousands
+    # of near-empty rounds. The decoder is oblivious: the token stream
+    # stays a valid FSST stream and per-string enc lengths are computed
+    # against the ORIGINAL bounds (piece cuts are token starts).
+    pieces = (lengths + _WALK_SEG - 1) // _WALK_SEG
+    wl = np.full(int(pieces.sum()), _WALK_SEG, dtype=np.int64)
+    nz = pieces > 0
+    wl[np.cumsum(pieces)[nz] - 1] = lengths[nz] - (pieces[nz] - 1) * _WALK_SEG
+    wbounds = np.cumsum(wl)
+    cur = wbounds - wl
+    ends = wbounds
+    # adaptive walk: while MANY pieces are live, match only at cursor
+    # positions (each round advances every live piece one token — total
     # match work ~= ratio*n, not n). Once the live set is too small to
-    # amortize per-round NumPy overhead (skewed lengths shrink it), each
-    # remaining string switches to precomputed matching over its own slice
-    # + pointer-doubling chain enumeration (O(log tokens) rounds).
+    # amortize per-round NumPy overhead, each remaining piece switches to
+    # precomputed matching over its own slice + pointer-doubling chain
+    # enumeration (O(log tokens) rounds).
     while cur.size >= _TAIL_SWITCH:
-        m = cur.size
-        bl = np.zeros(m, dtype=np.int64)
-        bc = np.full(m, ESCAPE, dtype=np.uint8)
-        c1 = lut1[arr[cur]]
-        hit = c1 != ESCAPE
-        bl[hit] = 1
-        bc[hit] = c1[hit]
-        if has2 or hlens:
-            rem = ends - cur
-            k8 = w[cur]
-        if has2:
-            c2 = lut2[k8 & np.uint64(0xFFFF)]
-            hit = (c2 != ESCAPE) & (rem >= 2)
-            bl[hit] = 2
-            bc[hit] = c2[hit]
-        for L in hlens:  # ascending: longer matches overwrite shorter
-            keys_t, codes_t = hashed[L]
-            mask = (np.uint64((1 << (8 * L)) - 1) if L < 8
-                    else np.uint64(0xFFFFFFFFFFFFFFFF))
-            kL = k8 & mask
-            slots = (kL * _HASH_MULT) >> np.uint64(64 - _HASH_BITS)
-            ct = codes_t[slots]
-            hit = (keys_t[slots] == kL) & (ct != ESCAPE) & (rem >= L)
-            bl[hit] = L
-            bc[hit] = ct[hit]
+        rem = ends - cur
+        k8 = w[cur]
+        # lengths 1-2 in one gather; fall back to the 1-byte entry at a
+        # string-final byte where the LUT saw the next string's byte
+        combo = lut12[(k8 & np.uint64(0xFFFF)).astype(np.int64)]
+        fix = (combo >= 2 << 8) & (rem < 2)
+        if fix.any():
+            combo[fix] = ones[arr[cur[fix]]]
+        if h3 is not None:  # two probes cover all lengths 3..8
+            sym_t, lc_t = h3
+            k3 = k8 & np.uint64(0xFFFFFF)
+            for mult, base in ((_HASH_MULT, 0), (_HASH_MULT2, 1 << _HASH_BITS)):
+                slots = ((k3 * mult) >> np.uint64(64 - _HASH_BITS)
+                         ).astype(np.int64) + base
+                lc = lc_t[slots]
+                lg = lc >> 8
+                hit = ((k8 & _LEN_MASK[lg]) == sym_t[slots]) \
+                    & (lc > combo) & (rem >= lg)
+                combo[hit] = lc[hit]
         is_tok[cur] = True
-        blh[cur] = bl
-        bch[cur] = bc
-        cur = cur + np.maximum(bl, 1)
+        bfh[cur] = combo
+        cur = cur + np.maximum(combo >> 8, 1)
         keep = cur < ends
         if not keep.all():
             cur = cur[keep]
@@ -350,7 +369,7 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
         sub = arr[c:e]
         bl_s, bc_s = _match_all_positions(
             sub, np.array([m], dtype=np.int64), table,
-            tables=(lut1, lut2, hashed))
+            tables=(lut12, ones, h3), w=w[c:e])
         ptr = np.empty(m + 1, dtype=np.int64)
         ptr[:m] = np.arange(m, dtype=np.int64) + np.maximum(bl_s, 1)
         ptr[m] = m  # absorbing terminal
@@ -364,17 +383,18 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
             known = np.concatenate([known, new])
             ptr = ptr[ptr]
         is_tok[c + known] = True
-        blh[c + known] = bl_s[known]
-        bch[c + known] = bc_s[known]
+        bfh[c + known] = ((bl_s[known].astype(np.uint16) << np.uint16(8))
+                          | bc_s[known])
 
     p = np.flatnonzero(is_tok)
-    tok_is_code = blh[p] > 0
-    sizes = np.where(tok_is_code, 1, 2)  # code byte vs ESCAPE+literal
+    comb_p = bfh[p]
+    tok_is_code = comb_p >= 1 << 8
+    sizes = np.int64(2) - tok_is_code  # 1 code byte vs ESCAPE+literal
     offs = np.empty(p.size + 1, dtype=np.int64)
     offs[0] = 0
     np.cumsum(sizes, out=offs[1:])
     out = np.empty(offs[-1], dtype=np.uint8)
-    out[offs[:-1]] = np.where(tok_is_code, bch[p], ESCAPE)
+    out[offs[:-1]] = np.where(tok_is_code, comb_p & 0xFF, ESCAPE)
     esc = ~tok_is_code
     if esc.any():
         out[offs[:-1][esc] + 1] = arr[p[esc]]
