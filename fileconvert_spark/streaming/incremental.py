@@ -64,7 +64,10 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
             f"SELECT unix_timestamp(w.start) AS window_start, event_type, n, "
             f"total_value FROM {query_name}"
         )
-        out = spark.createDataFrame(rows.collect(), rows.schema)
+        # materialize independent of the (dropped-below) memory-sink view —
+        # executor-side blocks, not a collect()+createDataFrame driver
+        # round-trip (that r02 hardening cost ~2s on ~40k result rows)
+        out = rows.localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(query_name)
     return out
@@ -126,7 +129,7 @@ def stateful_user_counts(spark: SparkSession, events_path: str, schema,
             f"SELECT user_id, max(n_events) AS n_events FROM {query_name} "
             f"GROUP BY user_id ORDER BY user_id"
         )
-        res = spark.createDataFrame(rows.collect(), rows.schema)
+        res = rows.localCheckpoint(eager=True)  # see windowed_event_counts
     finally:
         spark.catalog.dropTempView(query_name)
     return res
