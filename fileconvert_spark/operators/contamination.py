@@ -1,0 +1,68 @@
+"""Benchmark-contamination detection for training-data pipelines.
+
+A training corpus is "contaminated" when documents overlap an evaluation
+benchmark. Two detectors over a corpus DataFrame and a benchmark
+DataFrame (any table with a text column — eval questions, test-set
+inputs):
+
+- exact_contamination: semi-join normalized document fingerprints
+  (sha256-based, whitespace/case-normalized — functions.text.
+  fingerprint_hex, so the check is oracle-verifiable cross-engine)
+  against the benchmark's fingerprints.
+- ngram_contamination: flag documents sharing ANY word n-gram with a
+  benchmark item — catches partial inclusion (a benchmark question quoted
+  inside a larger page), the common real-world leak that exact matching
+  misses.
+
+Scale shape (100 TB corpus, ~10^4-10^6 benchmark items): the benchmark
+side is tiny relative to the corpus and broadcasts; the corpus side
+shuffles nothing — a broadcast semi-join scans corpus partitions in
+place. The n-gram join key is xxhash64(gram) (8 bytes), never the gram
+text, and per-doc gram sets are deduplicated before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import fingerprint_hex, word_ngram_col
+
+
+def exact_contamination(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text") -> DataFrame:
+    """Documents whose normalized fingerprint appears in the benchmark:
+    (id_col) rows, one per contaminated document."""
+    fps = docs.select(F.col(id_col),
+                      fingerprint_hex(F.col(text_col)).alias("fp"))
+    bfps = benchmark.select(
+        fingerprint_hex(F.col(bench_text_col)).alias("fp")).distinct()
+    return fps.join(F.broadcast(bfps), "fp", "left_semi").select(id_col)
+
+
+def ngram_contamination(docs: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        bench_text_col: str = "text",
+                        n: int = 8) -> DataFrame:
+    """Documents sharing any word n-gram with a benchmark item:
+    (id_col, n_shared_ngrams) per contaminated document. Grams join by
+    xxhash64 — a false positive needs a 2^-64 hash collision."""
+    doc_grams = (
+        docs.select(
+            F.col(id_col),
+            F.explode(word_ngram_col(F.col(text_col), n)).alias("g"),
+        )
+        .select(F.col(id_col), F.xxhash64("g").alias("gh"))
+        .dropDuplicates([id_col, "gh"])
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngram_col(F.col(bench_text_col), n)).alias("g"))
+        .select(F.xxhash64("g").alias("gh"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )

@@ -381,3 +381,33 @@ def test_csv_tsv_options_roundtrip(spark, tmp_path):
     # NULL and "" must be distinguishable after the round trip
     vals = {r["id"]: r["txt"] for r in back.collect()}
     assert vals[2] is None and vals[3] == ""
+
+
+def test_contamination_detectors(spark):
+    """Exact detector catches whitespace/case-variant copies of benchmark
+    items; the n-gram detector additionally catches a benchmark item
+    quoted inside a larger document (partial inclusion)."""
+    from fileconvert_spark.operators.contamination import (
+        exact_contamination, ngram_contamination,
+    )
+
+    bench_q = "what is the capital of France and why does it matter here"
+    docs = spark.createDataFrame(
+        [
+            (1, "completely unrelated text about spark partitioning model"),
+            (2, bench_q),                              # verbatim copy
+            (3, "  WHAT is   the capital of France and why does it matter HERE "),
+            (4, "intro paragraph . " + bench_q + " . closing remarks follow"),
+            (5, "capital of France is a phrase but too short to be an 8-gram hit"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_q,)], "text string")
+
+    exact = {r["doc_id"] for r in exact_contamination(docs, bench).collect()}
+    assert exact == {2, 3}  # normalization folds case/whitespace; not #4
+
+    ngram = {r["doc_id"]: r["n_shared_ngrams"]
+             for r in ngram_contamination(docs, bench, n=8).collect()}
+    assert set(ngram) == {2, 3, 4}  # partial inclusion caught too
+    assert ngram[4] >= 1
