@@ -993,6 +993,39 @@ def training_pipeline_demo(spark, sf_dir):
     )
 
 
+def bpe_token_counts(spark, sf_dir):
+    """Real-BPE token counting (rows-only: learned merges are not
+    SQL-expressible — verified by tests/test_bpe.py instead): train a
+    128-merge vocab on a bounded deterministic corpus sample (first 200
+    docs by id), count subword pieces per document under that vocab, and
+    aggregate per source next to the pre-tokenizer count (tok_pre == BPE
+    with an empty merge list, so total_bpe/total_pre shows the learned
+    vocab's pieces-per-word)."""
+    from fileconvert_spark.functions.bpe import train_bpe
+    from fileconvert_spark.functions.text import (
+        token_count_bpe, token_count_bpe_learned,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sample = [r["text"] for r in
+              d.orderBy("doc_id").limit(200).select("text").collect()]
+    merges = train_bpe(sample, n_merges=128)
+    return (
+        d.select(
+            "source",
+            token_count_bpe(F.col("text")).alias("tok_pre"),
+            token_count_bpe_learned(F.col("text"), merges).alias("tok_bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok_pre").alias("total_pre"),
+            F.sum("tok_bpe").alias("total_bpe"),
+        )
+        .orderBy("source")
+    )
+
+
 def multimodal_features(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.multimodal import extract_features, synth_media_df
@@ -1073,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf,
         "approx_distinct": approx_distinct,
         "multimodal_features": multimodal_features,
+        "bpe_token_counts": bpe_token_counts,
     }
 
 

@@ -11,6 +11,8 @@ document fingerprinting (rolling hash).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, functions as F
 
 # BPE-ish word/punct splitter: words, numbers, or single non-space symbols
@@ -33,8 +35,28 @@ def token_count_ws(col: Column) -> Column:
 
 
 def token_count_bpe(col: Column) -> Column:
-    """BPE-ish token count via regexp extraction (JVM-side)."""
+    """Pre-tokenizer count via regexp extraction (JVM-side): words /
+    numbers / single symbols — equal to the BPE count under an empty merge
+    list. For counts under a TRAINED vocab use token_count_bpe_learned."""
     return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
+
+
+def token_count_bpe_learned(col: Column, merges) -> Column:
+    """Token count under a trained BPE vocab (functions.bpe.train_bpe):
+    real subword pieces, not the pre-tokenizer word count. Pandas UDF —
+    the merge table (a few KB) ships in the closure and each worker keeps
+    a per-unique-word piece-count cache (Zipf makes this a dict hit for
+    almost every token)."""
+    from .bpe import BPETokenizer
+
+    merges = list(merges)
+
+    @F.pandas_udf("int")
+    def cnt(s: pd.Series) -> pd.Series:
+        tok = BPETokenizer(merges)
+        return s.fillna("").map(tok.count).astype("int32")
+
+    return cnt(col)
 
 
 def punct_ratio(col: Column) -> Column:
