@@ -112,3 +112,28 @@ def test_grouped_decode_single_exchange(spark):
     assert n_exchanges == 1, p
     assert "MapInArrow" in p or "mapinarrow" in p.lower()
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_contamination_exact_is_broadcast_semi_join(spark):
+    """The benchmark fingerprint set must broadcast and join left-semi —
+    the 100-TB corpus side is scanned in place, never shuffled."""
+    from fileconvert_spark.operators.contamination import exact_contamination
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    bench = docs.limit(20).select("text")
+    p = plan_of(exact_contamination(docs, bench))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p
+
+
+def test_embedding_pairs_grouped_matmul_single_exchange(spark):
+    """The exact near-dup path must be applyInPandas over block-pair
+    groups (one hash Exchange into the group grid) — not a catalyst
+    pairwise join evaluating per-pair array expressions."""
+    from fileconvert_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    p = plan_of(embedding_near_dups(emb, threshold=0.5))
+    assert "FlatMapGroupsInPandas" in p, p
+    assert p.count("Exchange (") == 1, p  # tree form; details repeat nodes
+    assert "BroadcastNestedLoopJoin" not in p and "SortMergeJoin" not in p
