@@ -438,48 +438,40 @@ def decode_buffer(enc: bytes, enc_lengths: np.ndarray,
         return b"", np.zeros(n_str, dtype=np.int64)
     arr = np.frombuffer(enc, dtype=np.uint8)
     esc = _escape_mask(arr)
-    is_literal = np.zeros(m, dtype=bool)
-    is_literal[1:] = esc[:-1]
-    is_code = ~esc & ~is_literal
+    # token starts = everything that is not a marker-consumed literal
+    tok_start = np.ones(m, dtype=bool)
+    tok_start[1:] = ~esc[:-1]
 
     sym_lens = np.array([len(s) for s in table] + [0] * (256 - len(table)),
-                        dtype=np.int64)
+                        dtype=np.int32)
 
-    # token start positions = code positions and escape-marker positions
-    tok_start = is_code | esc
-    # map tokens to strings via enc offsets
-    enc_offs = np.concatenate([[0], np.cumsum(enc_lengths.astype(np.int64))])
+    # decoded bytes via ONE flat gather: every token is a slice of a
+    # combined source buffer — the flattened symbol pool for code tokens,
+    # the enc buffer itself for escaped literals (the byte after the
+    # marker). No per-token Python, escapes or not. int32 throughout (enc
+    # chunks are far below 2 GB).
+    pool = np.frombuffer(b"".join(table), dtype=np.uint8) if table else \
+        np.empty(0, dtype=np.uint8)
+    pool_off = np.zeros(256, dtype=np.int32)
+    np.cumsum(sym_lens[:-1], out=pool_off[1:256])
+    order = np.flatnonzero(tok_start).astype(np.int32)
+    codes = arr[order]
+    kinds = esc[order]  # True => escape token (emits the following byte)
+    tok_len = np.where(kinds, np.int32(1), sym_lens[codes])
+    src = np.where(kinds, np.int32(len(pool) + 1) + order, pool_off[codes])
+    out_end = np.cumsum(tok_len, dtype=np.int32)
+    total = int(out_end[-1]) if tok_len.size else 0
+    pos = (np.repeat(src - (out_end - tok_len), tok_len)
+           + np.arange(total, dtype=np.int32))
+    decoded = np.concatenate([pool, arr])[pos].tobytes()
 
-    # build decoded bytes
-    if esc.any():
-        syms_obj = np.empty(256, dtype=object)
-        for c, s in enumerate(table):
-            syms_obj[c] = s
-        lit_bytes = arr[is_literal]
-        # interleave in order: walk token starts
-        order = np.flatnonzero(tok_start)
-        kinds = esc[order]  # True => escape token
-        code_vals = arr[order]
-        out_parts = []
-        li = 0
-        lit = lit_bytes.tobytes()
-        for j in range(len(order)):
-            if kinds[j]:
-                out_parts.append(lit[li : li + 1])
-                li += 1
-            else:
-                out_parts.append(syms_obj[code_vals[j]])
-        decoded = b"".join(out_parts)
-    else:
-        syms_obj = np.empty(max(len(table), 1), dtype=object)
-        for c, s in enumerate(table):
-            syms_obj[c] = s
-        decoded = b"".join(syms_obj[arr].tolist())
-
-    # per-string decoded lengths: sum decoded-len of bytes in each enc slice
-    per_byte = np.where(esc, 1, np.where(is_literal, 0, sym_lens[arr]))
-    csum = np.concatenate([[0], np.cumsum(per_byte)])
-    dec_lengths = csum[enc_offs[1:]] - csum[enc_offs[:-1]]
+    # per-string decoded lengths from the per-token cumulative output ends:
+    # string k covers tokens [searchsorted(order, enc_offs[k]), ...)
+    enc_offs = np.zeros(n_str + 1, dtype=np.int64)
+    np.cumsum(enc_lengths, out=enc_offs[1:])
+    bound_tok = np.searchsorted(order, enc_offs)
+    cum = np.concatenate([[0], out_end])[bound_tok]
+    dec_lengths = np.diff(cum)
     return decoded, dec_lengths.astype(np.int64)
 
 
