@@ -136,19 +136,33 @@ def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
     """Boilerplate / contamination detector: word n-grams appearing in
     >= min_docs distinct documents, ranked by document frequency.
 
-    Scale shape: the explode emits (id, ngram) pairs; distinct + groupBy
-    shuffle on the ngram string. For 100 TB, hash the ngram to 8 bytes
-    first (xxhash64) and resolve top-k strings by a second pass — here the
-    string key keeps the result oracle-checkable.
+    Scale shape (hash-first): the wide shuffle carries (xxhash64(ngram),
+    id) — 16 B/row — never the gram strings. Strings are resolved only
+    for the qualifying hashes (>= min_docs documents, a tiny set next to
+    the gram stream) via a broadcast join against the corpus scanned in
+    place, then the final order/limit runs on resolved strings so ties
+    break exactly as a string-keyed groupBy would. A hash collision
+    merging two distinct grams' counts needs a 2^-64 event. At extreme
+    corpus sizes cap the qualifying set (raise min_docs) so the resolve
+    join stays broadcastable.
     """
     pairs = df.select(
         F.col(id_col),
         F.explode(word_ngram_col(F.col(text_col), n)).alias("ngram"),
     )
-    return (
-        pairs.groupBy("ngram")
+    qual = (
+        pairs.select(F.xxhash64("ngram").alias("gh"), F.col(id_col))
+        .groupBy("gh")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+    resolved = (
+        pairs.select("ngram", F.xxhash64("ngram").alias("gh"))
+        .join(F.broadcast(qual), "gh")
+        .dropDuplicates(["gh"])
+    )
+    return (
+        resolved.select("ngram", "n_docs")
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(top_k)
     )

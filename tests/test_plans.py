@@ -137,3 +137,17 @@ def test_embedding_pairs_grouped_matmul_single_exchange(spark):
     assert "FlatMapGroupsInPandas" in p, p
     assert p.count("Exchange (") == 1, p  # tree form; details repeat nodes
     assert "BroadcastNestedLoopJoin" not in p and "SortMergeJoin" not in p
+
+
+def test_boilerplate_wide_shuffle_is_hash_keyed(spark):
+    """The document-frequency groupBy must shuffle (gh, id) — 8-byte gram
+    hashes — not the gram strings; strings resolve via a broadcast join of
+    the (tiny) qualifying set."""
+    from fileconvert_spark.functions.text import boilerplate_ngrams
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    p = plan_of(boilerplate_ngrams(docs))
+    assert "BroadcastHashJoin" in p, p
+    for line in p.splitlines():
+        if "hashpartitioning" in line:
+            assert "ngram" not in line, line
