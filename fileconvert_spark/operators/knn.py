@@ -88,10 +88,57 @@ def train_centroids(df: DataFrame, n_centroids: int = 16,
     return cent
 
 
+def refine_centroids(df: DataFrame, cent: np.ndarray,
+                     vec_col: str = "embedding", iters: int = 2) -> np.ndarray:
+    """Distributed Lloyd refinement of an IVF quantizer over the FULL
+    table: assign every vector to its nearest centroid (broadcast matmul
+    pandas UDF), then recompute means with posexplode -> groupBy(cell,
+    dim) — the shuffle carries (cell, dim, partial sums), and the driver
+    only ever sees n_centroids x dim aggregate rows. Use after
+    train_centroids when the bounded driver sample shouldn't have the
+    last word at 10^12 rows."""
+    spark = df.sparkSession
+    for _ in range(max(iters, 0)):
+        bc = spark.sparkContext.broadcast(cent)
+
+        @F.pandas_udf("int")
+        def cell_of(vecs: pd.Series) -> pd.Series:
+            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series((m @ bc.value.T).argmax(axis=1).astype(np.int32))
+
+        norm = _norm_expr(F.col(vec_col))
+        rows = (
+            df.select(
+                cell_of(F.col(vec_col)).alias("cell"),
+                F.posexplode(
+                    F.transform(vec_col,
+                                lambda x: x.cast("double") / norm)
+                ).alias("dim", "v"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cent.copy()
+        acc = np.zeros_like(cent)
+        cnt = np.zeros(len(cent), dtype=np.int64)
+        for r in rows:
+            acc[r["cell"], r["dim"]] = r["s"]
+            cnt[r["cell"]] = r["n"]
+        nz = cnt > 0
+        new[nz] = acc[nz] / np.maximum(
+            np.linalg.norm(acc[nz], axis=1, keepdims=True), 1e-12)
+        cent = new
+        bc.destroy()
+    return cent
+
+
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             q_id_col: str = "q_id", q_vec_col: str = "q_vec") -> DataFrame:
+             q_id_col: str = "q_id", q_vec_col: str = "q_vec",
+             refine_iters: int = 0) -> DataFrame:
     """IVF ANN: probe only the n_probe nearest centroid cells per query.
 
     Centroids ship as a Spark broadcast variable consumed by vectorized
@@ -102,6 +149,8 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql.types import ArrayType, IntegerType
 
     cent = train_centroids(df, n_centroids, vec_col, id_col=id_col)
+    if refine_iters:
+        cent = refine_centroids(df, cent, vec_col, iters=refine_iters)
     bc = df.sparkSession.sparkContext.broadcast(cent)
     n_probe_eff = min(n_probe, len(cent))
 

@@ -411,3 +411,45 @@ def test_contamination_detectors(spark):
              for r in ngram_contamination(docs, bench, n=8).collect()}
     assert set(ngram) == {2, 3, 4}  # partial inclusion caught too
     assert ngram[4] >= 1
+
+
+def test_refine_centroids_improves_quantization(spark):
+    """Distributed Lloyd refinement over the full table must not worsen —
+    and should measurably improve — mean quantization similarity vs the
+    sample-trained quantizer, and stay deterministic."""
+    import numpy as np
+    from fileconvert_spark.operators.knn import refine_centroids, train_centroids
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    vecs = np.array(emb.select("embedding").toPandas()["embedding"].tolist(),
+                    dtype=np.float64)
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+
+    def mean_sim(c):
+        return (vecs @ c.T).max(axis=1).mean()
+
+    c0 = train_centroids(emb, 8, id_col="vec_id")
+    c2 = refine_centroids(emb, c0, iters=2)
+    c2b = refine_centroids(emb, c0, iters=2)
+    assert np.allclose(c2, c2b)  # deterministic
+    assert mean_sim(c2) >= mean_sim(c0) - 1e-9
+
+
+def test_connected_components_warns_on_non_convergence():
+    import warnings as _w
+
+    import pytest as _pt
+    from fileconvert_spark.operators.dedup import connected_components
+    from fileconvert_spark.session import get_spark
+
+    spark = get_spark()
+    # a 12-node chain cannot converge in one iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with _pt.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iter=1)
+    # and with the default budget the same chain resolves without warning
+    with _w.catch_warnings():
+        _w.simplefilter("error", RuntimeWarning)
+        out = connected_components(pairs, max_iter=25).collect()
+    assert {r["component"] for r in out} == {0}
