@@ -9,13 +9,17 @@ greedy longest-match with code 255 reserved as a one-byte escape for bytes
 not covered by the table. Each string is encoded independently (no token
 spans a string boundary), preserving FSST's per-string random access.
 
-Hot path is vectorized end-to-end: symbol lookups are O(1) gathers
-(direct LUTs for 1-2 byte symbols, open-addressed hash tables for 3-8,
-keyed by little-endian uint64 window keys), and the greedy parse is a
-pointer walk with no per-token Python — cursor rounds advance every live
-string one token at a time while many strings are live, and the skewed
-tail switches to per-string slice matching + pointer-doubling chain
-enumeration. Training is bounded by ``SAMPLE_BYTES`` so its cost is
+Hot path is vectorized end-to-end: window keys come from one overlapping
+stride-1 view over the byte buffer; symbol lookups are O(1) gathers — a
+combined 2-byte-window LUT resolves lengths 1-2 in one probe and a 2-way
+lossy hash table keyed on the first 3 bytes (the paper's design) resolves
+lengths 3-8 in two; the greedy parse is a pointer walk with no per-token
+Python — strings are virtually chopped into ``_WALK_SEG`` pieces so round
+count is bounded under length skew, cursor rounds advance every live
+piece one token at a time, and the small tail switches to per-piece slice
+matching + pointer-doubling chain enumeration. Decode emits through one
+flat byte gather (symbol pool + escaped literals as slices of a combined
+source buffer). Training is bounded by ``SAMPLE_BYTES`` so its cost is
 constant per chunk.
 
 Capability parity note: the reference (renesugar/FileConvert, see SURVEY.md
