@@ -262,3 +262,41 @@ def test_hex_blob_inside_dict_codec():
     assert dict_blob[0] == 2  # _BLOB_HEX
     out = codecs.decode_str(codec, payload, dict_blob, meta, len(arr))
     assert out.cast(pa.string()).equals(arr)
+
+
+def test_fsst_two_byte_symbol_never_crosses_string_boundary():
+    """A 2-byte symbol whose bytes straddle two adjacent strings must NOT
+    match at the first string's final byte (the combined 2-byte LUT reads
+    the next string's byte there); the encoder must fall back to the
+    1-byte symbol and decode exactly."""
+    import pyarrow as pa
+
+    from fileconvert_spark.functions import fsst
+
+    # table trained so that 'ab' is a symbol and 'a','b' singles exist
+    sample = b"ab" * 64
+    table = fsst.train(sample, lengths=[2] * 64)
+    assert b"ab" in table and b"a" in table and b"b" in table
+    # 'xa' ends in 'a'; the NEXT string starts with 'b' -> window sees 'ab'
+    arr = pa.array(["xa", "by", "ab", "a"], type=pa.string())
+    payload, blob = fsst.fsst_encode_array(arr, table)
+    dec = fsst.fsst_decode_array(payload, blob)
+    assert dec.equals(arr)
+
+
+def test_fsst_walk_seg_chop_is_transparent(monkeypatch):
+    """Chopping long strings for the walk must not change decoded values
+    (only possibly the encoded size), including exactly-at-cut symbols."""
+    import pyarrow as pa
+
+    from fileconvert_spark.functions import fsst
+
+    text = "the quick brown fox jumps over the lazy dog " * 200  # ~9 KB
+    arr = pa.array([text, text[: fsst._WALK_SEG], "x" * fsst._WALK_SEG * 3],
+                   type=pa.string())
+    table = fsst.train(text.encode()[:16384], lengths=[len(text.encode())])
+    p1, b1 = fsst.fsst_encode_array(arr, table)
+    monkeypatch.setattr(fsst, "_WALK_SEG", 128)
+    p2, b2 = fsst.fsst_encode_array(arr, table)
+    assert fsst.fsst_decode_array(p1, b1).equals(arr)
+    assert fsst.fsst_decode_array(p2, b2).equals(arr)
