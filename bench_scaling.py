@@ -59,15 +59,29 @@ spark.stop()
 """
 
 
-def run_level(cores: int, corpus: str) -> dict:
+def run_level(cores: int, corpus: str, invocations: int = 2) -> dict:
+    """Min across ``invocations`` fresh-JVM subprocesses, each itself
+    min-of-N_RUNS warm: the dominant noise on this host is whole-process
+    state (page-cache, co-tenant load during that window), so independent
+    invocations beat more in-process repeats."""
     repo = os.path.dirname(os.path.abspath(__file__))
     script = _CHILD.format(repo=repo)
-    out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), corpus, str(N_RUNS)],
-        capture_output=True, text=True, timeout=2400,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    best = None
+    walls_all: list[float] = []
+    for _ in range(invocations):
+        out = subprocess.run(
+            [sys.executable, "-c", script, str(cores), corpus, str(N_RUNS)],
+            capture_output=True, text=True, timeout=2400,
+        )
+        line = [l for l in out.stdout.strip().splitlines()
+                if l.startswith("{")][-1]
+        r = json.loads(line)
+        walls_all += r["walls"]
+        if best is None or r["wall_s"] < best["wall_s"]:
+            best = r
+    best["walls"] = walls_all
+    best["mb_s"] = best["raw_bytes"] / 1e6 / best["wall_s"]
+    return best
 
 
 def main() -> None:
@@ -94,9 +108,10 @@ def main() -> None:
         f"Corpus: {ROWS} rows, {results[levels[0]]['raw_bytes']/1e6:.0f} MB raw "
         "column bytes (deterministic FIXTURES.md corpus).",
         "Job: plan_buckets(128) -> repartition(bucket) -> mapInArrow encode "
-        "-> per-bucket parquet(+manifests). Fresh JVM per level; workers "
-        f"warmed before timing; wall = min of {N_RUNS} runs (this host's "
-        "page-fault path has 3-8x run-to-run noise under concurrency).",
+        "-> per-bucket parquet(+manifests). Two fresh-JVM invocations per "
+        f"level, each min-of-{N_RUNS} warm runs; wall = min over all "
+        "samples (this host's page-fault path has 3-8x run-to-run noise "
+        "under concurrency).",
         "",
         "| parallelism | wall (s), min | all runs (s) | throughput (MB/s) |",
         "| --- | --- | --- | --- |",
