@@ -284,7 +284,8 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         threshold: float = 0.95,
                         n_planes: int = 8,
                         brute_force_below: int = 4096,
-                        n_blocks: int = 8) -> DataFrame:
+                        n_blocks: int = 8,
+                        bucket_splits: int = 4) -> DataFrame:
     """Cosine near-duplicates: random-hyperplane LSH buckets + exact cosine
     within buckets (the 100-TB path), or exact blocked all-pairs for inputs
     below ``brute_force_below`` — LSH recall (~(1-theta/pi)^planes per
@@ -298,7 +299,9 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     ~B/2+1 times (vectors only, bounded by choosing B ~ sqrt(tasks wanted)).
     LSH path: n_planes=8 -> 256 buckets; at 100 TB raise n_planes so bucket
     groups stay executor-sized (recall falls with planes — re-verify pairs
-    downstream or union multiple plane sets if higher recall is needed).
+    downstream or union multiple plane sets if higher recall is needed),
+    and ``bucket_splits`` caps the largest single matmul task when the
+    embedding distribution concentrates into hot buckets.
     """
     import numpy as np
 
@@ -328,7 +331,12 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         return _pairs_within_groups(a.unionByName(b), threshold)
 
     # LSH path: bucket by hyperplane sign bits (one broadcast matmul per
-    # Arrow batch), then exact within-bucket comparison per group.
+    # Arrow batch), then exact within-bucket comparison per group. A hot
+    # bucket (skewed embedding distribution) would otherwise become one
+    # giant matmul task, so every bucket is secondarily split into
+    # ``bucket_splits`` sub-blocks by id hash and compared via the same
+    # block-pair grid the exact path uses — group size is capped at
+    # |bucket|/splits at the cost of splits(splits+1)/2 groups per bucket.
     rng = np.random.Generator(np.random.PCG64(7))
     dim = int(dim_row["d"])
     planes = rng.standard_normal((n_planes, dim))
@@ -341,8 +349,25 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         bits = (m @ bc.value.T) >= 0
         return pd.Series((bits @ weights[: bc.value.shape[0]]).astype(np.int32))
 
+    ns = max(int(bucket_splits), 1)
+    blk = F.pmod(F.xxhash64(F.col("id")), F.lit(ns)).cast("int")
     bucketed = base.select(
-        bucket_udf(F.col("vec")).alias("ki"), "id", "vec",
-    ).select("ki", F.col("ki").alias("kj"), F.lit(0).alias("side"),
-             "id", "vec")
-    return _pairs_within_groups(bucketed, threshold)
+        bucket_udf(F.col("vec")).alias("bucket"), "id", "vec",
+        blk.alias("blk"),
+    )
+    # group key = bucket * ns + sub-block; unordered sub-block pairs
+    a = bucketed.select(
+        (F.col("bucket") * ns + F.col("blk")).alias("ki"),
+        F.explode(
+            F.sequence(F.col("bucket") * ns + F.col("blk"),
+                       F.col("bucket") * ns + F.lit(ns - 1))
+        ).alias("kj"),
+        F.lit(0).alias("side"), "id", "vec")
+    b = bucketed.filter(F.col("blk") > 0).select(
+        F.explode(
+            F.sequence(F.col("bucket") * ns,
+                       F.col("bucket") * ns + F.col("blk") - 1)
+        ).alias("ki"),
+        (F.col("bucket") * ns + F.col("blk")).alias("kj"),
+        F.lit(1).alias("side"), "id", "vec")
+    return _pairs_within_groups(a.unionByName(b), threshold)

@@ -453,3 +453,37 @@ def test_connected_components_warns_on_non_convergence():
         _w.simplefilter("error", RuntimeWarning)
         out = connected_components(pairs, max_iter=25).collect()
     assert {r["component"] for r in out} == {0}
+
+
+def test_embedding_near_dups_lsh_path_with_bucket_splits(spark):
+    """Force the LSH path (brute_force_below=0): planted near-identical
+    vectors must be found even when a bucket is split into sub-blocks
+    (pairs across sub-blocks go through the block-pair grid)."""
+    import numpy as np
+    from fileconvert_spark.operators.dedup import embedding_near_dups
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = []
+    for i in range(120):
+        v = rng.standard_normal(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant: 200/201 identical, 202/203 nearly identical
+    base = np.array(rows[0][1])
+    rows.append((200, base.tolist()))
+    rows.append((201, base.tolist()))
+    near = base + 0.01 * rng.standard_normal(16)
+    near /= np.linalg.norm(near)
+    rows.append((202, base.tolist()))
+    rows.append((203, near.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dups(
+                 df, threshold=0.98, brute_force_below=0,
+                 bucket_splits=3).collect()}
+    assert (200, 201) in pairs
+    assert (202, 203) in pairs
+    # no duplicate emission of any pair
+    out = embedding_near_dups(df, threshold=0.98, brute_force_below=0,
+                              bucket_splits=3).collect()
+    ids = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(ids) == len(set(ids))
