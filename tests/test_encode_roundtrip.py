@@ -383,3 +383,23 @@ def test_encode_decode_via_file_uri(spark, corpus_df, tmp_path):
     assert_roundtrip(corpus_df, dec, KEYS)
     s2 = encode_table(spark, corpus_df, out, n_buckets=4)
     assert s2["parts_skipped_resume"] == s["n_parts"]  # resume through URI
+
+
+def test_edge_inputs_roundtrip(spark):
+    """Empty table, all-null column, unicode incl. astral plane: all must
+    round-trip through encode_df/decode_df."""
+    from fileconvert_spark.operators.encode import decode_df, encode_df
+
+    empty = spark.createDataFrame([], "id long, text string")
+    assert decode_df(encode_df(empty, chunk_rows=128), empty.schema).count() == 0
+
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, text string")
+    rows = sorted((r["id"], r["text"]) for r in
+                  decode_df(encode_df(allnull, chunk_rows=128),
+                            allnull.schema).collect())
+    assert rows == [(1, None), (2, None)]
+
+    uni = spark.createDataFrame([(1, "héllo wörld 汉字 \U0001F680 tail")],
+                                "id long, text string")
+    assert decode_df(encode_df(uni, chunk_rows=128),
+                     uni.schema).collect() == uni.collect()
