@@ -239,16 +239,23 @@ def _oph_signatures(gh: np.ndarray, counts: np.ndarray,
     return _oph_densify(sig)
 
 
-def _slab_gram_hashes(enc: list[bytes], n: int) -> tuple[np.ndarray, np.ndarray]:
+def _slab_gram_hashes(enc: list[bytes], n: int,
+                      short_doc_gram: bool = True
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Word n-gram hashes for one slab: (concatenated gram hashes uint64[m],
-    grams-per-doc int64[n_docs]). Docs with 1..n-1 words get one gram over
-    all their words (same convention as ``word_ngrams``)."""
+    grams-per-doc int64[n_docs]). ``short_doc_gram``: docs with 1..n-1
+    words get one gram over all their words (the ``word_ngrams``
+    convention, used by MinHash); False gives them ZERO grams (the
+    ``word_ngram_col`` convention, used by boilerplate/contamination)."""
     wh, wc = _slab_word_hashes(enc)
     if wh.size == 0:
         return np.empty(0, np.uint64), np.zeros(len(enc), np.int64)
     woff = np.zeros(wc.size + 1, dtype=np.int64)
     np.cumsum(wc, out=woff[1:])
-    n_grams = np.where(wc == 0, 0, np.maximum(wc - n + 1, 1))
+    if short_doc_gram:
+        n_grams = np.where(wc == 0, 0, np.maximum(wc - n + 1, 1))
+    else:
+        n_grams = np.maximum(wc - n + 1, 0)
     total = int(n_grams.sum())
     goff = np.zeros(n_grams.size + 1, dtype=np.int64)
     np.cumsum(n_grams, out=goff[1:])
@@ -259,13 +266,15 @@ def _slab_gram_hashes(enc: list[bytes], n: int) -> tuple[np.ndarray, np.ndarray]
     return _segment_hashes(wh, gstart, gend), n_grams
 
 
-def batch_gram_hashes(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def batch_gram_hashes(texts: list[str], n: int = 3,
+                      short_doc_gram: bool = True
+                      ) -> tuple[np.ndarray, np.ndarray]:
     """Word n-gram hashes for a batch of texts: (concatenated hashes in doc
     order, grams per doc). Slab-batched like the signature kernels."""
     chunks: list[np.ndarray] = []
     counts = np.zeros(len(texts), dtype=np.int64)
     for idx, enc in _doc_slabs(texts):
-        gh, ng = _slab_gram_hashes(enc, n)
+        gh, ng = _slab_gram_hashes(enc, n, short_doc_gram)
         chunks.append(gh)
         counts[np.asarray(idx)] = ng
     gh_all = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)

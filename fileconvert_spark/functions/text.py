@@ -131,39 +131,72 @@ def word_ngram_col(col: Column, n: int = 8) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_ngram_hash_col(col: Column, n: int = 8) -> Column:
+    """64-bit hash per word n-gram WITHOUT materializing gram strings:
+    the batched rolling-hash kernel (functions.similarity — one O(bytes)
+    NumPy pass per Arrow batch, the same kernel MinHash uses) in a pandas
+    UDF. Catalyst higher-order expressions (transform/slice/xxhash64 per
+    gram) measured ~10 us/gram — two orders of magnitude slower. Docs
+    with < n words produce an empty array (the word_ngram_col
+    convention); gram order matches word order, so the array position IS
+    the gram's word offset. Distinct grams collide at ~2^-64."""
+    import numpy as np
+
+    from .similarity import batch_gram_hashes
+
+    @F.pandas_udf("array<bigint>")
+    def gh(s: pd.Series) -> pd.Series:
+        h, cnt = batch_gram_hashes(s.fillna("").tolist(), n,
+                                   short_doc_gram=False)
+        hi = h.astype(np.int64)
+        off = np.zeros(cnt.size + 1, dtype=np.int64)
+        np.cumsum(cnt, out=off[1:])
+        return pd.Series([hi[off[i]:off[i + 1]] for i in range(cnt.size)])
+
+    return gh(col)
+
+
 def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
                        n: int = 8, min_docs: int = 2, top_k: int = 10):
     """Boilerplate / contamination detector: word n-grams appearing in
     >= min_docs distinct documents, ranked by document frequency.
 
-    Scale shape (hash-first): the wide shuffle carries (xxhash64(ngram),
-    id) — 16 B/row — never the gram strings. Strings are resolved only
-    for the qualifying hashes (>= min_docs documents, a tiny set next to
-    the gram stream) via a broadcast join against the corpus scanned in
-    place, then the final order/limit runs on resolved strings so ties
-    break exactly as a string-keyed groupBy would. A hash collision
-    merging two distinct grams' counts needs a 2^-64 event. At extreme
-    corpus sizes cap the qualifying set (raise min_docs) so the resolve
-    join stays broadcastable.
+    Scale shape (hash-first, string-free until the end): the counting
+    pass hashes the n-slice of per-word hashes — gram STRINGS are never
+    built and never shuffled; the wide shuffle carries (gh, id) = 16
+    B/row. Qualifying hashes (>= min_docs docs, tiny next to the gram
+    stream) broadcast back over a position-explode pass to find one (doc,
+    position) witness per hash, and only those witnesses materialize
+    their gram string (slice + join of n words each). Final order/limit
+    runs on resolved strings, so ties break exactly as a string-keyed
+    groupBy would. A collision merging two grams' counts needs a 2^-64
+    event; at extreme corpus sizes raise min_docs so the qualifying set
+    stays broadcastable. The corpus is scanned twice (count + witness) —
+    recompute of cheap hash arrays instead of persisting a gram stream.
     """
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(word_ngram_col(F.col(text_col), n)).alias("ngram"),
-    )
+    gh_col = word_ngram_hash_col(F.col(text_col), n)
     qual = (
-        pairs.select(F.xxhash64("ngram").alias("gh"), F.col(id_col))
+        df.select(F.col(id_col), F.explode(gh_col).alias("gh"))
         .groupBy("gh")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
-    resolved = (
-        pairs.select("ngram", F.xxhash64("ngram").alias("gh"))
+    witness = (
+        df.select(F.col(id_col), F.posexplode(gh_col).alias("p", "gh"))
         .join(F.broadcast(qual), "gh")
         .dropDuplicates(["gh"])
     )
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    resolved = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(F.broadcast(witness), id_col)
+        .select(
+            F.array_join(F.slice(words, F.col("p") + 1, n), " ").alias("ngram"),
+            "n_docs",
+        )
+    )
     return (
-        resolved.select("ngram", "n_docs")
-        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        resolved.orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(top_k)
     )
 
