@@ -87,6 +87,11 @@ def main() -> None:
     report = assert_roundtrip(corpus, dec, ["repo", "path", "commit"])
     queries["decode_verify_corpus"] = round(time.time() - t0, 3)
     extras["sha_mismatches"] = int(report["sha_mismatches"])
+    t0 = time.time()
+    report2 = assert_roundtrip(corpus, decode_table(spark, enc_dir),
+                               ["repo", "path", "commit"])
+    queries["decode_verify_corpus_warm"] = round(time.time() - t0, 3)
+    extras["sha_mismatches"] += int(report2["sha_mismatches"])
 
     t0 = time.time()
     snappy_b = snappy_baseline_bytes(corpus, "/tmp/fcs_bench_snappy")
