@@ -357,6 +357,8 @@ def jaccard(a: str, b: str, shingler=word_ngrams) -> float:
 
 def _unique_per_doc(doc: np.ndarray, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Deduplicate (doc, hash) pairs: one lexsort + first-occurrence mask."""
+    if doc.size == 0:
+        return doc, h
     order = np.lexsort((h, doc))
     d, hh = doc[order], h[order]
     first = np.r_[True, (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])]

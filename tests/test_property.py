@@ -142,3 +142,53 @@ def test_list_column_roundtrip_property(rows):
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     assert out.equals(arr), f["codec"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.text(alphabet=st.sampled_from("ab x\t\n"), max_size=60),
+    min_size=2, max_size=12))
+def test_jaccard_batch_matches_scalar_property(texts):
+    """Batched hash-set jaccard == scalar set-based jaccard on arbitrary
+    (whitespace-heavy, collision-prone) text pairs."""
+    from fileconvert_spark.functions import similarity as sim
+
+    ta = texts
+    tb = list(reversed(texts))
+    got = sim.jaccard_batch(ta, tb)
+    want = np.array([sim.jaccard(a, b) for a, b in zip(ta, tb)])
+    assert np.abs(got - want).max() == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("abcde "), min_size=1,
+                        max_size=40), min_size=1, max_size=20))
+def test_bpe_invariants_property(texts):
+    """count == len(tokenize); pieces concatenate back to the pre-tokens;
+    training never crashes and is deterministic on arbitrary corpora."""
+    from fileconvert_spark.functions.bpe import (
+        BPETokenizer, pre_tokenize, train_bpe,
+    )
+
+    merges = train_bpe(texts, n_merges=12)
+    assert merges == train_bpe(list(texts), n_merges=12)
+    tok = BPETokenizer(merges)
+    for t in texts:
+        pieces = tok.tokenize(t)
+        assert len(pieces) == tok.count(t)
+        assert "".join(pieces) == "".join(pre_tokenize(t))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("abc \n\t"), max_size=50),
+                min_size=1, max_size=10),
+       st.integers(min_value=2, max_value=5))
+def test_gram_hash_conventions_property(texts, n):
+    """short_doc_gram=False gram counts == the word_ngram_col convention:
+    max(words - n + 1, 0) per doc, in word order."""
+    from fileconvert_spark.functions import similarity as sim
+
+    _, cnt = sim.batch_gram_hashes(texts, n, short_doc_gram=False)
+    for t, c in zip(texts, cnt):
+        words = t.split()
+        assert c == max(len(words) - n + 1, 0)
