@@ -403,3 +403,44 @@ def test_edge_inputs_roundtrip(spark):
                                 "id long, text string")
     assert decode_df(encode_df(uni, chunk_rows=128),
                      uni.schema).collect() == uni.collect()
+
+
+def test_encode_job_balances_adversarial_skew(spark, tmp_path):
+    """Job-level skew: ONE repo holding ~60% of all content bytes must be
+    salted across buckets by the encode job itself — manifests show no
+    bucket above 1.5x fair share + one row — and still round-trip."""
+    import json as _json
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    rows = []
+    for i in range(400):
+        rows.append((f"hot/repo", f"src/f{i}.py", f"{i:08x}" * 5, "py",
+                     f"hot line {i} " * 200))          # ~2.4 KB each
+    for i in range(600):
+        rows.append((f"repo{i % 40}", f"lib/g{i}.py", f"{i:08x}" * 5, "py",
+                     f"cold line {i} " * 50))          # ~0.7 KB each
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string")
+    out = str(tmp_path / "enc")
+    encode_table(spark, df, out, n_buckets=8, key_col="repo",
+                 salt_cols=("path",), weight_col="content")
+    mans = []
+    mdir = os.path.join(out, "manifests")
+    for f in os.listdir(mdir):
+        if f.endswith(".json") and f.startswith("part-"):
+            mans.append(_json.loads(open(os.path.join(mdir, f)).read()))
+    assert mans, os.listdir(mdir)
+    loads = {m["part_id"]: m["raw_bytes"] for m in mans}
+    fair = sum(loads.values()) / len(loads)
+    assert max(loads.values()) <= 1.5 * fair + 4096, loads
+
+    dec = decode_table(spark, out)
+    assert dec.count() == df.count()
+    o, d = df.alias("o"), dec.alias("d")
+    bad = (o.join(d, (F.col("o.repo") == F.col("d.repo"))
+                  & (F.col("o.path") == F.col("d.path")), "full_outer")
+           .filter(~F.col("o.content").eqNullSafe(F.col("d.content")))
+           .count())
+    assert bad == 0
