@@ -73,6 +73,59 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
     return out
 
 
+def windowed_event_counts_append(spark: SparkSession, src_dir: str, schema,
+                                 window: str = "5 minutes",
+                                 watermark: str = "10 minutes",
+                                 query_name: str | None = None,
+                                 timeout_s: int = 300,
+                                 max_files_per_trigger: int = 1) -> DataFrame:
+    """APPEND-mode windowed counts: the production late-data contract.
+
+    A window is emitted exactly once, when the watermark (max observed
+    event time minus ``watermark``) passes its end; events arriving later
+    than that are DROPPED, not merged — unlike the complete-mode variant
+    above, which re-emits everything and so never exercises the drop
+    path. ``max_files_per_trigger=1`` makes AvailableNow process the
+    source files as separate micro-batches in modification-time order, so
+    a test can plant a late file behind a watermark-advancing one.
+    Returns the finalized windows as a batch DataFrame.
+    """
+    import os
+    import uuid
+
+    query_name = f"{query_name or 'evt_append'}_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {query_name} exceeded {timeout_s}s")
+        rows = spark.sql(
+            f"SELECT unix_timestamp(w.start) AS window_start, event_type, n "
+            f"FROM {query_name}")
+        out = rows.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(query_name)
+    return out
+
+
 def stateful_user_counts(spark: SparkSession, events_path: str, schema,
                          query_name: str | None = None,
                          timeout_s: int = 300) -> DataFrame:

@@ -487,3 +487,57 @@ def test_embedding_near_dups_lsh_path_with_bucket_splits(spark):
                               bucket_splits=3).collect()
     ids = [(r["id_a"], r["id_b"]) for r in out]
     assert len(ids) == len(set(ids))
+
+
+def test_streaming_append_mode_drops_late_events(spark, tmp_path):
+    """Watermark contract (C19): a window is finalized once the watermark
+    passes its end, and an event arriving in a LATER micro-batch that
+    falls into the finalized window is dropped, not merged."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from fileconvert_spark.streaming.incremental import (
+        windowed_event_counts_append,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "stream_src")
+    _os.makedirs(src)
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def _write_flat(rows, name):
+        """One flat parquet FILE in src (the stream source does not
+        recurse into write.parquet's output directories)."""
+        import glob
+        import shutil as _sh
+        d = str(tmp_path / f"tmp_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        part = glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+        _sh.move(part, _os.path.join(src, f"{name}.parquet"))
+
+    # batch 1: two rows in window [00:00, 00:05) plus one row two hours
+    # later. The watermark computed from this batch (01:50) takes effect
+    # in batch 2, which EVICTS + emits the finalized window...
+    _write_flat(
+        [(1, t0 + dt.timedelta(minutes=1), "click"),
+         (2, t0 + dt.timedelta(minutes=2), "click"),
+         (3, t0 + dt.timedelta(hours=2), "click")], "f1")
+    _time.sleep(1.1)  # distinct mtimes: the file source orders by them
+    _write_flat([(9, t0 + dt.timedelta(hours=2, minutes=1), "click")], "f2")
+    _time.sleep(1.1)
+    # batch 3: a LATE click at 00:03 — the window is already finalized
+    # and the row is beyond the 10-minute watermark -> dropped
+    _write_flat([(4, t0 + dt.timedelta(minutes=3), "click")], "f3")
+
+    out = windowed_event_counts_append(
+        spark, src,
+        spark.read.parquet(_os.path.join(src, "f1.parquet")).schema,
+        window="5 minutes", watermark="10 minutes")
+    collected = out.collect()
+    rows = {(r["window_start"], r["event_type"]): r["n"] for r in collected}
+    key = (int(t0.replace(tzinfo=dt.timezone.utc).timestamp()), "click")
+    assert rows.get(key) == 2, rows  # late event 4 dropped, not 3
+    # and the finalized window was emitted exactly once (no resurrection)
+    n_emits = sum(1 for r in collected if r["window_start"] == key[0])
+    assert n_emits == 1, collected
