@@ -232,6 +232,11 @@ def grouping_sets(spark, sf_dir):
 
 
 def distinct_exact(spark, sf_dir):
+    """Exact distinct counts + an oracle-checkable APPROX sanity flag:
+    approx_count_distinct must land within 5% of the exact count (HLL++'s
+    default rsd is 5%, and its output for a fixed dataset is
+    deterministic). Absorbs r02's rows-only approx_distinct query — the
+    approximate path now has a driver-verified row."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -239,6 +244,11 @@ def distinct_exact(spark, sf_dir):
             F.countDistinct("l_partkey").alias("n_parts"),
             F.countDistinct("l_suppkey").alias("n_supps"),
             F.countDistinct("l_orderkey").alias("n_orders"),
+            (
+                F.abs(F.approx_count_distinct("l_partkey")
+                      - F.countDistinct("l_partkey"))
+                <= 0.05 * F.countDistinct("l_partkey")
+            ).alias("approx_within_5pct"),
         )
         .orderBy("l_returnflag")
     )
@@ -957,14 +967,6 @@ def quality_fingerprint_docs(spark, sf_dir):
     )
 
 
-def approx_distinct(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-    )
-
-
 def training_pipeline_demo(spark, sf_dir):
     """End-to-end training-data pipeline composition: quality filter ->
     exact dedup (keep one per content hash) -> language id -> per-language
@@ -1104,7 +1106,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_docs": dedup_simhash_docs,
         "dedup_near_pipeline": dedup_near_pipeline,
         "knn_ivf": knn_ivf,
-        "approx_distinct": approx_distinct,
         "multimodal_features": multimodal_features,
         "bpe_token_counts": bpe_token_counts,
     }
@@ -1208,7 +1209,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    COUNT(DISTINCT l_suppkey) AS n_supps,
-                   COUNT(DISTINCT l_orderkey) AS n_orders
+                   COUNT(DISTINCT l_orderkey) AS n_orders,
+                   TRUE AS approx_within_5pct
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "window_topk_orders": """

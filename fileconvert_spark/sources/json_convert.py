@@ -1,0 +1,53 @@
+"""JSON-lines <-> Parquet conversion, alongside the CSV path (SURVEY.md
+§2.A family — the reference is a file-format converter; JSON-lines is the
+other ubiquitous text interchange format a corpus lands in).
+
+Spark-first: `spark.read.json` with sampled schema inference, the same
+distributed one-narrow-scan-per-split shape as csv_convert. JSON is
+lossless for NULL-vs-absent distinctions only one way: a NULL field is
+written as an explicit ``"field": null`` when ``ignoreNullFields=False``
+(the default here), so the round trip preserves nulls; empty string
+survives natively (JSON quotes it). Nested structs/maps/arrays pass
+through untouched — JSON is the one text format where nesting is native.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def json2parquet(
+    spark: SparkSession,
+    json_path: str,
+    parquet_path: str,
+    infer_schema: bool = True,
+    sampling_ratio: float = 1.0,
+    compression: str = "snappy",
+    schema=None,
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("samplingRatio", sampling_ratio)
+    df = reader.json(json_path)
+    df.write.mode("overwrite").option("compression", compression).parquet(
+        parquet_path)
+    return df
+
+
+def parquet2json(
+    spark: SparkSession,
+    parquet_path: str,
+    json_path: str,
+    single_file: bool = False,
+) -> DataFrame:
+    df = spark.read.parquet(parquet_path)
+    writer = df.coalesce(1) if single_file else df
+    (
+        writer.write.mode("overwrite")
+        # keep explicit nulls so the reverse path reconstructs them
+        .option("ignoreNullFields", False)
+        .json(json_path)
+    )
+    return df

@@ -541,3 +541,29 @@ def test_streaming_append_mode_drops_late_events(spark, tmp_path):
     # and the finalized window was emitted exactly once (no resurrection)
     n_emits = sum(1 for r in collected if r["window_start"] == key[0])
     assert n_emits == 1, collected
+
+
+def test_json_roundtrip(spark, tmp_path, docs):
+    """JSON-lines <-> Parquet: documents round-trip including nulls (kept
+    as explicit JSON nulls) and a nested-struct column."""
+    from fileconvert_spark.sources.json_convert import json2parquet, parquet2json
+
+    src = docs.withColumn(
+        "meta", F.struct(F.col("n_chars").alias("nc"),
+                         F.col("lang").alias("lg")))
+    pq_src = str(tmp_path / "src_pq")
+    src.write.parquet(pq_src)
+    json_dir = str(tmp_path / "json")
+    pq_back = str(tmp_path / "back_pq")
+    parquet2json(spark, pq_src, json_dir)
+    back = json2parquet(spark, json_dir, pq_back, schema=src.schema)
+    b, o = back.alias("b"), src.alias("o")
+    bad = (
+        o.join(b, F.col("o.doc_id") == F.col("b.doc_id"), "full_outer")
+        .filter(~F.col("o.text").eqNullSafe(F.col("b.text"))
+                | ~F.col("o.lang").eqNullSafe(F.col("b.lang"))
+                | ~F.col("o.meta").eqNullSafe(F.col("b.meta")))
+        .count()
+    )
+    assert bad == 0
+    assert back.count() == src.count()
