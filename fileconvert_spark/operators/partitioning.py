@@ -37,6 +37,7 @@ def plan_buckets(
     salt_cols: tuple[str, ...] = ("path", "commit"),
     weight_col: str = "content",
     target_bucket_bytes: int = DEFAULT_BUCKET_BYTES,
+    stats_sample_fraction: float = 1.0,
 ) -> tuple[DataFrame, dict]:
     """Assign a ``bucket`` column balancing bytes, salting hot keys.
 
@@ -45,12 +46,28 @@ def plan_buckets(
     many that buckets fall under ``target_bucket_bytes`` (tiny chunks hurt
     both codec ratio and per-task fixed costs).
 
+    ``stats_sample_fraction < 1``: weigh keys on a seeded Bernoulli row
+    sample, scaled by 1/fraction, instead of scanning every content byte —
+    at 10^12 files the exact pre-pass is a full-corpus read just to plan
+    buckets, while LPT only needs RELATIVE weights and any hot key
+    dominates any sample. Determinism: the seed is fixed, so the same
+    input (same files, same splits) yields the same sample, the same
+    weights, and byte-identical bucket assignments — the property resume
+    depends on (encode_table pins the fraction in _meta.json alongside
+    n_buckets for exactly that reason).
+
     Returns (df + bucket column, plan info dict).
     """
     spark = df.sparkSession
     w = F.coalesce(F.length(F.col(weight_col)), F.lit(0)).cast("long")
 
-    sizes = df.groupBy(key_col).agg(F.sum(w).alias("bytes"))
+    frac = float(stats_sample_fraction)
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"stats_sample_fraction must be in (0, 1]: {frac}")
+    stats_src = df if frac >= 1.0 else df.sample(fraction=frac, seed=7)
+    scale = 1.0 if frac >= 1.0 else 1.0 / frac
+    sizes = stats_src.groupBy(key_col).agg(
+        (F.sum(w) * F.lit(scale)).cast("long").alias("bytes"))
     total_row = sizes.agg(
         F.sum("bytes").alias("total"), F.count("*").alias("n_keys")
     ).collect()[0]

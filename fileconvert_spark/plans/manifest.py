@@ -154,11 +154,17 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  weight_col: str = "content",
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                 derived_cols: dict | None = None) -> dict:
+                 derived_cols: dict | None = None,
+                 stats_sample_fraction: float = 1.0) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
     map) + 1 hash shuffle (repartition by bucket) + narrow encode/write.
+
+    ``stats_sample_fraction``: weigh the bucket plan on a seeded row
+    sample (see plan_buckets) — at 10^12 files the exact pre-pass is a
+    full-corpus read; a few percent sample plans the same buckets. Pinned
+    in _meta.json so resume re-derives byte-identical assignments.
 
     ``derived_cols``: extra columns computed in-pipeline before encoding
     (e.g. ``{"content_len": F.length("content")}``) — the
@@ -174,15 +180,19 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         df = df.withColumn(name, col)
     fsio.makedirs(out_dir)
     # bucketing is part of the table's identity: resuming with a different
-    # n_buckets would re-bucket rows and duplicate them across old/new parts
+    # n_buckets (or different sampled stats) would re-bucket rows and
+    # duplicate them across old/new parts
     meta_path = os.path.join(out_dir, "_meta.json")
     pinned = None
     if resume and fsio.exists(meta_path):
-        pinned = json.loads(fsio.read_bytes(meta_path))["n_buckets"]
+        meta = json.loads(fsio.read_bytes(meta_path))
+        pinned = meta["n_buckets"]
+        stats_sample_fraction = float(meta.get("stats_sample_fraction", 1.0))
 
     dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
                                   key_col=key_col, salt_cols=salt_cols,
-                                  weight_col=weight_col)
+                                  weight_col=weight_col,
+                                  stats_sample_fraction=stats_sample_fraction)
     n_buckets = plan_info["n_buckets"]  # resolved (auto-sized when None)
 
     if pinned is None:
@@ -196,7 +206,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                 fsio.remove(os.path.join(p, name))
         fsio.write_bytes_atomic(meta_path, json.dumps(
             {"n_buckets": n_buckets, "key_col": key_col,
-             "salt_cols": list(salt_cols), "weight_col": weight_col}).encode())
+             "salt_cols": list(salt_cols), "weight_col": weight_col,
+             "stats_sample_fraction": stats_sample_fraction}).encode())
     fsio.write_bytes_atomic(os.path.join(out_dir, "_schema.json"),
                             df.schema.json().encode())
     done = scan_done_parts(out_dir) if resume else set()

@@ -444,3 +444,28 @@ def test_encode_job_balances_adversarial_skew(spark, tmp_path):
            .filter(~F.col("o.content").eqNullSafe(F.col("d.content")))
            .count())
     assert bad == 0
+
+
+def test_sampled_bucket_plan_balances_and_is_deterministic(spark, corpus_df):
+    """A 25% stats sample must (a) produce byte-identical bucket
+    assignments across two invocations on the same input (resume depends
+    on it) and (b) still balance the Zipf-skewed corpus within the same
+    bound as the exact plan."""
+    n = 8
+    d1, _ = plan_buckets(corpus_df, n, stats_sample_fraction=0.25)
+    d2, _ = plan_buckets(corpus_df, n, stats_sample_fraction=0.25)
+    def fp(d):  # order-insensitive assignment fingerprint (xor, no overflow)
+        return d.select(F.xxhash64("path", "commit", "bucket").alias("h")) \
+            .agg(F.expr("bit_xor(h)")).collect()[0][0]
+
+    h1, h2 = fp(d1), fp(d2)
+    assert h1 == h2
+
+    loads = {r["bucket"]: r["b"] for r in
+             d1.groupBy("bucket")
+             .agg(F.sum(F.coalesce(F.length("content"), F.lit(0))).alias("b"))
+             .collect()}
+    total = sum(loads.values())
+    max_row = corpus_df.agg(
+        F.max(F.length("content")).alias("m")).collect()[0]["m"]
+    assert max(loads.values()) <= 1.5 * (total / n) + max_row, loads
