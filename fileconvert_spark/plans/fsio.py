@@ -117,9 +117,12 @@ def write_parquet_atomic(table: pa.Table, path: str, **kwargs) -> int:
     return info.size if info.size is not None else 0
 
 
-def read_parquet(path: str) -> pa.Table:
+def read_parquet(path: str, filters=None) -> pa.Table:
+    """``filters``: pyarrow filter expression/DNF — row groups whose
+    statistics exclude the predicate are never read (decode projection
+    uses this to skip non-selected columns' payload bytes)."""
     fs, p = resolve(path)
-    return pq.read_table(p, filesystem=fs)
+    return pq.read_table(p, filesystem=fs, filters=filters)
 
 
 def du_suffix(path: str, suffix: str = ".parquet") -> int:

@@ -261,7 +261,8 @@ def read_all_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-def decode_table(spark, out_dir: str, narrow: bool = True):
+def decode_table(spark, out_dir: str, narrow: bool = True,
+                 columns: list[str] | None = None):
     """Read an encoded table directory back as the original DataFrame.
 
     narrow=True (default): one task per part file, each decoding its own
@@ -270,6 +271,12 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
     chunk-aligned by construction, so decode is embarrassingly parallel.
     narrow=False falls back to the generic applyInPandas group decode
     (works on any enc DataFrame regardless of layout).
+
+    ``columns``: decode only a projection — the engine-format equivalent
+    of parquet column pruning. Non-selected columns' payload rows are
+    filtered at the parquet read (narrow: pyarrow filter pushdown per
+    part; wide: a catalyst filter the scan pushes down), so their bytes
+    never reach a codec.
     """
     from pyspark.sql.types import StructType
 
@@ -278,9 +285,19 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
     schema = StructType.fromJson(
         json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
     )
+    n_full = len(schema.fields)
+    if columns is not None:
+        missing = set(columns) - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"decode_table: unknown columns {sorted(missing)}")
+        schema = StructType([f for f in schema.fields if f.name in columns])
     data_dir = os.path.join(out_dir, "data")
     if not narrow:
+        from pyspark.sql import functions as F
+
         enc_df = spark.read.parquet(data_dir)
+        if columns is not None:
+            enc_df = enc_df.filter(F.col("column").isin(list(columns)))
         return decode_df(enc_df, schema)
 
     files = [
@@ -289,6 +306,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
         if f.endswith(".parquet")
     ]
     column_order = [f.name for f in schema.fields]
+    wanted = set(column_order)
     fdf = spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(max(len(files), 1))
 
@@ -298,9 +316,11 @@ def decode_table(spark, out_dir: str, narrow: bool = True):
         from ..operators.encode import decode_column
         from . import fsio as fsio2  # resolve the FS inside the executor
 
+        flt = [("column", "in", sorted(wanted))] if len(wanted) < n_full \
+            else None
         for b in batches:
             for path_val in b.column(0):
-                enc_tbl = fsio2.read_parquet(path_val.as_py())
+                enc_tbl = fsio2.read_parquet(path_val.as_py(), filters=flt)
                 # one C-level conversion for the whole part file instead of
                 # per-cell .as_py() round trips through Python objects
                 enc_rows = enc_tbl.to_pylist()

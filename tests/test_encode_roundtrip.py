@@ -469,3 +469,25 @@ def test_sampled_bucket_plan_balances_and_is_deterministic(spark, corpus_df):
     max_row = corpus_df.agg(
         F.max(F.length("content")).alias("m")).collect()[0]["m"]
     assert max(loads.values()) <= 1.5 * (total / n) + max_row, loads
+
+
+def test_decode_projection(spark, corpus_df, tmp_path):
+    """Column pruning on the engine's own format: decoding a 2-column
+    projection must return exactly those columns (both decode paths) and
+    reject unknown names."""
+    out = str(tmp_path / "enc_proj")
+    encode_table(spark, corpus_df, out, n_buckets=4)
+
+    for narrow in (True, False):
+        dec = decode_table(spark, out, narrow=narrow,
+                           columns=["path", "content"])
+        assert dec.columns == ["path", "content"]
+        o = corpus_df.select("path", "content").alias("o")
+        d = dec.alias("d")
+        bad = (o.join(d, F.col("o.path") == F.col("d.path"), "full_outer")
+               .filter(~F.col("o.content").eqNullSafe(F.col("d.content")))
+               .count())
+        assert bad == 0, f"narrow={narrow}"
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        decode_table(spark, out, columns=["nope"])
