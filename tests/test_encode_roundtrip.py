@@ -491,3 +491,26 @@ def test_decode_projection(spark, corpus_df, tmp_path):
 
     with pytest.raises(ValueError, match="unknown columns"):
         decode_table(spark, out, columns=["nope"])
+
+
+def test_bpe_token_counts_as_derived_engine_column(spark, corpus_df, tmp_path):
+    """Tokenization integrates with the engine via derived_cols: a
+    trained-BPE token count rides through the int codecs and decodes to
+    exactly the recomputed value."""
+    from fileconvert_spark.functions.bpe import train_bpe
+    from fileconvert_spark.functions.text import token_count_bpe_learned
+
+    sample = [r["content"] or "" for r in
+              corpus_df.orderBy("path").limit(64).select("content").collect()]
+    merges = train_bpe(sample, n_merges=64)
+    out = str(tmp_path / "enc_bpe")
+    encode_table(
+        spark, corpus_df, out, n_buckets=4,
+        derived_cols={"n_tok_bpe": token_count_bpe_learned(
+            F.coalesce(F.col("content"), F.lit("")), merges)},
+    )
+    dec = decode_table(spark, out)
+    bad = dec.filter(
+        token_count_bpe_learned(F.coalesce(F.col("content"), F.lit("")),
+                                merges) != F.col("n_tok_bpe")).count()
+    assert bad == 0
