@@ -16,7 +16,8 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
                           window: str = "5 minutes",
                           watermark: str = "10 minutes",
                           query_name: str | None = None,
-                          timeout_s: int = 300) -> DataFrame:
+                          timeout_s: int = 300,
+                          slide: str | None = None) -> DataFrame:
     """Tumbling-window counts over a file stream, run to completion with
     AvailableNow (batch-driven smoke of the streaming path); returns the
     final result as a batch DataFrame.
@@ -42,9 +43,11 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
         stream = spark.readStream.format("parquet").schema(schema).load(events_path)
     # parquet NTZ timestamps -> session-TZ (UTC) timestamps for watermarking
     stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    win = (F.window("ts", window) if slide is None
+           else F.window("ts", window, slide))  # sliding when slide is set
     agg = (
         stream.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .groupBy(win.alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
     q = (

@@ -567,3 +567,38 @@ def test_json_roundtrip(spark, tmp_path, docs):
     )
     assert bad == 0
     assert back.count() == src.count()
+
+
+def test_streaming_sliding_windows(spark, tmp_path):
+    """C19 sliding windows: a 10-minute window sliding by 5 minutes
+    assigns each event to two windows; counts must match the overlap."""
+    import datetime as dt
+    import glob
+    import os as _os
+    import shutil as _sh
+
+    from fileconvert_spark.streaming.incremental import windowed_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "slide_src")
+    _os.makedirs(src)
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    d = str(tmp_path / "tmp_w")
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=1), "click", 1.0),
+         (2, t0 + dt.timedelta(minutes=6), "click", 2.0)], schema
+    ).coalesce(1).write.parquet(d)
+    part = glob.glob(_os.path.join(d, "part-*.parquet"))[0]
+    _sh.move(part, _os.path.join(src, "f1.parquet"))
+
+    out = windowed_event_counts(
+        spark, _os.path.join(src, "f1.parquet"),
+        spark.read.parquet(_os.path.join(src, "f1.parquet")).schema,
+        window="10 minutes", slide="5 minutes")
+    rows = {r["window_start"]: r["n"] for r in out.collect()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # event@00:01 -> windows starting 23:55(-5m) and 00:00
+    # event@00:06 -> windows starting 00:00 and 00:05
+    assert rows.get(base - 300) == 1
+    assert rows.get(base) == 2
+    assert rows.get(base + 300) == 1
