@@ -129,6 +129,49 @@ def windowed_event_counts_append(spark: SparkSession, src_dir: str, schema,
     return out
 
 
+def session_event_counts(spark: SparkSession, src_dir: str, schema,
+                         gap: str = "30 minutes",
+                         watermark: str = "10 minutes",
+                         query_name: str | None = None,
+                         timeout_s: int = 300) -> DataFrame:
+    """Native session windows (F.session_window): per-user sessions close
+    after ``gap`` of inactivity — the third member of the C19 window
+    family next to tumbling/sliding (windowed_event_counts) and the
+    custom-state variant (stateful_user_counts). Complete output mode,
+    AvailableNow; returns (user_id, session_start, session_end, n)."""
+    import uuid
+
+    query_name = f"{query_name or 'evt_sessions'}_{uuid.uuid4().hex[:12]}"
+    stream = (
+        spark.readStream.format("parquet").schema(schema).load(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {query_name} exceeded {timeout_s}s")
+        rows = spark.sql(
+            f"SELECT user_id, unix_timestamp(w.start) AS session_start, "
+            f"unix_timestamp(w.end) AS session_end, n FROM {query_name}")
+        out = rows.localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(query_name)
+    return out
+
+
 def stateful_user_counts(spark: SparkSession, events_path: str, schema,
                          query_name: str | None = None,
                          timeout_s: int = 300) -> DataFrame:

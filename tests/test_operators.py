@@ -602,3 +602,35 @@ def test_streaming_sliding_windows(spark, tmp_path):
     assert rows.get(base - 300) == 1
     assert rows.get(base) == 2
     assert rows.get(base + 300) == 1
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """C19 session windows: events within the gap merge into one session;
+    a silence longer than the gap starts a new one."""
+    import datetime as dt
+    import glob
+    import os as _os
+    import shutil as _sh
+
+    from fileconvert_spark.streaming.incremental import session_event_counts
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "sess_src")
+    _os.makedirs(src)
+    schema = "event_id long, ts timestamp, user_id long"
+    d = str(tmp_path / "tmp_s")
+    spark.createDataFrame(
+        [(1, t0, 7),
+         (2, t0 + dt.timedelta(minutes=10), 7),   # within 30m gap -> same
+         (3, t0 + dt.timedelta(minutes=55), 7),   # 45m silence -> new
+         (4, t0 + dt.timedelta(minutes=5), 8)], schema
+    ).coalesce(1).write.parquet(d)
+    _sh.move(glob.glob(_os.path.join(d, "part-*.parquet"))[0],
+             _os.path.join(src, "f1.parquet"))
+
+    out = session_event_counts(spark, src,
+                               spark.read.parquet(
+                                   _os.path.join(src, "f1.parquet")).schema,
+                               gap="30 minutes")
+    rows = sorted((r["user_id"], r["n"]) for r in out.collect())
+    assert rows == [(7, 1), (7, 2), (8, 1)], rows
