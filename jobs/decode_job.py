@@ -14,7 +14,12 @@ optional bit-identity verification against the original source.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# plain `python jobs/<job>.py` puts jobs/ (not the repo root) on sys.path;
+# under spark-submit --py-files the zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +30,13 @@ def main(argv: list[str]) -> int:
         return 2
     enc_dir, out = argv[1], argv[2]
     src = argv[3] if len(argv) > 3 else None
+    # refuse to clobber existing data: the decoded output goes to a FRESH
+    # path (a transposed-arguments invocation must not overwrite a source)
+    if os.path.exists(out) and (os.path.isfile(out) or os.listdir(out)):
+        print(f"decode_job: output path {out!r} already exists and is not "
+              "empty — refusing to overwrite; pass a fresh output directory",
+              file=sys.stderr)
+        return 2
 
     spark = SparkSession.builder.appName("fcs-decode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -14,7 +14,12 @@ missing or torn.
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# plain `python jobs/<job>.py` puts jobs/ (not the repo root) on sys.path;
+# under spark-submit --py-files the zip provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +30,11 @@ def main(argv: list[str]) -> int:
         return 2
     src, out = argv[1], argv[2]
     n_buckets = int(argv[3]) if len(argv) > 3 else None
+    # optional overrides for non-codefiles schemas:
+    #   [key_col] [salt_cols(comma-sep)] [weight_col]
+    key_col = argv[4] if len(argv) > 4 else "repo"
+    salt_cols = tuple(argv[5].split(",")) if len(argv) > 5 else ("path", "commit")
+    weight_col = argv[6] if len(argv) > 6 else "content"
 
     spark = SparkSession.builder.appName("fcs-encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,7 +42,15 @@ def main(argv: list[str]) -> int:
     from fileconvert_spark.plans.manifest import encode_table
 
     df = spark.read.parquet(src)
-    summary = encode_table(spark, df, out, n_buckets=n_buckets)
+    missing = {key_col, weight_col, *salt_cols} - set(df.columns)
+    if missing:
+        print(f"columns {sorted(missing)} not in {df.columns}; pass "
+              f"[key_col] [salt_cols] [weight_col] for this schema",
+              file=sys.stderr)
+        return 2
+    summary = encode_table(spark, df, out, n_buckets=n_buckets,
+                           key_col=key_col, salt_cols=salt_cols,
+                           weight_col=weight_col)
     print(json.dumps(summary))
     spark.stop()
     return 0
