@@ -1,0 +1,37 @@
+"""Job CLI entry points: argument validation and the overwrite guard."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "jobs"))
+
+
+def test_decode_job_refuses_existing_output(tmp_path):
+    """A transposed-arguments invocation (output pointing at an existing
+    dataset) must fail loudly BEFORE any Spark work, never overwrite."""
+    import decode_job
+
+    victim = tmp_path / "precious.parquet"
+    victim.write_bytes(b"do not clobber")
+    rc = decode_job.main(["decode_job", str(tmp_path / "enc"), str(victim)])
+    assert rc == 2
+    assert victim.read_bytes() == b"do not clobber"
+
+    nonempty = tmp_path / "outdir"
+    nonempty.mkdir()
+    (nonempty / "x").write_text("data")
+    rc = decode_job.main(["decode_job", str(tmp_path / "enc"), str(nonempty)])
+    assert rc == 2
+
+
+def test_encode_job_validates_columns(tmp_path, spark):
+    """Wrong key/weight columns for the input schema exit 2 with a clear
+    message instead of failing deep inside the plan."""
+    import encode_job
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(1, "x")], "id long, body string") \
+        .write.parquet(src)
+    rc = encode_job.main(["encode_job", src, str(tmp_path / "out")])
+    assert rc == 2  # default repo/path/commit/content columns absent
