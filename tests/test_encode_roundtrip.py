@@ -514,3 +514,46 @@ def test_bpe_token_counts_as_derived_engine_column(spark, corpus_df, tmp_path):
         token_count_bpe_learned(F.coalesce(F.col("content"), F.lit("")),
                                 merges) != F.col("n_tok_bpe")).count()
     assert bad == 0
+
+
+def test_full_user_journey_csv_to_engine_and_back(spark, tmp_path):
+    """The reference-replacement story end-to-end in one flow: CSV in ->
+    parquet -> engine encode (manifests, resume-capable) -> decode ->
+    values equal the CSV source -> pipeline operators run on the decoded
+    frame -> CSV out."""
+    from fileconvert_spark.functions.text import lang_id, token_count_ws
+    from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    csv_in = str(tmp_path / "csv_in")
+    pq_dir = str(tmp_path / "pq")
+    enc_dir = str(tmp_path / "enc")
+    csv_out = str(tmp_path / "csv_out")
+
+    # 1. the reference's own surface: CSV <-> parquet
+    parquet2csv(spark, os.path.join(SF, "documents.parquet"), csv_in)
+    src = csv2parquet(spark, csv_in, pq_dir, schema=docs.schema)
+
+    # 2. the engine: encode with lineage, decode bit-identically
+    encode_table(spark, spark.read.parquet(pq_dir), enc_dir, n_buckets=4,
+                 key_col="source", salt_cols=("doc_id",), weight_col="text",
+                 stats_sample_fraction=0.5)
+    dec = decode_table(spark, enc_dir)
+    o, d = src.alias("o"), dec.alias("d")
+    bad = (o.join(d, F.col("o.doc_id") == F.col("d.doc_id"), "full_outer")
+           .filter(~F.col("o.text").eqNullSafe(F.col("d.text")))
+           .count())
+    assert bad == 0
+
+    # 3. pipeline operators straight on the decoded frame
+    stats = (dec.select(lang_id(F.col("text")).alias("lg"),
+                        token_count_ws(F.col("text")).alias("tok"))
+             .agg(F.count("*").alias("n"), F.sum("tok").alias("toks"))
+             .collect()[0])
+    assert stats["n"] == docs.count() and stats["toks"] > 0
+
+    # 4. back out to CSV (the decode direction of the reference)
+    parquet2csv(spark, enc_dir.replace("enc", "pq"), csv_out)
+    back = csv2parquet(spark, csv_out, str(tmp_path / "pq2"),
+                       schema=docs.schema)
+    assert back.count() == docs.count()
