@@ -1003,6 +1003,7 @@ def bpe_token_counts(spark, sf_dir):
     aggregate per source next to the pre-tokenizer count (tok_pre == BPE
     with an empty merge list, so total_bpe/total_pre shows the learned
     vocab's pieces-per-word)."""
+    _ensure_workers(spark)
     from fileconvert_spark.functions.bpe import train_bpe
     from fileconvert_spark.functions.text import (
         token_count_bpe, token_count_bpe_learned,
