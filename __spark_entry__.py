@@ -233,10 +233,12 @@ def grouping_sets(spark, sf_dir):
 
 def distinct_exact(spark, sf_dir):
     """Exact distinct counts + an oracle-checkable APPROX sanity flag:
-    approx_count_distinct must land within 5% of the exact count (HLL++'s
-    default rsd is 5%, and its output for a fixed dataset is
-    deterministic). Absorbs r02's rows-only approx_distinct query — the
-    approximate path now has a driver-verified row."""
+    approx_count_distinct must land within 15% of the exact count. HLL++'s
+    default rsd=0.05 is a standard DEVIATION, not a bound — 3x rsd keeps
+    the deterministic-per-dataset estimate inside the flag across scale
+    factors without pinning the oracle to one lucky draw. Absorbs r02's
+    rows-only approx_distinct query — the approximate path has a
+    driver-verified row."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -247,8 +249,8 @@ def distinct_exact(spark, sf_dir):
             (
                 F.abs(F.approx_count_distinct("l_partkey")
                       - F.countDistinct("l_partkey"))
-                <= 0.05 * F.countDistinct("l_partkey")
-            ).alias("approx_within_5pct"),
+                <= 0.15 * F.countDistinct("l_partkey")
+            ).alias("approx_within_tol"),
         )
         .orderBy("l_returnflag")
     )
@@ -1211,7 +1213,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT l_partkey) AS n_parts,
                    COUNT(DISTINCT l_suppkey) AS n_supps,
                    COUNT(DISTINCT l_orderkey) AS n_orders,
-                   TRUE AS approx_within_5pct
+                   TRUE AS approx_within_tol
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "window_topk_orders": """

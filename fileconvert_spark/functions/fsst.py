@@ -31,10 +31,22 @@ introspectable FSST codec instead.
 from __future__ import annotations
 
 import struct
+import sys
 from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+
+if sys.byteorder != "little":  # pragma: no cover — no BE host in CI
+    # _window_keys / _sym_key build uint64 window keys via a raw stride-1
+    # view over the byte buffer, which is only correct little-endian; on a
+    # big-endian host the masked comparisons could spuriously "verify" and
+    # emit wrong codes — silent corruption. Fail fast at import instead.
+    raise ImportError(
+        "fileconvert_spark.functions.fsst requires a little-endian host: "
+        "window-key construction views raw bytes as uint64 (see "
+        "_window_keys); port the shift-or key builder before using this "
+        "module on big-endian hardware")
 
 MAX_SYMBOLS = 255          # code 255 = escape
 MAX_SYMBOL_LEN = 8

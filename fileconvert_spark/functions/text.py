@@ -186,7 +186,11 @@ def boilerplate_ngrams(df, text_col: str = "text", id_col: str = "doc_id",
         .join(F.broadcast(qual), "gh")
         .dropDuplicates(["gh"])
     )
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # Drop empty tokens (leading \t/\n produce one from split) so array
+    # positions line up with the hash kernel's word indices — F.trim alone
+    # strips only spaces, not the kernel's full [\t\n\v\f\r ] class.
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda w: w != F.lit(""))
     resolved = (
         df.select(F.col(id_col), F.col(text_col))
         .join(F.broadcast(witness), id_col)

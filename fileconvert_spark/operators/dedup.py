@@ -305,6 +305,20 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
     """
     import numpy as np
 
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+        # A silent cast("long") would turn e.g. string doc ids into NULLs
+        # and every emitted pair into (null, null, cosine). Fail loudly;
+        # callers with non-integral ids should join a dense id first
+        # (e.g. xxhash64(id) or monotonically_increasing_id + a mapping).
+        raise TypeError(
+            f"embedding_near_dups: id column {id_col!r} has type "
+            f"{id_type.simpleString()}; an integral id is required "
+            "(map non-numeric ids to a long key first)")
+
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:  # empty input -> empty pair frame
         return df.sparkSession.createDataFrame(

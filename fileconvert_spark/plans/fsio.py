@@ -35,6 +35,37 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     return pafs.LocalFileSystem(), path
 
 
+# Source-data trees job CLIs must never write into, even at a fresh/empty
+# sub-path — one transposed argument must not be able to clobber an input
+# corpus (the round-3 sf0.01 incident class, not just its instance).
+# Override/extend with FCS_PROTECTED_ROOTS (colon-separated absolute paths).
+_DEFAULT_PROTECTED_ROOTS = ("/root/testdata",)
+
+
+def check_output_path_allowed(path: str) -> None:
+    """Raise PermissionError if ``path`` lies inside a protected source
+    root. Local paths and file:// URIs are checked after realpath
+    normalization (.. segments, symlinks); remote URIs pass through."""
+    import os
+
+    roots = tuple(
+        r for r in os.environ.get(
+            "FCS_PROTECTED_ROOTS", ":".join(_DEFAULT_PROTECTED_ROOTS)
+        ).split(":") if r
+    )
+    local = path[len("file://"):] if path.startswith("file://") else path
+    if "://" in local:
+        return
+    real = os.path.realpath(os.path.abspath(local))
+    for root in roots:
+        rroot = os.path.realpath(root)
+        if real == rroot or real.startswith(rroot + os.sep):
+            raise PermissionError(
+                f"output path {path!r} is inside protected source tree "
+                f"{root!r}; refusing to write there (set "
+                "FCS_PROTECTED_ROOTS to change the protected set)")
+
+
 def _has_atomic_move(fs: pafs.FileSystem) -> bool:
     # LocalFileSystem.move is os.rename; HadoopFileSystem.move is FS rename.
     return isinstance(fs, (pafs.LocalFileSystem,)) or type(fs).__name__ in (

@@ -17,7 +17,8 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
                           watermark: str = "10 minutes",
                           query_name: str | None = None,
                           timeout_s: int = 300,
-                          slide: str | None = None) -> DataFrame:
+                          slide: str | None = None,
+                          durable_result: bool = False) -> DataFrame:
     """Tumbling-window counts over a file stream, run to completion with
     AvailableNow (batch-driven smoke of the streaming path); returns the
     final result as a batch DataFrame.
@@ -26,6 +27,15 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
     uuid-unique, termination is bounded (stop + raise past ``timeout_s``),
     and the result is materialized eagerly so the returned DataFrame no
     longer depends on the memory-sink temp view (which is dropped here).
+
+    ``durable_result``: the default fast path materializes via
+    localCheckpoint(eager=True) — executor-local, NON-replicated blocks.
+    On a real cluster, losing an executor (failure or dynamic-allocation
+    decommission) makes a localCheckpoint'ed frame unrecoverable on later
+    actions, so pass True there to round-trip the (small, already
+    windowed-aggregated) result through the driver instead; the local
+    bench keeps the default because single-JVM local mode cannot lose an
+    executor.
     """
     # the file stream source requires a directory: stream the parent dir
     # with a glob filter when given a single file
@@ -69,8 +79,13 @@ def windowed_event_counts(spark: SparkSession, events_path: str, schema,
         )
         # materialize independent of the (dropped-below) memory-sink view —
         # executor-side blocks, not a collect()+createDataFrame driver
-        # round-trip (that r02 hardening cost ~2s on ~40k result rows)
-        out = rows.localCheckpoint(eager=True)
+        # round-trip (that r02 hardening cost ~2s on ~40k result rows).
+        # Cluster caveat: localCheckpoint blocks are not replicated; see
+        # the durable_result docstring.
+        if durable_result:
+            out = spark.createDataFrame(rows.collect(), rows.schema)
+        else:
+            out = rows.localCheckpoint(eager=True)
     finally:
         spark.catalog.dropTempView(query_name)
     return out

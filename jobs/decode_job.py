@@ -24,6 +24,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
+def _ship_package(spark) -> None:
+    """Make executors able to import fileconvert_spark under plain
+    ``python jobs/<job>.py`` from any cwd; under spark-submit --py-files
+    the zip is already shipped and addPyFile is a harmless no-op retry."""
+    from fileconvert_spark.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:  # noqa: BLE001 - already added in a reused session
+        pass
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 3:
         print(__doc__, file=sys.stderr)
@@ -37,9 +49,18 @@ def main(argv: list[str]) -> int:
               "empty — refusing to overwrite; pass a fresh output directory",
               file=sys.stderr)
         return 2
+    # and refuse the whole protected source tree, even fresh paths in it
+    from fileconvert_spark.plans.fsio import check_output_path_allowed
+
+    try:
+        check_output_path_allowed(out)
+    except PermissionError as e:
+        print(f"decode_job: {e}", file=sys.stderr)
+        return 2
 
     spark = SparkSession.builder.appName("fcs-decode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
 
     from fileconvert_spark.operators.verify import multiset_roundtrip_report
     from fileconvert_spark.plans.manifest import decode_table

@@ -24,12 +24,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 
+def _ship_package(spark) -> None:
+    """Make executors able to import fileconvert_spark under plain
+    ``python jobs/<job>.py`` from any cwd; under spark-submit --py-files
+    the zip is already shipped and addPyFile is a harmless no-op retry."""
+    from fileconvert_spark.session import _package_zip
+
+    try:
+        spark.sparkContext.addPyFile(_package_zip())
+    except Exception:  # noqa: BLE001 - already added in a reused session
+        pass
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 3:
         print(__doc__, file=sys.stderr)
         return 2
     src, out = argv[1], argv[2]
     n_buckets = int(argv[3]) if len(argv) > 3 else None
+    # refuse to write anywhere under a protected source tree (testdata):
+    # a transposed invocation must fail loudly, never clobber an input
+    from fileconvert_spark.plans.fsio import check_output_path_allowed
+
+    try:
+        check_output_path_allowed(out)
+    except PermissionError as e:
+        print(f"encode_job: {e}", file=sys.stderr)
+        return 2
     # optional overrides for non-codefiles schemas:
     #   [key_col] [salt_cols(comma-sep)] [weight_col]
     key_col = argv[4] if len(argv) > 4 else "repo"
@@ -38,6 +59,7 @@ def main(argv: list[str]) -> int:
 
     spark = SparkSession.builder.appName("fcs-encode").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
 
     from fileconvert_spark.plans.manifest import encode_table
 

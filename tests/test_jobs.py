@@ -25,6 +25,38 @@ def test_decode_job_refuses_existing_output(tmp_path):
     assert rc == 2
 
 
+def test_jobs_refuse_protected_testdata_root(tmp_path, monkeypatch):
+    """Any output path under the protected source tree — even a fresh,
+    empty one — is refused by BOTH job CLIs before any Spark work (the
+    round-3 incident class, not just its non-empty-path instance)."""
+    import decode_job
+    import encode_job
+
+    protected = tmp_path / "testdata"
+    (protected / "sf0.01").mkdir(parents=True)
+    monkeypatch.setenv("FCS_PROTECTED_ROOTS", str(protected))
+
+    fresh = protected / "sf0.01" / "new_output.parquet"
+    assert decode_job.main(
+        ["decode_job", str(tmp_path / "enc"), str(fresh)]) == 2
+    assert encode_job.main(
+        ["encode_job", str(tmp_path / "src"), str(fresh)]) == 2
+    assert not fresh.exists()
+    # dotted traversal into the root is also caught (realpath normalizes)
+    dotted = tmp_path / "elsewhere" / ".." / "testdata" / "out"
+    assert decode_job.main(
+        ["decode_job", str(tmp_path / "enc"), str(dotted)]) == 2
+
+    # the real default root is active without any env override
+    monkeypatch.delenv("FCS_PROTECTED_ROOTS")
+    from fileconvert_spark.plans import fsio
+    import pytest
+
+    with pytest.raises(PermissionError):
+        fsio.check_output_path_allowed("/root/testdata/sf0.01/x.parquet")
+    fsio.check_output_path_allowed(str(tmp_path / "ok"))  # outside: fine
+
+
 def test_encode_job_validates_columns(tmp_path, spark):
     """Wrong key/weight columns for the input schema exit 2 with a clear
     message instead of failing deep inside the plan."""

@@ -349,6 +349,34 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     assert any("copyright acme corp" in r["ngram"] for r in top)
 
 
+def test_boilerplate_witness_alignment_leading_whitespace(spark):
+    """ADVICE r3 (medium): text starting with tab/newline must still
+    resolve the witness gram STRING at the kernel's word offsets — a
+    leading empty split token used to shift the slice by one word."""
+    from fileconvert_spark.functions.text import boilerplate_ngrams
+
+    shared = " ".join(f"w{j}" for j in range(1, 9))  # w1..w8
+    rows = [(1, "\t" + shared + " tail1 x y z"),
+            (2, "\n  " + shared + " tail2 p q r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = boilerplate_ngrams(df, n=8, min_docs=2, top_k=3).collect()
+    assert [r["ngram"] for r in top][0] == shared
+    assert top[0]["n_docs"] == 2
+
+
+def test_embedding_near_dups_rejects_non_integral_ids(spark):
+    """ADVICE r3: string ids must raise, not silently become NULL pairs."""
+    import pytest
+
+    from fileconvert_spark.operators.dedup import embedding_near_dups
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0])],
+        "vec_id string, embedding array<double>")
+    with pytest.raises(TypeError, match="integral id"):
+        embedding_near_dups(df)
+
+
 def test_csv_tsv_options_roundtrip(spark, tmp_path):
     """A1/A5/A7: TSV (custom sep) with a custom null token and embedded
     newlines/quotes round-trips; NULL vs quoted-empty stays distinct."""
