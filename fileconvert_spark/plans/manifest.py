@@ -155,7 +155,9 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  chunk_rows: int = DEFAULT_CHUNK_ROWS,
                  chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                  derived_cols: dict | None = None,
-                 stats_sample_fraction: float = 1.0) -> dict:
+                 stats_sample_fraction: float = 1.0,
+                 bpe_text_col: str | None = None,
+                 bpe_merges: int = 128) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
@@ -170,6 +172,11 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     (e.g. ``{"content_len": F.length("content")}``) — the
     frame-of-reference / delta integer targets of SURVEY.md §2 B7; they
     round-trip like any other column.
+
+    ``bpe_text_col``: also train-and-store a BPE vocab over this column
+    as table metadata (``_bpe_merges.txt``; see train_and_store_bpe) —
+    encode-once, so downstream token counting loads instead of retrains.
+    Resume keeps an existing vocab untouched.
     """
     from pyspark.sql import functions as F
 
@@ -215,6 +222,9 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     if done:
         dfb = dfb.filter(~F.col("bucket").isin([int(p) for p in done]))
 
+    if bpe_text_col is not None:
+        train_and_store_bpe(df, out_dir, bpe_text_col, n_merges=bpe_merges)
+
     shuffled = repartition_by_bucket(dfb, n_buckets)
     man_df = shuffled.mapInArrow(
         make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket"),
@@ -247,6 +257,59 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     fsio.write_bytes_atomic(os.path.join(out_dir, "_summary.json"),
                             json.dumps(summary, indent=1).encode())
     return summary
+
+
+BPE_VOCAB_FILE = "_bpe_merges.txt"
+
+
+def train_and_store_bpe(df, out_dir: str, text_col: str,
+                        n_merges: int = 128, sample_docs: int = 200) -> str:
+    """Train a BPE vocab ONCE and store it as table metadata
+    (``_bpe_merges.txt`` alongside ``_meta.json``, GPT-2 merges.txt
+    format) — token counting over an encoded table then loads the stored
+    vocab instead of retraining per query.
+
+    Idempotent: an existing vocab file is kept (resume semantics — the
+    vocab is part of the table's identity like ``n_buckets``). The
+    training sample is the ``sample_docs`` rows with the smallest
+    xxhash64(text) (ties broken on the text itself): a TakeOrderedAndProject
+    over a single-column projection, deterministic and independent of the
+    input's partitioning/order, same device as the IVF quantizer sample.
+    Training itself is bounded driver-side work (train_bpe caps the bytes
+    it consumes); the merge table is a few KB.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.bpe import serialize_merges, train_bpe
+
+    path = os.path.join(out_dir, BPE_VOCAB_FILE)
+    if fsio.exists(path):
+        return path
+    fsio.makedirs(out_dir)
+    sample = [
+        r[0]
+        for r in df.select(F.col(text_col).alias("t"))
+        .where(F.col("t").isNotNull())
+        .orderBy(F.xxhash64("t"), "t")
+        .limit(sample_docs)
+        .collect()
+    ]
+    merges = train_bpe(sample, n_merges=n_merges)
+    fsio.write_bytes_atomic(path, serialize_merges(merges).encode())
+    return path
+
+
+def load_bpe_vocab(out_dir: str) -> list[tuple[str, str]]:
+    """Load the stored merge list of an encoded table; raises
+    FileNotFoundError when the table was encoded without a vocab."""
+    from ..functions.bpe import deserialize_merges
+
+    path = os.path.join(out_dir, BPE_VOCAB_FILE)
+    if not fsio.exists(path):
+        raise FileNotFoundError(
+            f"no {BPE_VOCAB_FILE} in {out_dir}; encode with "
+            "bpe_text_col=... or call train_and_store_bpe first")
+    return deserialize_merges(fsio.read_bytes(path).decode())
 
 
 def read_all_manifests(out_dir: str) -> list[dict]:
