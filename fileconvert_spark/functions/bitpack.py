@@ -45,6 +45,13 @@ def unpack_uints(data: bytes | memoryview, width: int, n: int) -> np.ndarray:
     """Inverse of :func:`pack_uints`; returns uint64 array of length n."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
+    need = packed_size(n, width)
+    if len(data) < need:
+        # np.unpackbits(count=...) silently ZERO-PADS past the buffer —
+        # a truncated payload would decode as garbage, not raise
+        raise ValueError(
+            f"bit-packed payload truncated: need {need} bytes for "
+            f"{n} x {width}-bit values, have {len(data)}")
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8), count=n * width)
     bits = bits.reshape(n, width).astype(np.uint64)
     shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)

@@ -352,6 +352,9 @@ def enc_raw_int(vals: np.ndarray):
 
 
 def dec_raw_int(payload, dict_blob, meta, n):
+    if len(payload) != 8 * n:
+        raise ValueError(
+            f"raw int payload is {len(payload)} bytes, expected {8 * n}")
     return np.frombuffer(payload, dtype="<i8").copy()
 
 

@@ -286,7 +286,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         _, data_bytes = codecs._string_buffers(clean)
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "str"
-        sha = hashlib.sha256(payload).digest()
     elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
         view = _binary_as_string_view(clean)
         codec, payload, dict_blob, meta = codecs.select_and_encode_str(
@@ -296,7 +295,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         _, data_bytes = codecs._string_buffers(view)
         raw_bytes = data_bytes + 4 * n
         meta["vt"] = "bin"
-        sha = hashlib.sha256(payload).digest()
     elif pa.types.is_decimal(t):
         _type_from_str(orig_type)  # fail fast (decimal256 etc. unsupported)
         if not isinstance(clean, pa.Array):
@@ -316,7 +314,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
                 cache=_WORKER_FSST_CACHE if cache_key else None,
                 cache_key=cache_key)
             meta["vt"] = "dec16"
-        sha = hashlib.sha256(payload).digest()
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         _type_from_str(orig_type)  # fail fast on unsupported child types
         if not isinstance(clean, pa.Array):
@@ -341,7 +338,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         }
         codec = f"list[{cf['codec']}]"
         raw_bytes = int(cf["raw_bytes"]) + 4 * n
-        sha = hashlib.sha256(payload).digest()
     elif pa.types.is_struct(t):
         _type_from_str(orig_type)  # fail fast on unsupported field types
         if not isinstance(clean, pa.Array):
@@ -365,7 +361,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         dict_blob = None
         meta = {"vt": "struct", "fs": fmeta}
         codec = "struct"
-        sha = hashlib.sha256(payload).digest()
     elif pa.types.is_map(t):
         _type_from_str(orig_type)  # fail fast on unsupported key/value types
         if not isinstance(clean, pa.Array):
@@ -392,7 +387,6 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
                 "cd": cf["dict"] is not None, "cv": cf["validity"] is not None}
         codec = "map"
         raw_bytes = int(cf["raw_bytes"]) + 4 * n
-        sha = hashlib.sha256(payload).digest()
     else:
         _type_from_str(orig_type)  # fail fast on unsupported column types
         vals, adapter = _as_int64(clean)
@@ -400,9 +394,12 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         raw_bytes = n * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else n * 8
         meta["vt"] = "int"
         meta["ad"] = adapter
-        sha = hashlib.sha256(payload).digest()
     meta["ot"] = orig_type
     meta_json = json.dumps(meta, separators=(",", ":"))
+    # integrity sha covers EVERY decode input (length-framed), so decode
+    # can verify that no component — payload, dict, validity, or meta —
+    # was corrupted at rest, not just the payload
+    sha = chunk_integrity_sha(payload, dict_blob, validity, meta_json)
     enc_bytes = (
         len(payload)
         + (len(dict_blob) if dict_blob else 0)
@@ -422,10 +419,69 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
     }
 
 
+class DecodeError(RuntimeError):
+    """An encoded chunk failed integrity or structural checks at decode.
+
+    Raised instead of ever returning silently-wrong data: the integrity
+    sha covers payload + dict + validity + meta, so any at-rest bit flip
+    in any component is detected before a codec touches the bytes, and
+    structural failures inside a codec are wrapped with chunk context.
+    """
+
+
+def chunk_integrity_sha(payload: bytes, dict_blob: bytes | None,
+                        validity: bytes | None, meta_json: str) -> bytes:
+    """sha256 over all decode inputs, length-framed so component
+    boundaries cannot shift (payload||dict ambiguity)."""
+    h = hashlib.sha256()
+    for part in (payload, dict_blob or b"", validity or b"",
+                 meta_json.encode()):
+        h.update(len(part).to_bytes(8, "little"))
+        h.update(part)
+    return h.digest()
+
+
 def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
                   meta_json: str, n_rows: int,
-                  validity: bytes | None) -> pa.Array:
-    """Inverse of encode_column: restore the original arrow array exactly."""
+                  validity: bytes | None,
+                  expect_sha: bytes | None = None,
+                  ctx: str = "") -> pa.Array:
+    """Inverse of encode_column: restore the original arrow array exactly.
+
+    ``expect_sha``: the chunk's stored integrity sha (enc row
+    ``sha256_chunk``); when given, every decode input is verified against
+    it before decoding and a mismatch raises DecodeError — corrupted
+    bytes can never silently decode into wrong values. ``ctx`` names the
+    chunk (part/chunk/column) in error messages.
+    """
+    where = f" [{ctx}]" if ctx else ""
+    if expect_sha is not None:
+        got = chunk_integrity_sha(payload, dict_blob, validity, meta_json)
+        if got != bytes(expect_sha):
+            raise DecodeError(
+                f"decode{where}: integrity sha mismatch for codec "
+                f"{codec!r} ({n_rows} rows) — payload/dict/validity/meta "
+                "bytes were corrupted at rest (expected "
+                f"{bytes(expect_sha).hex()[:16]}…, got {got.hex()[:16]}…)")
+    try:
+        out = _decode_column_checked(codec, payload, dict_blob, meta_json,
+                                     n_rows, validity)
+    except DecodeError:
+        raise
+    except Exception as e:  # noqa: BLE001 - any structural failure
+        raise DecodeError(
+            f"decode{where}: codec {codec!r} failed on a {n_rows}-row "
+            f"chunk: {type(e).__name__}: {e}") from e
+    if len(out) != n_rows:
+        raise DecodeError(
+            f"decode{where}: codec {codec!r} produced {len(out)} rows, "
+            f"manifest says {n_rows} — truncated or corrupted chunk")
+    return out
+
+
+def _decode_column_checked(codec: str, payload: bytes,
+                           dict_blob: bytes | None, meta_json: str,
+                           n_rows: int, validity: bytes | None) -> pa.Array:
     meta = json.loads(meta_json)
     orig_type = _type_from_str(meta["ot"])
     n_valid = n_rows
@@ -535,7 +591,10 @@ def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
     for row in enc_tbl.to_pylist():  # one C-level conversion, no as_py loop
         by_col[row["column"]] = decode_column(
             row["codec"], row["payload"], row["dict"], row["meta"],
-            row["n_rows"], row["validity"])
+            row["n_rows"], row["validity"],
+            expect_sha=row.get("sha256_chunk"),
+            ctx=f"part={row['part_id']} chunk={row['chunk_id']} "
+                f"column={row['column']}")
     arrays = [by_col[c] for c in column_order]
     return pa.Table.from_arrays(arrays, names=column_order)
 
@@ -638,7 +697,10 @@ def decode_df(enc_df, src_schema):
             for c in column_order:
                 row = cols[c]
                 a = decode_column(row["codec"], row["payload"], row["dict"],
-                                  row["meta"], row["n_rows"], row["validity"])
+                                  row["meta"], row["n_rows"], row["validity"],
+                                  expect_sha=row.get("sha256_chunk"),
+                                  ctx=f"part={row['part_id']} "
+                                      f"chunk={row['chunk_id']} column={c}")
                 if isinstance(a, pa.ChunkedArray):
                     a = a.combine_chunks()
                 arrays.append(a)

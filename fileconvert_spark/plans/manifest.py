@@ -394,7 +394,10 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                     cols = {
                         row["column"]: decode_column(
                             row["codec"], row["payload"], row["dict"],
-                            row["meta"], row["n_rows"], row["validity"])
+                            row["meta"], row["n_rows"], row["validity"],
+                            expect_sha=row.get("sha256_chunk"),
+                            ctx=f"part={row['part_id']} chunk={cid} "
+                                f"column={row['column']}")
                         for row in by_chunk[cid]
                     }
                     arrays = [

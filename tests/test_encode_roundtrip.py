@@ -557,3 +557,29 @@ def test_full_user_journey_csv_to_engine_and_back(spark, tmp_path):
     back = csv2parquet(spark, csv_out, str(tmp_path / "pq2"),
                        schema=docs.schema)
     assert back.count() == docs.count()
+
+
+def test_decode_table_detects_at_rest_corruption(spark, corpus_df, tmp_path):
+    """VERDICT r3 item 5, end-to-end: flip one payload byte inside a part
+    file on disk — BOTH decode paths must raise with the integrity error
+    and the chunk context, never return wrong values silently."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    enc_dir = str(tmp_path / "enc")
+    encode_table(spark, corpus_df, enc_dir, n_buckets=2)
+    part = os.path.join(enc_dir, "data", "part-00000.parquet")
+    tbl = pq.read_table(part)
+    payloads = tbl.column("payload").to_pylist()
+    payloads[0] = payloads[0][:10] + bytes([payloads[0][10] ^ 0x20]) \
+        + payloads[0][11:]
+    tbl = tbl.set_column(tbl.schema.get_field_index("payload"), "payload",
+                         pa.array(payloads, type=pa.binary()))
+    pq.write_table(tbl, part, compression="none")
+
+    for narrow in (True, False):
+        with pytest.raises(Exception, match="integrity sha mismatch"):
+            decode_table(spark, enc_dir, narrow=narrow).collect()

@@ -192,3 +192,89 @@ def test_gram_hash_conventions_property(texts, n):
     for t, c in zip(texts, cnt):
         words = t.split()
         assert c == max(len(words) - n + 1, 0)
+
+
+# ---------------- decode corruption robustness (VERDICT r3 item 5) ----------
+# decode must raise a descriptive DecodeError on byte-level corruption of
+# ANY component — payload, dict, validity, meta — never return wrong data.
+
+def _corruption_fixture_columns():
+    """Diverse columns hitting every codec family + nulls + nesting."""
+    rng = np.random.default_rng(11)
+    strs = pa.array(
+        [f"src/module_{i % 7}/file_{i}.py" for i in range(400)])
+    lowcard = pa.array([f"lang{i % 3}" for i in range(400)])
+    ints = pa.array(rng.integers(0, 1 << 40, 400))
+    floats = pa.array(
+        [None if i % 9 == 0 else float(i) * 1.5 for i in range(400)])
+    lists = pa.array([[i, i + 1, i + 2] for i in range(400)],
+                     type=pa.list_(pa.int64()))
+    return {"strs": strs, "lowcard": lowcard, "ints": ints,
+            "floats": floats, "lists": lists}
+
+
+def _corrupt(blob: bytes, pos: int, xor: int) -> bytes:
+    b = bytearray(blob)
+    b[pos % len(b)] ^= xor
+    return bytes(b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(["strs", "lowcard", "ints", "floats", "lists"]),
+       st.sampled_from(["payload", "dict", "validity", "meta"]),
+       st.integers(min_value=0, max_value=1 << 30),
+       st.integers(min_value=1, max_value=255))
+def test_decode_raises_on_any_component_corruption(col, component, pos, xor):
+    import pytest
+
+    from fileconvert_spark.operators.encode import (
+        DecodeError, decode_column, encode_column,
+    )
+
+    f = encode_column(_corruption_fixture_columns()[col])
+    fields = {"payload": f["payload"], "dict": f["dict"],
+              "validity": f["validity"], "meta": f["meta"]}
+    if not fields[component]:
+        return  # column has no such component (no nulls / no dict)
+    if component == "meta":
+        fields["meta"] = _corrupt(f["meta"].encode(), pos, xor).decode(
+            "utf-8", errors="replace")
+    else:
+        fields[component] = _corrupt(fields[component], pos, xor)
+    with pytest.raises(DecodeError, match="integrity sha mismatch"):
+        decode_column(f["codec"], fields["payload"], fields["dict"],
+                      fields["meta"], f["n_rows"], fields["validity"],
+                      expect_sha=f["sha256_chunk"], ctx="part=0 chunk=0")
+
+
+def test_decode_error_names_the_chunk():
+    """The error message carries the chunk context a cluster operator
+    needs (which part/chunk/column to re-encode)."""
+    import pytest
+
+    from fileconvert_spark.operators.encode import (
+        DecodeError, decode_column, encode_column,
+    )
+
+    f = encode_column(_corruption_fixture_columns()["strs"])
+    bad = _corrupt(f["payload"], 7, 0x40)
+    with pytest.raises(DecodeError, match=r"part=3 chunk=9 column=strs"):
+        decode_column(f["codec"], bad, f["dict"], f["meta"], f["n_rows"],
+                      f["validity"], expect_sha=f["sha256_chunk"],
+                      ctx="part=3 chunk=9 column=strs")
+
+
+def test_decode_structural_failure_wrapped_without_sha():
+    """Even with no integrity sha (legacy/manual call), a structurally
+    broken payload raises a DecodeError naming the codec — not a bare
+    IndexError deep inside a kernel, and never silent wrong data."""
+    import pytest
+
+    from fileconvert_spark.operators.encode import (
+        DecodeError, decode_column, encode_column,
+    )
+
+    f = encode_column(_corruption_fixture_columns()["ints"])
+    with pytest.raises(DecodeError, match=f["codec"]):
+        decode_column(f["codec"], f["payload"][: len(f["payload"]) // 3],
+                      f["dict"], f["meta"], f["n_rows"], f["validity"])
