@@ -50,7 +50,11 @@ if sys.byteorder != "little":  # pragma: no cover — no BE host in CI
 
 MAX_SYMBOLS = 255          # code 255 = escape
 MAX_SYMBOL_LEN = 8
-SAMPLE_BYTES = 16 * 1024
+# 64K sample (was 16K): measured r4, quadrupling the training sample cuts
+# path ratio .388->.374, content .455->.422, commit .600->.538 at ~90ms
+# extra train time per (column, worker, job) — amortized by the worker
+# table cache, invisible at job level (see NOTES_r4).
+SAMPLE_BYTES = 64 * 1024
 TRAIN_ITERATIONS = 5
 ESCAPE = 255
 
@@ -189,15 +193,20 @@ def _build_match_tables(table: list[bytes]):
     """Lookup structures for the greedy longest-match.
 
     L=1: direct 256-entry code LUT. L=2: direct 65536-entry LUT. L>=3: a
-    2-way lossy hash table keyed on the first 3 bytes (the FSST paper's
-    single-probe design, doubled), each slot holding (symbol value,
-    length, code) — two probes per position cover every length 3..8
-    instead of one probe per length class. Two symbols sharing a 3-byte
-    prefix land in the two ways; only a third same-prefix symbol (or a
-    double hash collision) is dropped, which is BENIGN: the loser is never
-    matched at length >= 3, the greedy parse falls back to a shorter
-    symbol or an escape, the ratio dips microscopically, decode stays
-    exact.
+    2-way lossy hash table, each slot holding (symbol value, length,
+    code) — two probes per position cover every length 3..8 instead of
+    one probe per length class. The ways use DIFFERENT key widths: way A
+    is keyed on the first 3 bytes (any symbol, the FSST paper's design);
+    way B on the first 4 bytes and holds length>=4 symbols only (its key
+    is undefined for a 3-byte symbol). Path-shaped data concentrates
+    many symbols on one hot 3-byte prefix ("src", "/sr", ...); under
+    same-width ways a third same-prefix symbol was always dropped,
+    whereas way B separates them by their 4th byte. Length>=4 symbols
+    prefer way B so way A stays free for 3-byte symbols. A dropped loser
+    (two same-4-byte-prefix symbols over a full way A, or a double hash
+    collision) is BENIGN: it is never matched at length >= 3, the greedy
+    parse falls back to a shorter symbol or an escape, the ratio dips
+    microscopically, decode stays exact.
     """
     # lut12[k16] = (len << 8) | code for the best 1-2 byte match of a 2-byte
     # window (0 = no match): ONE gather resolves both short lengths
@@ -216,18 +225,43 @@ def _build_match_tables(table: list[bytes]):
         size = 1 << _HASH_BITS
         sym_t = np.zeros(2 * size, dtype=np.uint64)   # ways concatenated
         lc_t = np.zeros(2 * size, dtype=np.uint16)    # (len << 8) | code
+
+        def slot_a(s: bytes) -> int:
+            k3 = _sym_key(s[:3])
+            return ((k3 * int(_HASH_MULT)) & 0xFFFFFFFFFFFFFFFF) \
+                >> (64 - _HASH_BITS)
+
+        def slot_b(s: bytes) -> int:  # len >= 4 only
+            k4 = _sym_key(s[:4])
+            return size + (((k4 * int(_HASH_MULT2)) & 0xFFFFFFFFFFFFFFFF)
+                           >> (64 - _HASH_BITS))
+
         # longer first: they claim slots, shorter ones fill leftovers
         # (greedy prefers the longest match); ties prefer the earlier code
+        # = the higher trained gain. Length>=4 symbols try the 4-byte-keyed
+        # way first. (Cross-length gain-based EVICTION on contested slots
+        # was measured worse — see NOTES "rejected"; longest-first stays.)
+        leftover: list[tuple[int, bytes]] = []
         for code, s in sorted(longs, key=lambda cs: (-len(cs[1]), cs[0])):
-            k3 = _sym_key(s[:3])
-            sa = ((k3 * int(_HASH_MULT)) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HASH_BITS)
-            sb = size + (((k3 * int(_HASH_MULT2)) & 0xFFFFFFFFFFFFFFFF)
-                         >> (64 - _HASH_BITS))
-            slot = sa if lc_t[sa] == 0 else (sb if lc_t[sb] == 0 else -1)
-            if slot < 0:
-                continue  # both ways taken by longer/earlier symbols
-            sym_t[slot] = _sym_key(s)
-            lc_t[slot] = (len(s) << 8) | code
+            if len(s) >= 4:
+                slot = slot_b(s)
+                if lc_t[slot] == 0:
+                    sym_t[slot] = _sym_key(s)
+                    lc_t[slot] = (len(s) << 8) | code
+                else:
+                    leftover.append((code, s))  # way-B loser; way A later
+            else:
+                slot = slot_a(s)
+                if lc_t[slot] == 0:
+                    sym_t[slot] = _sym_key(s)
+                    lc_t[slot] = (len(s) << 8) | code
+        # length-3 symbols went first into way A (it is their ONLY possible
+        # home); way-B conflict losers fill what remains, longest first
+        for code, s in leftover:
+            slot = slot_a(s)
+            if lc_t[slot] == 0:
+                sym_t[slot] = _sym_key(s)
+                lc_t[slot] = (len(s) << 8) | code
         h3 = (sym_t, lc_t)
     return lut12, ones, h3
 
@@ -283,8 +317,10 @@ def _match_all_positions(buf: np.ndarray, lengths: np.ndarray,
         lens_g = np.empty(n, dtype=np.uint16)
         sym_g = np.empty(n, dtype=np.uint64)
         k3 = np.empty(n, dtype=np.uint64)
-        np.bitwise_and(w, np.uint64(0xFFFFFF), out=k3)
-        for mult, base in ((_HASH_MULT, 0), (_HASH_MULT2, 1 << _HASH_BITS)):
+        # way A: 3-byte prefix key; way B: 4-byte prefix key (len>=4 syms)
+        for kmask, mult, base in ((0xFFFFFF, _HASH_MULT, 0),
+                                  (0xFFFFFFFF, _HASH_MULT2, 1 << _HASH_BITS)):
+            np.bitwise_and(w, np.uint64(kmask), out=k3)
             np.multiply(k3, mult, out=kL)
             kL >>= np.uint64(64 - _HASH_BITS)
             np.copyto(slots, kL, casting="unsafe")
@@ -358,8 +394,10 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
             combo[fix] = ones[arr[cur[fix]]]
         if h3 is not None:  # two probes cover all lengths 3..8
             sym_t, lc_t = h3
-            k3 = k8 & np.uint64(0xFFFFFF)
-            for mult, base in ((_HASH_MULT, 0), (_HASH_MULT2, 1 << _HASH_BITS)):
+            for kmask, mult, base in ((0xFFFFFF, _HASH_MULT, 0),
+                                      (0xFFFFFFFF, _HASH_MULT2,
+                                       1 << _HASH_BITS)):
+                k3 = k8 & np.uint64(kmask)
                 slots = ((k3 * mult) >> np.uint64(64 - _HASH_BITS)
                          ).astype(np.int64) + base
                 lc = lc_t[slots]
