@@ -185,6 +185,14 @@ def _kernel_micro_bench() -> dict:
     cta, ctb = [p[0] for p in cand], [p[1] for p in cand]
     out["jaccard_pairs_s"] = round(len(cand) / best(
         lambda: sim.jaccard_batch(cta, ctb)))
+    # batch-size sensitivity (r4 sweep: throughput rises to a plateau at
+    # ~8k pairs/batch because each batch amortizes unique-text hashing;
+    # Spark's arrow maxRecordsPerBatch=10000 sits on the plateau). This
+    # key tracks the plateau rate as the kernel's honest capacity number.
+    cand8 = [(docs[i % 300], docs[(i * 7 + 1) % 300]) for i in range(8000)]
+    c8a, c8b = [p[0] for p in cand8], [p[1] for p in cand8]
+    out["jaccard_batch8k_pairs_s"] = round(len(cand8) / best(
+        lambda: sim.jaccard_batch(c8a, c8b)))
     import pyarrow as pa
 
     df = make_codefiles(30000)

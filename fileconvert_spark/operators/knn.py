@@ -138,13 +138,21 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              q_id_col: str = "q_id", q_vec_col: str = "q_vec",
-             refine_iters: int = 0) -> DataFrame:
+             refine_iters: int = 0, multi_assign: int = 1) -> DataFrame:
     """IVF ANN: probe only the n_probe nearest centroid cells per query.
 
     Centroids ship as a Spark broadcast variable consumed by vectorized
     Pandas UDFs (one matmul per Arrow batch) — not as plan literals, so
     1024 centroids x 768 dims costs one broadcast, not a megabyte of
     expression tree re-analyzed per query.
+
+    ``multi_assign``: store each base vector in its ``multi_assign``
+    nearest cells instead of one. Coarse-only IVF has a recall cliff when
+    clusters overlap (a true neighbor near a cell boundary lives in an
+    unprobed cell); measured on a 100k x 64 mixture workload (r4,
+    BENCH/BASELINE.md), recall@10 at n_probe=8/32 goes 0.82 -> 0.93 with
+    multi_assign=2 and 0.97 with 3, at a storage/scan cost of x2/x3 —
+    the standard trade when more probes alone stop paying.
     """
     from pyspark.sql.types import ArrayType, IntegerType
 
@@ -153,37 +161,49 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 5,
         cent = refine_centroids(df, cent, vec_col, iters=refine_iters)
     bc = df.sparkSession.sparkContext.broadcast(cent)
     n_probe_eff = min(n_probe, len(cent))
+    ma_eff = max(1, min(multi_assign, len(cent)))
 
     def _matrix(vecs: pd.Series) -> np.ndarray:
         m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return m
 
+    def _topc_udf(nc: int):
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def topc(vecs: pd.Series) -> pd.Series:
+            sims = _matrix(vecs) @ bc.value.T
+            idx = np.argsort(-sims, kind="stable", axis=1)[:, :nc]
+            return pd.Series([row.astype("int32").tolist() for row in idx])
+        return topc
+
     @F.pandas_udf("int")
     def cell_udf(vecs: pd.Series) -> pd.Series:
         sims = _matrix(vecs) @ bc.value.T
         return pd.Series(sims.argmax(axis=1).astype(np.int32))
 
-    @F.pandas_udf(ArrayType(IntegerType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        sims = _matrix(vecs) @ bc.value.T
-        idx = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe_eff]
-        return pd.Series([row.astype("int32").tolist() for row in idx])
-
-    base = df.select(F.col(id_col), F.col(vec_col),
-                     cell_udf(F.col(vec_col)).alias("cell"),
-                     _norm_expr(F.col(vec_col)).alias("_n"))
+    if ma_eff == 1:
+        cell_expr = cell_udf(F.col(vec_col)).alias("cell")
+        base = df.select(F.col(id_col), F.col(vec_col), cell_expr,
+                         _norm_expr(F.col(vec_col)).alias("_n"))
+    else:
+        base = df.select(
+            F.col(id_col), F.col(vec_col),
+            F.explode(_topc_udf(ma_eff)(F.col(vec_col))).alias("cell"),
+            _norm_expr(F.col(vec_col)).alias("_n"))
 
     q = queries.select(
         F.col(q_id_col), F.col(q_vec_col),
         _norm_expr(F.col(q_vec_col)).alias("_qn"),
-        F.explode(probe_udf(F.col(q_vec_col))).alias("cell"),
+        F.explode(_topc_udf(n_probe_eff)(F.col(q_vec_col))).alias("cell"),
     )
     scored = base.join(F.broadcast(q), "cell").select(
         F.col(q_id_col), F.col(id_col),
         (_dot(F.col(vec_col), F.col(q_vec_col))
          / (F.col("_n") * F.col("_qn"))).alias("cosine"),
     )
+    if ma_eff > 1:
+        # a (query, vector) pair can meet in several shared cells
+        scored = scored.dropDuplicates([q_id_col, id_col])
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -78,6 +78,44 @@ def test_knn_ivf_agrees_with_bruteforce(spark):
             assert r["vec_id"] == r["q_id"]
 
 
+def test_ivf_multi_assign_improves_recall(spark):
+    """multi_assign=2 stores each vector in its two nearest cells; at the
+    same n_probe it must (a) stay exact under full probe and (b) recall at
+    least as many true neighbors as single assignment on a fixed synthetic
+    workload — the r4 recall-cliff mitigation (tools/ivf_recall.py)."""
+    import numpy as np
+
+    from fileconvert_spark.operators.knn import brute_force_topk, ivf_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    centers = rng.standard_normal((10, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.choice(10, 3000)] + 0.4 * rng.standard_normal((3000, 16))
+    emb = spark.createDataFrame(
+        [(int(i), pts[i].tolist()) for i in range(3000)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(int(j), pts[j * 37].tolist()) for j in range(8)],
+        "q_id long, q_vec array<double>")
+    truth = {}
+    for r in brute_force_topk(emb, q, k=5).collect():
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    def recall(**kw):
+        by_q = {}
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, **kw).collect():
+            by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+        return float(np.mean([len(by_q.get(k_, set()) & t) / len(t)
+                              for k_, t in truth.items()]))
+
+    # full probe stays exact regardless of multi_assign
+    assert recall(n_probe=8, multi_assign=2) == 1.0
+    r1 = recall(n_probe=2, multi_assign=1)
+    r2 = recall(n_probe=2, multi_assign=2)
+    assert r2 >= r1
+    assert r2 > 0.5
+
+
 def test_ivf_centroids_independent_of_row_order(spark):
     """The quantizer sample must be a hash-draw, not first-N: training on
     an adversarially sorted input (all rows ordered along one embedding

@@ -1,0 +1,106 @@
+"""IVF recall@k sweep (VERDICT r3 item 4).
+
+Synthesizes a clustered embedding table (the workload IVF exists for:
+mixture-of-gaussians on the unit sphere, mild cluster imbalance), runs the
+REAL Spark operators — brute_force_topk as ground truth, ivf_topk at
+n_probe in {1, 2, 4, 8} with and without distributed Lloyd refinement —
+and prints one JSON line with mean recall@k per configuration.
+
+    python tools/ivf_recall.py [n_rows=100000] [dim=64] [k=10]
+
+Results are recorded in BENCH/BASELINE.md; this is evidence, not a gate,
+so it runs standalone rather than inside bench.py's timed suite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_embeddings(n_rows: int, dim: int, n_clusters: int = 40,
+                     seed: int = 3) -> np.ndarray:
+    """Unit-norm gaussian mixture with Zipf-ish cluster sizes — clustered
+    enough that IVF cells mean something, imbalanced enough to be honest."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    weights = 1.0 / np.arange(1, n_clusters + 1)
+    weights /= weights.sum()
+    assign = rng.choice(n_clusters, size=n_rows, p=weights)
+    x = centers[assign] + 0.35 * rng.standard_normal((n_rows, dim))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+def main() -> int:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_queries = 50
+    n_centroids = 32
+
+    from fileconvert_spark.operators.knn import brute_force_topk, ivf_topk
+    from fileconvert_spark.session import get_spark
+
+    spark = get_spark("ivf-recall")
+    x = synth_embeddings(n_rows, dim)
+    rng = np.random.Generator(np.random.PCG64(9))
+    q_idx = rng.choice(n_rows, size=n_queries, replace=False)
+
+    emb = spark.createDataFrame(
+        [(int(i), x[i].tolist()) for i in range(n_rows)],
+        "vec_id long, embedding array<double>").cache()
+    queries = spark.createDataFrame(
+        [(int(j), x[i].tolist()) for j, i in enumerate(q_idx)],
+        "q_id long, q_vec array<double>")
+
+    t0 = time.time()
+    exact = brute_force_topk(emb, queries, k=k).collect()
+    t_exact = time.time() - t0
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    out = {"n_rows": n_rows, "dim": dim, "k": k,
+           "n_centroids": n_centroids, "exact_s": round(t_exact, 2),
+           "recall": {}}
+    configs = [
+        {"n_probe": p} for p in (1, 2, 4, 8)
+    ] + [
+        {"n_probe": p, "refine_iters": 2} for p in (1, 8)
+    ] + [
+        {"n_probe": p, "multi_assign": ma}
+        for ma in (2, 3) for p in (2, 4, 8)
+    ]
+    for cfg in configs:
+        t0 = time.time()
+        got = ivf_topk(emb, queries, k=k, n_centroids=n_centroids,
+                       **cfg).collect()
+        wall = time.time() - t0
+        by_q: dict[int, set[int]] = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+        rec = float(np.mean([
+            len(by_q.get(qid, set()) & t) / len(t)
+            for qid, t in truth.items()]))
+        key = f"probe{cfg['n_probe']}"
+        if cfg.get("refine_iters"):
+            key += "_refined"
+        if cfg.get("multi_assign"):
+            key += f"_ma{cfg['multi_assign']}"
+        out["recall"][key] = {"recall_at_k": round(rec, 4),
+                              "wall_s": round(wall, 2)}
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
