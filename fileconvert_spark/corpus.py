@@ -110,9 +110,17 @@ def _line_pool(lang: str) -> list[str]:
     return pool
 
 
-def make_codefiles(n_rows: int, with_edge_rows: bool = True) -> pd.DataFrame:
-    """Deterministic corpus; (repo, path, commit) unique by construction."""
-    rng = np.random.Generator(np.random.PCG64(SEED))
+def make_codefiles(n_rows: int, with_edge_rows: bool = True,
+                   seed: int = SEED, row_offset: int = 0) -> pd.DataFrame:
+    """Deterministic corpus; (repo, path, commit) unique by construction.
+
+    ``seed``/``row_offset`` make the generator shardable for large-scale
+    runs (tools/scale_run.py): each shard draws from its own stream while
+    path/commit uniqueness carries the global row id, so shards
+    concatenate into one corpus with the same distributional shape.
+    Defaults reproduce the FIXTURES.md corpus byte-for-byte.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
     n = int(n_rows)
     n_repos = max(20, n // 500)
 
@@ -131,11 +139,13 @@ def make_codefiles(n_rows: int, with_edge_rows: bool = True) -> pd.DataFrame:
     paths = np.empty(n, dtype=object)
     for i in range(n):
         segs = [dirs[seg_idx[i, j]] for j in range(n_seg[i])]
-        paths[i] = "/".join(segs) + f"/{files[fname_idx[i]]}{i}.{EXT[langs[i]]}"
+        paths[i] = "/".join(segs) + \
+            f"/{files[fname_idx[i]]}{row_offset + i}.{EXT[langs[i]]}"
 
     K = 25  # ~25 rows share a commit
     commits = np.array(
-        [hashlib.sha1(f"{repos[i]}:{i // K}".encode()).hexdigest() for i in range(n)],
+        [hashlib.sha1(f"{repos[i]}:{(row_offset + i) // K}".encode()).hexdigest()
+         for i in range(n)],
         dtype=object,
     )
 

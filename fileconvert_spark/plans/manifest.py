@@ -196,10 +196,12 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         pinned = meta["n_buckets"]
         stats_sample_fraction = float(meta.get("stats_sample_fraction", 1.0))
 
+    t_plan = time.time()
     dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
                                   key_col=key_col, salt_cols=salt_cols,
                                   weight_col=weight_col,
                                   stats_sample_fraction=stats_sample_fraction)
+    plan_wall_s = time.time() - t_plan
     n_buckets = plan_info["n_buckets"]  # resolved (auto-sized when None)
 
     if pinned is None:
@@ -217,7 +219,9 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
              "stats_sample_fraction": stats_sample_fraction}).encode())
     fsio.write_bytes_atomic(os.path.join(out_dir, "_schema.json"),
                             df.schema.json().encode())
+    t_scan = time.time()
     done = scan_done_parts(out_dir) if resume else set()
+    resume_scan_wall_s = time.time() - t_scan
     skipped = len(done)
     if done:
         dfb = dfb.filter(~F.col("bucket").isin([int(p) for p in done]))
@@ -233,6 +237,7 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     manifests = [r.asDict() for r in man_df.collect()]
 
     wall_s = time.time() - t0
+    t_rollup = time.time()
     all_manifests = read_all_manifests(out_dir)
     raw_bytes = sum(m["raw_bytes"] for m in all_manifests)
     enc_bytes = sum(m["enc_bytes"] for m in all_manifests)
@@ -253,6 +258,11 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         "throughput_mb_s": (raw_bytes / 1e6 / wall_s) if wall_s > 0 else None,
         "codec_histogram": dict(codec_hist),
         "plan": plan_info,
+        # driver-side metadata phase timings: these are the paths that
+        # scale with PART COUNT, not data size — the 100-TB risk axis
+        "plan_wall_s": round(plan_wall_s, 3),
+        "resume_scan_wall_s": round(resume_scan_wall_s, 3),
+        "manifest_rollup_wall_s": round(time.time() - t_rollup, 3),
     }
     fsio.write_bytes_atomic(os.path.join(out_dir, "_summary.json"),
                             json.dumps(summary, indent=1).encode())

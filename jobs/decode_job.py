@@ -58,7 +58,17 @@ def main(argv: list[str]) -> int:
         print(f"decode_job: {e}", file=sys.stderr)
         return 2
 
-    spark = SparkSession.builder.appName("fcs-decode").getOrCreate()
+    # Local-mode memory defaults: under plain `python jobs/<job>.py` the
+    # driver JVM (which in local mode IS every executor) would start with
+    # a 1 GB heap and OOM on multi-GB inputs. These configs only take
+    # effect when this process launches the JVM — under spark-submit the
+    # driver already exists and submit-time settings win.
+    spark = (
+        SparkSession.builder.appName("fcs-decode")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
 

@@ -3,7 +3,8 @@
 Launch (the north-rule launch mode, BASELINE.json line 14):
 
     spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
-        jobs/encode_job.py <src_parquet> <out_dir> [n_buckets]
+        jobs/encode_job.py <src_parquet> <out_dir> [n_buckets] \
+        [key_col] [salt_cols] [weight_col] [stats_sample_fraction]
 
 On a real cluster, --master/--num-executors come from spark-submit and
 <out_dir> must be a shared filesystem. The job is idempotent: re-running
@@ -52,12 +53,23 @@ def main(argv: list[str]) -> int:
         print(f"encode_job: {e}", file=sys.stderr)
         return 2
     # optional overrides for non-codefiles schemas:
-    #   [key_col] [salt_cols(comma-sep)] [weight_col]
+    #   [key_col] [salt_cols(comma-sep)] [weight_col] [stats_sample_fraction]
     key_col = argv[4] if len(argv) > 4 else "repo"
     salt_cols = tuple(argv[5].split(",")) if len(argv) > 5 else ("path", "commit")
     weight_col = argv[6] if len(argv) > 6 else "content"
+    stats_sample_fraction = float(argv[7]) if len(argv) > 7 else 1.0
 
-    spark = SparkSession.builder.appName("fcs-encode").getOrCreate()
+    # Local-mode memory defaults: under plain `python jobs/<job>.py` the
+    # driver JVM (which in local mode IS every executor) would start with
+    # a 1 GB heap and OOM on multi-GB inputs. These configs only take
+    # effect when this process launches the JVM — under spark-submit the
+    # driver already exists and submit-time settings win.
+    spark = (
+        SparkSession.builder.appName("fcs-encode")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
     _ship_package(spark)
 
@@ -72,7 +84,8 @@ def main(argv: list[str]) -> int:
         return 2
     summary = encode_table(spark, df, out, n_buckets=n_buckets,
                            key_col=key_col, salt_cols=salt_cols,
-                           weight_col=weight_col)
+                           weight_col=weight_col,
+                           stats_sample_fraction=stats_sample_fraction)
     print(json.dumps(summary))
     spark.stop()
     return 0
