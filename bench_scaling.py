@@ -136,8 +136,17 @@ def main() -> None:
         "ceiling, not the engine (the same plateau appears with no engine "
         "code at all).",
     ]
-    with open(os.path.join(repo, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(md) + "\n")
+    # preserve hand-written sections below the scaling block: everything
+    # from the first "## " heading on survives a re-run
+    path = os.path.join(repo, "BENCH", "BASELINE.md")
+    extra = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## ")
+        if idx >= 0:
+            extra = old[idx:]
+    with open(path, "w") as f:
+        f.write("\n".join(md) + "\n" + extra)
     print(json.dumps(report))
 
 
