@@ -181,7 +181,11 @@ def _sym_key(s: bytes) -> int:
 _HASH_BITS = 12  # 4096-slot 3-byte-prefix ways (~60 KB each, L2-resident)
 _TAIL_SWITCH = 256  # live strings below this -> per-string tail (the
                     # per-round NumPy overhead stops amortizing)
-_WALK_SEG = 1024    # walk-time chop size for long strings (see encode_buffer)
+# walk-time chop size for long strings (see encode_buffer). 512 looked
+# 1.5x faster in a sequential sweep but an INTERLEAVED min-of-5 A/B
+# (r4) shows no speed difference and +0.2% ratio — the sweep's first
+# row had paid the cold-allocation cost for the rest. 1024 stays.
+_WALK_SEG = 1024
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
 _HASH_MULT2 = np.uint64(0xC2B2AE3D27D4EB4F)
 # mask of the low L bytes of a little-endian uint64 window, L = 0..8
