@@ -47,8 +47,57 @@ MANIFEST_SPARK_SCHEMA = (
 )
 
 
+MANIFEST_LIST = "_manifest_list.json"
+
+
+def _load_manifest_list(out_dir: str) -> list[dict] | None:
+    """The consolidated manifest list (Iceberg pattern): one file holding
+    every per-part manifest, written atomically by the DRIVER only after
+    a job completes. Per-part manifests stay the source of truth written
+    by executors; the list is a completion-time rollup that turns the
+    O(parts) resume scan (N reads — N GETs on an object store) into one
+    read at 10^5+ parts. Returns None when absent, torn, or inconsistent
+    with the data directory (one listdir cross-check), in which case
+    callers fall back to the per-part scan.
+    """
+    path = os.path.join(out_dir, MANIFEST_LIST)
+    if not fsio.exists(path):
+        return None
+    try:
+        doc = json.loads(fsio.read_bytes(path))
+        parts = doc["parts"]
+    except (json.JSONDecodeError, OSError, KeyError, TypeError):
+        return None
+    data_files = {n for n in fsio.listdir(os.path.join(out_dir, "data"))
+                  if n.endswith(".parquet")}
+    expect = {f"part-{int(m['part_id']):05d}.parquet" for m in parts}
+    if expect != data_files:  # deleted/extra parts since completion
+        return None
+    return parts
+
+
+def write_manifest_list(out_dir: str, manifests: list[dict]) -> None:
+    fsio.write_bytes_atomic(
+        os.path.join(out_dir, MANIFEST_LIST),
+        json.dumps({"n_parts": len(manifests), "parts": manifests}).encode())
+
+
+def invalidate_manifest_list(out_dir: str) -> None:
+    path = os.path.join(out_dir, MANIFEST_LIST)
+    if fsio.exists(path):
+        fsio.remove(path)
+
+
 def scan_done_parts(out_dir: str) -> set[int]:
-    """Buckets already encoded (manifest=done AND data file present)."""
+    """Buckets already encoded (manifest=done AND data file present).
+
+    Fast path: a valid consolidated manifest list answers in one read +
+    one listdir; otherwise every per-part manifest is read.
+    """
+    listed = _load_manifest_list(out_dir)
+    if listed is not None:
+        return {int(m["part_id"]) for m in listed
+                if m.get("status") == "done"}
     mdir = os.path.join(out_dir, "manifests")
     done: set[int] = set()
     for name in fsio.listdir(mdir):
@@ -209,6 +258,7 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         # possibly differently-bucketed table whose _meta.json is gone)
         # must never leak into this table's manifests/decode — clear them
         # regardless of the resume flag
+        invalidate_manifest_list(out_dir)
         for sub in ("data", "manifests"):
             p = os.path.join(out_dir, sub)
             for name in fsio.listdir(p):
@@ -225,6 +275,10 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     skipped = len(done)
     if done:
         dfb = dfb.filter(~F.col("bucket").isin([int(p) for p in done]))
+    # about to (re-)encode parts: a complete-looking list must not
+    # survive a crash mid-run — per-part manifests take over until the
+    # new list is written at completion
+    invalidate_manifest_list(out_dir)
 
     if bpe_text_col is not None:
         train_and_store_bpe(df, out_dir, bpe_text_col, n_merges=bpe_merges)
@@ -266,6 +320,7 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     }
     fsio.write_bytes_atomic(os.path.join(out_dir, "_summary.json"),
                             json.dumps(summary, indent=1).encode())
+    write_manifest_list(out_dir, all_manifests)
     return summary
 
 
@@ -323,6 +378,9 @@ def load_bpe_vocab(out_dir: str) -> list[tuple[str, str]]:
 
 
 def read_all_manifests(out_dir: str) -> list[dict]:
+    listed = _load_manifest_list(out_dir)
+    if listed is not None:
+        return listed
     mdir = os.path.join(out_dir, "manifests")
     out = []
     for name in fsio.listdir(mdir):

@@ -108,10 +108,16 @@ def test_resume_skips_done_parts(spark, corpus_df, tmp_path):
 
 
 def test_torn_manifest_is_reencoded(spark, corpus_df, tmp_path):
+    """A torn per-part manifest models an executor crash MID-JOB — in
+    that state the consolidated manifest list does not exist yet (it is
+    written only at completion), so the per-part scan governs."""
+    from fileconvert_spark.plans.manifest import invalidate_manifest_list
+
     out = str(tmp_path / "enc")
     encode_table(spark, corpus_df, out, n_buckets=4)
     done = sorted(scan_done_parts(out))
     victim = done[0]
+    invalidate_manifest_list(out)  # mid-job state: no completion rollup
     # torn write: truncated json must not count as done
     path = os.path.join(out, "manifests", f"part-{victim:05d}.json")
     with open(path, "w") as f:
@@ -119,6 +125,42 @@ def test_torn_manifest_is_reencoded(spark, corpus_df, tmp_path):
     assert victim not in scan_done_parts(out)
     s2 = encode_table(spark, corpus_df, out, n_buckets=4)
     assert s2["parts_encoded_this_run"] == 1
+    dec = decode_table(spark, out)
+    assert_roundtrip(corpus_df, dec, KEYS)
+
+
+def test_manifest_list_fast_path_and_fallback(spark, corpus_df, tmp_path):
+    """The completion-time manifest list (Iceberg pattern) answers
+    scan_done_parts in one read; it vouches for parts while the data
+    directory matches it exactly, and ANY data-file drift (the
+    resume-relevant kind of damage) falls back to the per-part scan."""
+    from fileconvert_spark.plans import manifest as mf
+
+    out = str(tmp_path / "enc")
+    encode_table(spark, corpus_df, out, n_buckets=4)
+    assert os.path.exists(os.path.join(out, mf.MANIFEST_LIST))
+    done = sorted(scan_done_parts(out))
+
+    # 1. list vouches past a damaged PER-PART manifest when data is
+    #    intact (completion already verified it — snapshot semantics)
+    victim = done[0]
+    ppath = os.path.join(out, "manifests", f"part-{victim:05d}.json")
+    with open(ppath, "w") as f:
+        f.write("{torn")
+    assert victim in scan_done_parts(out)
+
+    # 2. a MISSING data file invalidates the list (cross-check) and the
+    #    per-part scan takes over — the torn manifest now also drops out
+    os.remove(os.path.join(out, "data", f"part-{done[1]:05d}.parquet"))
+    after = scan_done_parts(out)
+    assert done[1] not in after and victim not in after
+
+    # 3. resume re-encodes exactly the two damaged parts and rewrites a
+    #    consistent list at completion
+    s2 = encode_table(spark, corpus_df, out, n_buckets=4)
+    assert s2["parts_encoded_this_run"] == 2
+    assert sorted(scan_done_parts(out)) == done
+    assert mf._load_manifest_list(out) is not None
     dec = decode_table(spark, out)
     assert_roundtrip(corpus_df, dec, KEYS)
 
