@@ -188,6 +188,32 @@ def test_fsst_table_roundtrip():
     assert fsst.deserialize_table(fsst.serialize_table(table)) == table
 
 
+def test_fsst_split_width_ways_hold_prefix_family():
+    """r4 regression pin: three length>=3 symbols sharing a 3-byte prefix
+    must ALL be matchable — way A keys on 3 bytes (3-byte symbols' only
+    home), way B on 4 bytes, so same-k3 families separate by byte 4.
+    Under same-width ways (r3) the third family member was always
+    dropped."""
+    import numpy as np
+
+    fam = [b"/test_qq", b"/teAB", b"/te"]  # k3 '/te' shared; k4s differ
+    table = fam + [bytes([b]) for b in sorted(set(b"".join(fam)))]
+    buf = b"".join(fam)
+    lengths = np.array([len(s) for s in fam], dtype=np.int64)
+    bl, bc = fsst._match_all_positions(
+        np.frombuffer(buf, dtype=np.uint8), lengths, table)
+    starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    for s, pos in zip(fam, starts):
+        assert bl[pos] == len(s), (s, bl[pos])
+        assert table[bc[pos]] == s
+    # and the encode/decode round trip agrees end-to-end
+    import pyarrow as pa
+
+    arr = pa.array([f.decode() for f in fam] * 50, type=pa.string())
+    payload, tb = fsst.fsst_encode_array(arr, table)
+    assert fsst.fsst_decode_array(payload, tb).equals(arr)
+
+
 def test_selection_pathdict_for_paths():
     """Path-like columns (unique values, low-cardinality '/'-separated
     components) must pick the segment dictionary over FSST."""
