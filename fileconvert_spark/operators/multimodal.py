@@ -1,12 +1,20 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Media ride as opaque ``binary`` columns with typed metadata; decode /
-feature-extraction run as Arrow-batched ``mapInPandas`` kernels. The actual
-media decoding is STUBBED (no image/audio libraries ship in this container)
-behind ``_decode_media``: a deterministic fake that parses our synthetic
-header, so the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signatures — is real and tested end-to-end, and swapping in PIL/ffmpeg
-later touches exactly one function.
+feature-extraction run as Arrow-batched ``mapInPandas`` kernels behind one
+dispatch point, ``_decode_media``:
+
+- **BMP** (uncompressed 8/24/32-bit Windows bitmaps) — REAL decode, pure
+  NumPy over the RIFF-less BITMAPINFOHEADER layout (row padding,
+  bottom-up order, BGR->luma);
+- **WAV** (PCM RIFF) — REAL decode via the stdlib ``wave`` module
+  (8/16/32-bit, any channel count);
+- FCSM — the deterministic synthetic format used by tests/fixtures;
+- compressed formats (PNG/JPEG/MP3/MP4...) raise ``NotImplementedError``
+  naming the env-block: their codecs need PIL/ffmpeg, which this
+  container does not ship. Swapping them in later touches exactly this
+  one function — the Spark-side plumbing (schema, batch shape,
+  partitioning, UDF signatures) is identical for every format.
 """
 
 from __future__ import annotations
@@ -41,18 +49,79 @@ def make_fake_media(media_id: int, kind: str, width: int, height: int,
     return _MAGIC + struct.pack("<HHH", width, height, n_frames) + body.tobytes()
 
 
-def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """STUB decode. Real image/audio decoding is unavailable in this
-    container; this parses the synthetic header deterministically. Replace
-    with PIL/soundfile/ffmpeg here — callers never change."""
-    if payload[:4] != _MAGIC:
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp) -> grayscale
+    pixels. Pure NumPy: strip per-row padding with a reshape, undo the
+    bottom-up row order, collapse BGR(A) to luma."""
+    if len(payload) < 54:
+        raise ValueError("BMP payload truncated (no header)")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h_raw = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
         raise NotImplementedError(
-            "real media decoding not available in this environment; "
-            "only FCSM synthetic blobs are decodable"
-        )
-    w, h, f = struct.unpack("<HHH", payload[4:10])
-    pixels = np.frombuffer(payload[10:], dtype=np.uint8)
-    return w, h, f, pixels
+            f"BMP compression {compression} needs an external codec; only "
+            "BI_RGB (uncompressed) decodes here")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp} unsupported (8/24/32)")
+    h = abs(h_raw)
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = data_off + stride * h
+    if len(payload) < need:
+        raise ValueError(f"BMP payload truncated: {len(payload)} < {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * bytes_pp]
+    if h_raw > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    if bpp == 8:
+        gray = rows.reshape(h, w)
+    else:
+        px = rows.reshape(h, w, bytes_pp).astype(np.uint16)
+        # integer BT.601 luma on B,G,R (BMP channel order)
+        gray = ((29 * px[:, :, 0] + 150 * px[:, :, 1] + 77 * px[:, :, 2])
+                >> 8).astype(np.uint8)
+    return w, h, 1, gray.ravel()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PCM RIFF/WAVE -> sample array via the stdlib wave module.
+    Mapping into the media schema: width = n_channels, height = bits per
+    sample, n_frames = audio frames."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n_ch, sampwidth, _rate, n_frames = (
+            f.getnchannels(), f.getsampwidth(), f.getframerate(),
+            f.getnframes())
+        raw = f.readframes(n_frames)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sampwidth)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
+    samples = np.frombuffer(raw, dtype=dtype)
+    return n_ch, sampwidth * 8, n_frames, samples
+
+
+def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Format dispatch: real decoders for uncompressed BMP and PCM WAV
+    (no external libs required), the FCSM synthetic format for fixtures,
+    and a loud env-block for compressed formats (PIL/ffmpeg absent)."""
+    if payload[:4] == _MAGIC:
+        w, h, f = struct.unpack("<HHH", payload[4:10])
+        pixels = np.frombuffer(payload[10:], dtype=np.uint8)
+        return w, h, f, pixels
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "compressed media decoding (PNG/JPEG/MP3/MP4...) needs PIL/ffmpeg, "
+        "which this environment does not provide; decodable here: "
+        "uncompressed BMP, PCM WAV, FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

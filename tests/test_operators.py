@@ -195,11 +195,74 @@ def test_multimodal_plumbing(spark):
     assert all(f["digest"] and f["feat_mean"] >= 0 for f in feats)
     frames = frame_sample(media, every_n=2)
     assert frames.count() > 0
-    # decode stub must refuse non-synthetic payloads loudly
+    # compressed formats stay a loud env-block (PIL/ffmpeg absent)
     from fileconvert_spark.operators.multimodal import _decode_media
 
     with pytest.raises(NotImplementedError):
         _decode_media(b"\x89PNG not really")
+
+
+def _make_bmp_24(width, height, bgr_rows):
+    """Minimal uncompressed 24-bit BMP; bgr_rows = [[(b,g,r)...]...] top-down."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    body = b""
+    for row in reversed(bgr_rows):  # bottom-up storage
+        raw = b"".join(bytes(px) for px in row)
+        body += raw + b"\x00" * (stride - len(raw))
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def test_multimodal_real_bmp_and_wav_decode(spark):
+    """BMP and PCM WAV decode for REAL (no external libs): dimensions,
+    pixel/sample values, and the end-to-end mapInPandas feature kernel."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, extract_features,
+    )
+
+    # 2x2 24-bit BMP: white, black / red, blue (BGR order in the file)
+    bmp = _make_bmp_24(2, 2, [[(255, 255, 255), (0, 0, 0)],
+                              [(0, 0, 255), (255, 0, 0)]])
+    w, h, f, px = _decode_media(bmp)
+    assert (w, h, f) == (2, 2, 1)
+    gray = px.reshape(2, 2)
+    assert gray[0, 0] == 255 and gray[0, 1] == 0          # white, black
+    assert gray[1, 0] > gray[1, 1]                        # red luma > blue
+
+    # 16-bit stereo WAV with known samples
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as fw:
+        fw.setnchannels(2)
+        fw.setsampwidth(2)
+        fw.setframerate(8000)
+        fw.writeframes(struct.pack("<6h", 0, 100, -200, 300, -32768, 32767))
+    wav = buf.getvalue()
+    ch, bits, frames, samples = _decode_media(wav)
+    assert (ch, bits, frames) == (2, 16, 3)
+    assert samples.tolist() == [0, 100, -200, 300, -32768, 32767]
+
+    # end-to-end through the Spark kernel, mixed formats in one column
+    df = spark.createDataFrame(
+        [(1, "image", 2, 2, 1, bytearray(bmp)),
+         (2, "audio", 2, 16, 3, bytearray(wav))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+    out = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[2]["width"] == 2 and out[2]["n_frames"] == 3
+    assert abs(out[2]["feat_mean"] - np.mean([0, 100, -200, 300,
+                                              -32768, 32767])) < 1e-6
 
 
 def test_csv_roundtrip(spark, tmp_path, docs):
