@@ -1054,6 +1054,22 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media).orderBy("media_id")
 
 
+def multimodal_resize(spark, sf_dir):
+    """Decode + area-average resize of image rows to an 8x8 grayscale
+    plane (rows-only: binary media pipelines are not SQL-expressible;
+    pixel math is pinned by tests/test_operators.py on hand-built BMPs)."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.multimodal import resize_images, synth_media_df
+
+    media = synth_media_df(spark, n=48)
+    return (
+        resize_images(media, 8, 8)
+        .select("media_id", "width", "height",
+                F.md5("pixels").alias("px_md5"))
+        .orderBy("media_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver's CORRECTNESS file caps at 50 rows and
     # takes the FIRST 50 dict entries (evidence: r01 51 registered -> 50
@@ -1125,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near_pipeline": dedup_near_pipeline,
         "knn_ivf": knn_ivf,
         "multimodal_features": multimodal_features,
+        "multimodal_resize": multimodal_resize,
         "bpe_token_counts": bpe_token_counts,
     }
 

@@ -171,6 +171,58 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, pixels binary"
+)
+
+
+def resize_images(df: DataFrame, target_w: int = 8,
+                  target_h: int = 8) -> DataFrame:
+    """Decode + area-average resize of image rows to (target_w, target_h)
+    grayscale, as an Arrow-batched mapInPandas kernel.
+
+    Pure NumPy: the decoded grayscale plane is block-averaged via a
+    reshape when dimensions divide evenly, else nearest-neighbor index
+    sampling — no interpolation library needed. Emits the resized plane
+    as a binary column (row-major uint8), the shape a downstream
+    embedding / perceptual-hash stage wants. Images whose payload is a
+    1-D synthetic FCSM body are padded/truncated to w*h first, so every
+    supported format flows through the same kernel.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, planes = [], []
+            for mid, payload in zip(pdf["media_id"].to_numpy(),
+                                    pdf["payload"].to_numpy()):
+                w, h, _f, px = _decode_media(bytes(payload))
+                plane = np.zeros(w * h, dtype=np.uint8)
+                m = min(px.size, w * h)
+                plane[:m] = px[:m]
+                plane = plane.reshape(h, w)
+                if h % target_h == 0 and w % target_w == 0:
+                    small = plane.reshape(
+                        target_h, h // target_h, target_w, w // target_w
+                    ).mean(axis=(1, 3)).astype(np.uint8)
+                else:
+                    yi = (np.arange(target_h) * h) // target_h
+                    xi = (np.arange(target_w) * w) // target_w
+                    small = plane[np.ix_(yi, xi)]
+                ids.append(int(mid))
+                planes.append(small.tobytes())
+            yield pd.DataFrame({
+                "media_id": np.array(ids, dtype=np.int64),
+                "width": np.full(len(ids), target_w, dtype=np.int32),
+                "height": np.full(len(ids), target_h, dtype=np.int32),
+                "pixels": planes,
+            })
+
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video rows: explode frame indices
     JVM-side (the stub has no real frames to decode, so this demonstrates

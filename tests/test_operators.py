@@ -265,6 +265,32 @@ def test_multimodal_real_bmp_and_wav_decode(spark):
                                               -32768, 32767])) < 1e-6
 
 
+def test_multimodal_resize_images(spark):
+    """Area-average resize on a REAL decoded BMP: a 4x4 image of four
+    uniform 2x2 quadrants resized to 2x2 must yield exactly the four
+    quadrant values; synthetic FCSM images flow through the same kernel."""
+    from fileconvert_spark.operators.multimodal import (
+        resize_images, synth_media_df,
+    )
+
+    q = [[(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+         [(0, 0, 0), (0, 0, 0), (255, 255, 255), (255, 255, 255)],
+         [(100, 100, 100), (100, 100, 100), (200, 200, 200), (200, 200, 200)],
+         [(100, 100, 100), (100, 100, 100), (200, 200, 200), (200, 200, 200)]]
+    bmp = _make_bmp_24(4, 4, q)
+    df = spark.createDataFrame(
+        [(7, "image", 4, 4, 1, bytearray(bmp))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+    row = resize_images(df, 2, 2).collect()[0]
+    assert (row["width"], row["height"]) == (2, 2)
+    assert list(bytes(row["pixels"])) == [0, 255, 100, 200]
+
+    out = resize_images(synth_media_df(spark, n=12), 8, 8).collect()
+    assert len(out) == 4  # kinds cycle image/audio/video
+    assert all(len(bytes(r["pixels"])) == 64 for r in out)
+
+
 def test_csv_roundtrip(spark, tmp_path, docs):
     from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
 
