@@ -997,6 +997,26 @@ def training_pipeline_demo(spark, sf_dir):
     )
 
 
+def image_near_dup_pairs(spark, sf_dir):
+    """Perceptual image dedup (rows-only: binary pipelines are not
+    SQL-expressible; dHash math pinned by tests on hand-built BMPs):
+    plant one slightly-edited copy of a synthetic image among 24 media
+    rows, find it via dHash + the banded Hamming join."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.multimodal import (
+        MEDIA_SCHEMA, image_near_dups, make_fake_media, synth_media_df,
+    )
+
+    base = make_fake_media(7001, "image", 64, 64)
+    near = base[:12] + bytes([(base[12] + 9) % 256]) + base[13:]
+    planted = spark.createDataFrame(
+        [(1001, "image", 64, 64, 1, bytearray(base)),
+         (1002, "image", 64, 64, 1, bytearray(near))],
+        schema=MEDIA_SCHEMA)
+    media = synth_media_df(spark, n=24).unionByName(planted)
+    return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def bpe_token_counts(spark, sf_dir):
     """Real-BPE token counting (rows-only: learned merges are not
     SQL-expressible — verified by tests/test_bpe.py instead): count
@@ -1142,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": knn_ivf,
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,
+        "image_near_dup_pairs": image_near_dup_pairs,
         "bpe_token_counts": bpe_token_counts,
     }
 

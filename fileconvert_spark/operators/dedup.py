@@ -127,18 +127,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-band exact match guarantees recall for
-    Hamming distance <= 3 (pigeonhole), verified by bit_count(xor)."""
-    sh = with_simhash(df.select(id_col, text_col), text_col)
-    bands = sh.select(
+def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming-distance candidate join on any 64-bit hash column
+    -> (id_a, id_b, hamming). 4 x 16-bit pigeonhole bands: any pair
+    within Hamming distance 3 shares at least one exact band, so recall
+    is GUARANTEED for max_hamming <= 3 and probabilistic above it. The
+    shuffle carries (id, band, band_key) only — never the hashed
+    payload's source. Shared by SimHash text dedup and perceptual-hash
+    image dedup (operators/multimodal.py image_near_dups)."""
+    bands = hashed.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(hash_col).alias("_h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+                    F.shiftrightunsigned(F.col(hash_col), i * 16)
+                    .bitwiseAND(F.lit(0xFFFF))
                     for i in range(4)
                 ]
             )
@@ -156,12 +161,20 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("a._h").bitwiseXOR(F.col("b._h"))
             ).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: 4-band exact match guarantees recall for
+    Hamming distance <= 3 (pigeonhole), verified by bit_count(xor)."""
+    sh = with_simhash(df.select(id_col, text_col), text_col)
+    return hamming_band_pairs(sh, id_col, "simhash", max_hamming)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -176,6 +176,26 @@ RESIZED_SCHEMA = (
 )
 
 
+def _resized_plane(payload: bytes, target_w: int,
+                   target_h: int) -> np.ndarray:
+    """Decode + resize to a (target_h, target_w) grayscale plane:
+    area-average when dimensions divide evenly, else nearest-neighbor
+    index sampling. 1-D synthetic FCSM bodies are padded/truncated to
+    w*h first so every supported format flows through the same path."""
+    w, h, _f, px = _decode_media(payload)
+    plane = np.zeros(w * h, dtype=np.uint8)
+    m = min(px.size, w * h)
+    plane[:m] = px[:m]
+    plane = plane.reshape(h, w)
+    if h % target_h == 0 and w % target_w == 0:
+        return plane.reshape(
+            target_h, h // target_h, target_w, w // target_w
+        ).mean(axis=(1, 3)).astype(np.uint8)
+    yi = (np.arange(target_h) * h) // target_h
+    xi = (np.arange(target_w) * w) // target_w
+    return plane[np.ix_(yi, xi)]
+
+
 def resize_images(df: DataFrame, target_w: int = 8,
                   target_h: int = 8) -> DataFrame:
     """Decode + area-average resize of image rows to (target_w, target_h)
@@ -195,19 +215,7 @@ def resize_images(df: DataFrame, target_w: int = 8,
             ids, planes = [], []
             for mid, payload in zip(pdf["media_id"].to_numpy(),
                                     pdf["payload"].to_numpy()):
-                w, h, _f, px = _decode_media(bytes(payload))
-                plane = np.zeros(w * h, dtype=np.uint8)
-                m = min(px.size, w * h)
-                plane[:m] = px[:m]
-                plane = plane.reshape(h, w)
-                if h % target_h == 0 and w % target_w == 0:
-                    small = plane.reshape(
-                        target_h, h // target_h, target_w, w // target_w
-                    ).mean(axis=(1, 3)).astype(np.uint8)
-                else:
-                    yi = (np.arange(target_h) * h) // target_h
-                    xi = (np.arange(target_w) * w) // target_w
-                    small = plane[np.ix_(yi, xi)]
+                small = _resized_plane(bytes(payload), target_w, target_h)
                 ids.append(int(mid))
                 planes.append(small.tobytes())
             yield pd.DataFrame({
@@ -221,6 +229,52 @@ def resize_images(df: DataFrame, target_w: int = 8,
 
     return df.filter(F.col("kind") == "image").mapInPandas(
         kernel, schema=RESIZED_SCHEMA)
+
+
+def image_dhash(df: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """64-bit perceptual difference hash (dHash) per image row.
+
+    Classic recipe: resize to a 9x8 grayscale plane, take the 8
+    horizontal gradient signs per row -> 64 bits. Robust to re-encoding,
+    scaling, and small edits; brittle to rotation (by design — rotations
+    are different images for dedup purposes). Arrow-batched mapInPandas;
+    the per-blob decode is the only per-item work.
+    """
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col].to_numpy(),
+                                    pdf["payload"].to_numpy()):
+                small = _resized_plane(bytes(payload), 9, 8)
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                hashes.append(int((bits * weights).sum()))
+                ids.append(int(mid))
+            yield pd.DataFrame({
+                id_col: np.array(ids, dtype=np.int64),
+                "dhash": np.array(hashes, dtype=np.uint64).astype(np.int64),
+            })
+
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=f"{id_col} long, dhash long")
+
+
+def image_near_dups(df: DataFrame, id_col: str = "media_id",
+                    max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate image pairs -> (id_a, id_b, hamming).
+
+    dHash each image, then the SAME banded Hamming join the SimHash text
+    path uses (operators/dedup.py hamming_band_pairs): 4 x 16-bit bands
+    guarantee recall for hamming <= 3; the shuffle carries
+    (id, band, band_key) — pixels never leave the hashing task.
+    """
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(image_dhash(df, id_col), id_col, "dhash",
+                              max_hamming)
 
 
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:

@@ -291,6 +291,49 @@ def test_multimodal_resize_images(spark):
     assert all(len(bytes(r["pixels"])) == 64 for r in out)
 
 
+def test_image_perceptual_near_dups(spark):
+    """dHash + banded Hamming join: a re-encoded/slightly-edited image
+    pairs with its original; an unrelated image does not. Exactly the
+    SimHash machinery, over real decoded pixels."""
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        image_dhash, image_near_dups,
+    )
+
+    def gray_bmp(plane):
+        h, w = plane.shape
+        return _make_bmp_24(w, h, [[(int(v),) * 3 for v in row]
+                                   for row in plane])
+
+    base = np.tile(np.arange(16, dtype=np.int32) * 16, (16, 1))  # x-gradient
+    near = base.copy()
+    near[5, 5] = min(255, near[5, 5] + 30)          # small edit
+    far = np.full((16, 16), 128, dtype=np.int32)    # flat — no gradients
+
+    df = spark.createDataFrame(
+        [(1, "image", 16, 16, 1, bytearray(gray_bmp(base))),
+         (2, "image", 16, 16, 1, bytearray(gray_bmp(near))),
+         (3, "image", 16, 16, 1, bytearray(gray_bmp(far))),
+         (4, "audio", 2, 16, 3, bytearray(b"RIFF\x00\x00\x00\x00WAVE"))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+
+    hashes = {r["media_id"]: r["dhash"]
+              for r in image_dhash(df).collect()}
+    def hamming(a, b):  # hashes are signed int64 — mask before bin()
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert set(hashes) == {1, 2, 3}  # audio row filtered out
+    assert hamming(hashes[1], hashes[2]) <= 3
+    assert hamming(hashes[1], hashes[3]) > 16
+
+    pairs = [(r["id_a"], r["id_b"], r["hamming"])
+             for r in image_near_dups(df, max_hamming=3).collect()]
+    assert [(p[0], p[1]) for p in pairs] == [(1, 2)]
+    assert pairs[0][2] <= 3
+
+
 def test_csv_roundtrip(spark, tmp_path, docs):
     from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
 
