@@ -1017,6 +1017,44 @@ def image_near_dup_pairs(spark, sf_dir):
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def audio_feature_stats(spark, sf_dir):
+    """Real audio features over really-decoded PCM WAV blobs (rows-only:
+    binary pipelines are not SQL-expressible; the DSP is pinned by a
+    known-sine test): 6 deterministic sines with varying frequency and
+    amplitude -> per-row rms/peak/zcr."""
+    _ensure_workers(spark)
+    import io
+    import wave
+
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import audio_features
+
+    rows = []
+    for i in range(6):
+        sr, f0, amp, n = 8000, 200 + 150 * i, 0.2 + 0.1 * i, 4000
+        x = (amp * np.sin(2 * np.pi * f0 * np.arange(n) / sr)
+             * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as fw:
+            fw.setnchannels(1)
+            fw.setsampwidth(2)
+            fw.setframerate(sr)
+            fw.writeframes(x.tobytes())
+        rows.append((i, "audio", 1, 16, n, bytearray(buf.getvalue())))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, width int, height int, "
+              "n_frames int, payload binary")
+    return (
+        audio_features(media)
+        .select("media_id", "n_channels", "bits", "n_samples",
+                F.round("rms", 4).alias("rms"),
+                F.round("peak", 4).alias("peak"),
+                F.round("zcr", 4).alias("zcr"))
+        .orderBy("media_id")
+    )
+
+
 def bpe_token_counts(spark, sf_dir):
     """Real-BPE token counting (rows-only: learned merges are not
     SQL-expressible — verified by tests/test_bpe.py instead): count
@@ -1163,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": multimodal_features,
         "multimodal_resize": multimodal_resize,
         "image_near_dup_pairs": image_near_dup_pairs,
+        "audio_feature_stats": audio_feature_stats,
         "bpe_token_counts": bpe_token_counts,
     }
 

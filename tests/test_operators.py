@@ -334,6 +334,39 @@ def test_image_perceptual_near_dups(spark):
     assert pairs[0][2] <= 3
 
 
+def test_audio_features_on_real_wav(spark):
+    """A 0.5-amplitude 440 Hz sine at 8 kHz must measure rms ~ A/sqrt(2),
+    peak ~ A, zcr ~ 2f/sr — real DSP over really-decoded PCM samples."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import audio_features
+
+    sr, f0, amp, n = 8000, 440, 0.5, 8000
+    t = np.arange(n) / sr
+    x = (amp * np.sin(2 * np.pi * f0 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as fw:
+        fw.setnchannels(1)
+        fw.setsampwidth(2)
+        fw.setframerate(sr)
+        fw.writeframes(x.tobytes())
+    df = spark.createDataFrame(
+        [(1, "audio", 1, 16, n, bytearray(buf.getvalue())),
+         (2, "image", 4, 4, 1, bytearray(b"BMnot really a valid bmp"))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+    rows = audio_features(df).collect()
+    assert len(rows) == 1  # image row filtered before the kernel
+    r = rows[0]
+    assert (r["n_channels"], r["bits"], r["n_samples"]) == (1, 16, n)
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 0.01
+    assert abs(r["peak"] - amp) < 0.01
+    assert abs(r["zcr"] - 2 * f0 / sr) < 0.005
+
+
 def test_csv_roundtrip(spark, tmp_path, docs):
     from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
 
