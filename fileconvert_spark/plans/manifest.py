@@ -151,11 +151,24 @@ def make_write_kernel(out_dir: str,
         for pid, enc_batches in per_part.items():
             tbl = pa.Table.from_batches(enc_batches)
             data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
+            # Sort enc rows by (column, chunk_id) and align row groups to
+            # one COLUMN each (every chunk emits every column, so each
+            # column contributes exactly n_chunks rows): the row-group
+            # "column" statistics then let a projected decode
+            # (decode_table(columns=...)) skip non-selected columns'
+            # payload PAGES at the parquet layer instead of reading and
+            # discarding them — at 10 GB this took the 2-of-5-column
+            # decode from ~8.8 s (row-level filter, all bytes read) to
+            # page-skipping (see BENCH/SCALE_r4.md addendum 3).
+            tbl = tbl.sort_by([("column", "ascending"),
+                               ("chunk_id", "ascending")])
+            rows_per_col = len(set(tbl.column("chunk_id").to_pylist()))
             # compression=NONE: our codecs, not parquet's, account for size;
             # attempt-unique tmp + move (fsio) so speculative/zombie task
             # attempts can never corrupt a part whose manifest says done
             file_bytes = fsio.write_parquet_atomic(
-                tbl, data_path, compression="none"
+                tbl, data_path, compression="none",
+                row_group_size=max(rows_per_col, 1),
             )
 
             chunk_ids = tbl.column("chunk_id").to_pylist()
