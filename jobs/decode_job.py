@@ -2,13 +2,17 @@
 optional bit-identity verification against the original source.
 
     spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
-        jobs/decode_job.py <enc_dir> <out_parquet> [src_parquet]
+        jobs/decode_job.py <enc_dir> <out_parquet> [src_parquet] \
+        [--columns=a,b,...]
 
 - <enc_dir>: directory written by jobs/encode_job.py (local path or URI).
 - <out_parquet>: where to write the decoded table.
 - [src_parquet]: if given, verifies the round trip and prints the report —
   key-join mode when the table has a unique key, order-insensitive
   multiset-fingerprint mode otherwise (exit code 1 on any mismatch).
+- [--columns=a,b]: decode only a projection — non-selected columns'
+  payload pages are skipped at the parquet layer (row groups are
+  column-aligned). Verification compares only the selected columns.
 """
 
 from __future__ import annotations
@@ -40,8 +44,18 @@ def main(argv: list[str]) -> int:
     if len(argv) < 3:
         print(__doc__, file=sys.stderr)
         return 2
-    enc_dir, out = argv[1], argv[2]
-    src = argv[3] if len(argv) > 3 else None
+    columns = None
+    args = []
+    for a in argv[1:]:
+        if a.startswith("--columns="):
+            columns = [c for c in a.split("=", 1)[1].split(",") if c]
+        else:
+            args.append(a)
+    if len(args) < 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    enc_dir, out = args[0], args[1]
+    src = args[2] if len(args) > 2 else None
     # refuse to clobber existing data: the decoded output goes to a FRESH
     # path (a transposed-arguments invocation must not overwrite a source)
     if os.path.exists(out) and (os.path.isfile(out) or os.listdir(out)):
@@ -63,6 +77,7 @@ def main(argv: list[str]) -> int:
     # a 1 GB heap and OOM on multi-GB inputs. These configs only take
     # effect when this process launches the JVM — under spark-submit the
     # driver already exists and submit-time settings win.
+    preexisting = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.appName("fcs-decode")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
@@ -75,18 +90,21 @@ def main(argv: list[str]) -> int:
     from fileconvert_spark.operators.verify import multiset_roundtrip_report
     from fileconvert_spark.plans.manifest import decode_table
 
-    dec = decode_table(spark, enc_dir)
+    dec = decode_table(spark, enc_dir, columns=columns)
     dec.write.mode("overwrite").parquet(out)
 
     rc = 0
     if src is not None:
         src_df = spark.read.parquet(src)
+        if columns is not None:
+            src_df = src_df.select(*columns)
         report = multiset_roundtrip_report(
             src_df, spark.read.parquet(out)).collect()[0].asDict()
         print(json.dumps({k: (str(v) if not isinstance(v, (int, bool)) else v)
                           for k, v in report.items()}))
         rc = 0 if report["fingerprint_match"] else 1
-    spark.stop()
+    if not preexisting:  # embedded callers keep their session
+        spark.stop()
     return rc
 
 

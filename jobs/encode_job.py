@@ -64,6 +64,7 @@ def main(argv: list[str]) -> int:
     # a 1 GB heap and OOM on multi-GB inputs. These configs only take
     # effect when this process launches the JVM — under spark-submit the
     # driver already exists and submit-time settings win.
+    preexisting = SparkSession.getActiveSession() is not None
     spark = (
         SparkSession.builder.appName("fcs-encode")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
@@ -87,7 +88,8 @@ def main(argv: list[str]) -> int:
                            weight_col=weight_col,
                            stats_sample_fraction=stats_sample_fraction)
     print(json.dumps(summary))
-    spark.stop()
+    if not preexisting:  # embedded callers keep their session
+        spark.stop()
     return 0
 
 

@@ -534,6 +534,25 @@ def test_decode_projection(spark, corpus_df, tmp_path):
     with pytest.raises(ValueError, match="unknown columns"):
         decode_table(spark, out, columns=["nope"])
 
+    # layout pin (r4): every row group of a part file holds exactly ONE
+    # source column, so its `column` statistics (min == max) let a
+    # projected decode skip non-selected payload PAGES at the parquet
+    # layer instead of reading-then-discarding them
+    import pyarrow.parquet as pq
+
+    part = os.path.join(out, "data", sorted(
+        f for f in os.listdir(os.path.join(out, "data"))
+        if f.endswith(".parquet"))[0])
+    meta = pq.ParquetFile(part).metadata
+    col_idx = next(i for i in range(meta.num_columns)
+                   if meta.row_group(0).column(i).path_in_schema == "column")
+    seen = []
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(col_idx).statistics
+        assert st.min == st.max, "row group spans multiple source columns"
+        seen.append(st.min)
+    assert sorted(seen) == sorted(set(seen)) and len(seen) >= 5
+
 
 def test_bpe_token_counts_as_derived_engine_column(spark, corpus_df, tmp_path):
     """Tokenization integrates with the engine via derived_cols: a

@@ -57,6 +57,27 @@ def test_jobs_refuse_protected_testdata_root(tmp_path, monkeypatch):
     fsio.check_output_path_allowed(str(tmp_path / "ok"))  # outside: fine
 
 
+def test_decode_job_column_projection_flag(tmp_path, spark):
+    """--columns=a,b decodes only the projection and verifies against the
+    same projection of the source (exit 0, fingerprint match)."""
+    import decode_job
+    import encode_job
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(i, f"k{i % 3}", f"body {i} " * 20) for i in range(200)],
+        "doc_id long, lang string, text string").write.parquet(src)
+    enc = str(tmp_path / "enc")
+    assert encode_job.main(["encode_job", src, enc, "4",
+                            "doc_id", "lang", "text"]) == 0
+    out = str(tmp_path / "dec.parquet")
+    assert decode_job.main(["decode_job", enc, out, src,
+                            "--columns=doc_id,lang"]) == 0
+    got = spark.read.parquet(out)
+    assert sorted(got.columns) == ["doc_id", "lang"]
+    assert got.count() == 200
+
+
 def test_encode_job_validates_columns(tmp_path, spark):
     """Wrong key/weight columns for the input schema exit 2 with a clear
     message instead of failing deep inside the plan."""
