@@ -262,6 +262,41 @@ def _from_int64(vals: np.ndarray, adapter: str, orig_type: pa.DataType) -> pa.Ar
 _WORKER_FSST_CACHE = codecs.FsstTableCache()
 
 
+_ZONE_MAX_STR = 64  # utf-8 bytes; longer bounds are dropped, not truncated
+                    # (a truncated max is not a valid upper bound)
+
+
+def _zone_stats(clean: pa.Array, t: pa.DataType):
+    """Per-chunk [min, max] zone-map bounds for predicate-pushdown decode
+    (plans/manifest.py decode_table(predicate=...)). Strings (bounded
+    length), integers, and floats only; None = no pruning for this chunk
+    — always safe, since pruning treats missing stats as 'may match'."""
+    import math
+
+    if len(clean) == 0:
+        return None
+    try:
+        import pyarrow.compute as pc
+
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            mm = pc.min_max(clean)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if (mn is None or len(mn.encode()) > _ZONE_MAX_STR
+                    or len(mx.encode()) > _ZONE_MAX_STR):
+                return None
+            return [mn, mx]
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            mm = pc.min_max(clean)
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            if mn is None or (isinstance(mn, float) and (
+                    math.isnan(mn) or math.isnan(mx))):
+                return None
+            return [mn, mx]
+    except Exception:  # noqa: BLE001 - stats are an optimization only
+        return None
+    return None
+
+
 def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
     """Encode one column chunk (nulls handled here) -> enc row fields."""
     if isinstance(arr, pa.ChunkedArray):
@@ -395,6 +430,9 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         meta["vt"] = "int"
         meta["ad"] = adapter
     meta["ot"] = orig_type
+    zs = _zone_stats(clean, t)
+    if zs is not None:
+        meta["zs"] = zs  # zone-map bounds ride inside the sha'd meta
     meta_json = json.dumps(meta, separators=(",", ":"))
     # integrity sha covers EVERY decode input (length-framed), so decode
     # can verify that no component — payload, dict, validity, or meta —

@@ -148,12 +148,14 @@ def write_parquet_atomic(table: pa.Table, path: str, **kwargs) -> int:
     return info.size if info.size is not None else 0
 
 
-def read_parquet(path: str, filters=None) -> pa.Table:
+def read_parquet(path: str, filters=None, columns=None) -> pa.Table:
     """``filters``: pyarrow filter expression/DNF — row groups whose
     statistics exclude the predicate are never read (decode projection
-    uses this to skip non-selected columns' payload bytes)."""
+    uses this to skip non-selected columns' payload bytes).
+    ``columns``: parquet-level column projection (zone-map passes read
+    only chunk_id + meta)."""
     fs, p = resolve(path)
-    return pq.read_table(p, filesystem=fs, filters=filters)
+    return pq.read_table(p, filesystem=fs, filters=filters, columns=columns)
 
 
 def du_suffix(path: str, suffix: str = ".parquet") -> int:

@@ -219,7 +219,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  derived_cols: dict | None = None,
                  stats_sample_fraction: float = 1.0,
                  bpe_text_col: str | None = None,
-                 bpe_merges: int = 128) -> dict:
+                 bpe_merges: int = 128,
+                 cluster_by: tuple[str, ...] | None = None) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
@@ -296,7 +297,18 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     if bpe_text_col is not None:
         train_and_store_bpe(df, out_dir, bpe_text_col, n_merges=bpe_merges)
 
+    # ``cluster_by``: opt-in within-bucket sort (no extra shuffle — a
+    # per-task sort after the bucket exchange) that CLUSTERS chunk values
+    # so the per-chunk zone maps (decode_table(predicate=...)) can prune;
+    # without it, salted buckets interleave keys and every chunk's
+    # [min, max] spans the whole range. Opt-in because the sort is real
+    # wall time (~40 s on the 10 GB corpus, a ~45% encode hit) and pays
+    # off only for predicate-heavy read patterns on the sorted columns —
+    # the same economics as Iceberg table sort orders. Side effect:
+    # ratio improves slightly (0.0738 -> 0.0730 at 10 GB).
     shuffled = repartition_by_bucket(dfb, n_buckets)
+    if cluster_by:
+        shuffled = shuffled.sortWithinPartitions("bucket", *cluster_by)
     man_df = shuffled.mapInArrow(
         make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket"),
         MANIFEST_SPARK_SCHEMA,
@@ -405,8 +417,37 @@ def read_all_manifests(out_dir: str) -> list[dict]:
     return out
 
 
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _pred_may_match(zs, op: str, value) -> bool:
+    """Can any value in [zs[0], zs[1]] satisfy ``op value``? Missing or
+    malformed stats -> True (never prune on absence of evidence)."""
+    try:
+        mn, mx = zs
+    except (TypeError, ValueError):
+        return True
+    if mn is None or mx is None:
+        return True
+    try:
+        if op == "=":
+            return mn <= value <= mx
+        if op == "<":
+            return mn < value
+        if op == "<=":
+            return mn <= value
+        if op == ">":
+            return mx > value
+        if op == ">=":
+            return mx >= value
+    except TypeError:  # incomparable types -> no pruning
+        return True
+    return True
+
+
 def decode_table(spark, out_dir: str, narrow: bool = True,
-                 columns: list[str] | None = None):
+                 columns: list[str] | None = None,
+                 predicate: tuple | None = None):
     """Read an encoded table directory back as the original DataFrame.
 
     narrow=True (default): one task per part file, each decoding its own
@@ -421,6 +462,20 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     filtered at the parquet read (narrow: pyarrow filter pushdown per
     part; wide: a catalyst filter the scan pushes down), so their bytes
     never reach a codec.
+
+    ``predicate``: ``(col, op, value)`` with op in ``=,<,<=,>,>=`` —
+    zone-map predicate pushdown into the engine format. Each chunk's
+    meta carries [min, max] bounds for string/int/float columns
+    (operators/encode.py _zone_stats); on the narrow path the predicate
+    column's (tiny) meta rows are read first per part and chunks whose
+    bounds exclude the predicate are SKIPPED at the parquet layer (the
+    chunk_id filter prunes their row groups), so neither their payload
+    bytes nor their decode cost is paid. Exactness comes from a normal
+    catalyst filter applied on top — zone maps only prune, rows are
+    still filtered precisely. Pruning power follows data clustering:
+    a predicate on the bucketing key (repo) eliminates almost every
+    part; a predicate on an unclustered column degrades gracefully to
+    the plain filtered decode.
     """
     from pyspark.sql.types import StructType
 
@@ -429,20 +484,43 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     schema = StructType.fromJson(
         json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
     )
+    all_names = {f.name for f in schema.fields}
+    pcol = pop = pval = None  # bound cells even when predicate is None
+    if predicate is not None:
+        pcol, pop, pval = predicate
+        if pcol not in all_names:
+            raise ValueError(f"decode_table: unknown predicate column {pcol!r}")
+        if pop not in _PRED_OPS:
+            raise ValueError(
+                f"decode_table: predicate op {pop!r} not in {_PRED_OPS}")
+        if columns is not None and pcol not in columns:
+            raise ValueError(
+                "decode_table: predicate column must be in the projection")
     n_full = len(schema.fields)
     if columns is not None:
-        missing = set(columns) - {f.name for f in schema.fields}
+        missing = set(columns) - all_names
         if missing:
             raise ValueError(f"decode_table: unknown columns {sorted(missing)}")
         schema = StructType([f for f in schema.fields if f.name in columns])
     data_dir = os.path.join(out_dir, "data")
+
+    def _exact_filter(df):
+        if predicate is None:
+            return df
+        from pyspark.sql import functions as F
+
+        c = F.col(pcol)
+        expr = {"=": c == pval, "<": c < pval, "<=": c <= pval,
+                ">": c > pval, ">=": c >= pval}[pop]
+        return df.filter(expr)
+
     if not narrow:
         from pyspark.sql import functions as F
 
         enc_df = spark.read.parquet(data_dir)
         if columns is not None:
             enc_df = enc_df.filter(F.col("column").isin(list(columns)))
-        return decode_df(enc_df, schema)
+        return _exact_filter(decode_df(enc_df, schema))
 
     files = [
         os.path.join(data_dir, f)
@@ -464,7 +542,28 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
             else None
         for b in batches:
             for path_val in b.column(0):
-                enc_tbl = fsio2.read_parquet(path_val.as_py(), filters=flt)
+                path = path_val.as_py()
+                part_flt = list(flt) if flt else None
+                if predicate is not None:
+                    # zone-map pass: the predicate column's meta rows are
+                    # tiny; chunks whose bounds exclude the predicate are
+                    # dropped from the main read via the chunk_id filter
+                    zmeta = fsio2.read_parquet(
+                        path, filters=[("column", "=", pcol)],
+                        columns=["chunk_id", "meta"])
+                    keep = [
+                        int(cid) for cid, mj in zip(
+                            zmeta.column("chunk_id").to_pylist(),
+                            zmeta.column("meta").to_pylist())
+                        if _pred_may_match(
+                            json.loads(mj).get("zs"), pop, pval)
+                    ]
+                    if not keep:
+                        continue  # whole part pruned
+                    if len(keep) < len(zmeta):
+                        part_flt = (part_flt or []) + [
+                            ("chunk_id", "in", keep)]
+                enc_tbl = fsio2.read_parquet(path, filters=part_flt)
                 # one C-level conversion for the whole part file instead of
                 # per-cell .as_py() round trips through Python objects
                 enc_rows = enc_tbl.to_pylist()
@@ -488,7 +587,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                     ]
                     yield pa.RecordBatch.from_arrays(arrays, names=column_order)
 
-    return fdf.mapInArrow(decode_file_arrow, schema=schema)
+    return _exact_filter(fdf.mapInArrow(decode_file_arrow, schema=schema))
 
 
 def snappy_baseline_bytes(df, baseline_dir: str) -> int:
