@@ -1017,6 +1017,36 @@ def image_near_dup_pairs(spark, sf_dir):
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def enc_predicate_scan(spark, sf_dir):
+    """Zone-map predicate pushdown on the engine format (rows-only: the
+    encode/decode machinery is not DuckDB-expressible; exactness of
+    every op is pinned by tests/test_encode_roundtrip.py zone tests):
+    encode documents clustered by doc_id, decode with doc_id < 100, and
+    report both the filtered aggregate AND that it matches the same
+    filter on the raw table."""
+    _ensure_workers(spark)
+    import hashlib
+    import tempfile as _tf
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    d = _t(spark, sf_dir, "documents")
+    enc_dir = os.path.join(
+        _tf.gettempdir(),
+        "fcs_pred_enc_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12])
+    encode_table(spark, d, enc_dir, n_buckets=4, key_col="source",
+                 salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",))
+    dec = decode_table(spark, enc_dir, predicate=("doc_id", "<", 100))
+    want = d.filter(F.col("doc_id") < 100)
+    return dec.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.count("*") == F.lit(want.count())).alias("matches_raw_filter"),
+    )
+
+
 def audio_feature_stats(spark, sf_dir):
     """Real audio features over really-decoded PCM WAV blobs (rows-only:
     binary pipelines are not SQL-expressible; the DSP is pinned by a
@@ -1202,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize,
         "image_near_dup_pairs": image_near_dup_pairs,
         "audio_feature_stats": audio_feature_stats,
+        "enc_predicate_scan": enc_predicate_scan,
         "bpe_token_counts": bpe_token_counts,
     }
 
