@@ -1017,6 +1017,29 @@ def image_near_dup_pairs(spark, sf_dir):
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")
 
 
+def winnow_overlap_docs(spark, sf_dir):
+    """Partial-overlap detection via winnowing fingerprints (SIGMOD'03;
+    rows-only: sliding-window-min fingerprint selection is not
+    SQL-expressible — the w+k-1 recall guarantee and density are pinned
+    by tests): plant a paragraph of doc 0 inside a larger synthetic doc,
+    find the containment pair among the real documents table."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import winnow_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    first = d.orderBy("doc_id").first()
+    para = " ".join((first["text"] or "").split()[:40])
+    lifted = ("prefix filler words " * 30) + para + (" suffix filler" * 30)
+    planted = spark.createDataFrame([(900000, lifted)],
+                                    "doc_id long, text string")
+    return (
+        winnow_overlap_pairs(d.unionByName(planted), "doc_id",
+                             min_shared=3)
+        .filter((F.col("id_b") == 900000) | (F.col("id_a") == 900000))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def enc_predicate_scan(spark, sf_dir):
     """Zone-map predicate pushdown on the engine format (rows-only: the
     encode/decode machinery is not DuckDB-expressible; exactness of
@@ -1233,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_near_dup_pairs": image_near_dup_pairs,
         "audio_feature_stats": audio_feature_stats,
         "enc_predicate_scan": enc_predicate_scan,
+        "winnow_overlap_docs": winnow_overlap_docs,
         "bpe_token_counts": bpe_token_counts,
     }
 

@@ -440,3 +440,52 @@ def jaccard_batch(texts_a: list[str], texts_b: list[str],
         (na == 0) & (nb == 0), 1.0,
         np.where((na == 0) | (nb == 0), 0.0, inter / union))
     return out
+
+
+def winnow_fingerprints_batch(texts: list[str], k: int = 5, w: int = 4
+                              ) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003): per text, hash the word k-grams, slide a window of w
+    consecutive gram hashes, select each window's minimum (rightmost on
+    ties, per the paper), and keep the DISTINCT selected hashes.
+
+    Guarantee: two documents sharing any run of >= w + k - 1 consecutive
+    words share at least one fingerprint, while the expected fingerprint
+    density is only 2/(w+1) of the grams — sublinear sketches with
+    local-overlap recall, which whole-document fingerprints cannot give.
+
+    Returns (concatenated fingerprint hashes in doc order uint64[m],
+    fingerprints per doc int64[len(texts)]). Vectorized: one gram-hash
+    kernel pass, then a (n - w + 1, w) strided view + argmin per batch
+    slab; docs with fewer than w grams contribute their single minimum
+    (the paper's convention for short documents).
+    """
+    gh_all, counts = batch_gram_hashes(texts, k, short_doc_gram=False)
+    off = np.zeros(counts.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    chunks: list[np.ndarray] = []
+    n_fp = np.zeros(counts.size, dtype=np.int64)
+    for d in range(counts.size):
+        h = gh_all[off[d]: off[d + 1]]
+        if h.size == 0:
+            # < k words: fall back to hashing whatever words exist so
+            # tiny docs are still fingerprintable
+            wh = word_hashes(texts[d] or "")
+            if wh.size:
+                fp = np.array([wh.min()], dtype=np.uint64)
+                chunks.append(fp)
+                n_fp[d] = 1
+            continue
+        if h.size < w:
+            fp = np.unique(h.min(keepdims=True))
+        else:
+            win = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost minimum per window: argmin on the reversed axis
+            rev = win[:, ::-1]
+            idx = (w - 1) - rev.argmin(axis=1)
+            fp = np.unique(win[np.arange(win.shape[0]), idx])
+        chunks.append(fp)
+        n_fp[d] = fp.size
+    fps = np.concatenate(chunks) if chunks else np.empty(0, np.uint64)
+    return fps, n_fp

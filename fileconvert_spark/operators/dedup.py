@@ -398,3 +398,59 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         (F.col("bucket") * ns + F.col("blk")).alias("kj"),
         F.lit(1).alias("side"), "id", "vec")
     return _pairs_within_groups(a.unionByName(b), threshold)
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str = "text",
+                         k: int = 5, w: int = 4, min_shared: int = 2,
+                         max_df: int = 64) -> DataFrame:
+    """Partial-overlap document pairs via winnowing fingerprints
+    (functions/similarity.py winnow_fingerprints_batch) ->
+    (id_a, id_b, shared_fps, overlap) with overlap = shared /
+    min(|fp_a|, |fp_b|) — a containment score, so a paragraph lifted
+    into a much larger document still scores high (MinHash's Jaccard
+    dilutes it).
+
+    Scale shape mirrors the LSH band join: fingerprints are 8-byte
+    hashes, the shuffle carries (id, fp) only, candidate generation is
+    a bucketed equi-join on fp — never all-pairs. ``max_df`` drops
+    fingerprints appearing in more than that many docs (boilerplate
+    grams every document shares would otherwise create quadratic
+    hot-key pairs; the same reasoning as raising min_docs in
+    boilerplate_ngrams). Any shared run of >= w + k - 1 words
+    guarantees a shared fingerprint (the winnowing recall bound).
+    """
+    import numpy as np
+
+    from ..functions.similarity import winnow_fingerprints_batch
+
+    @F.pandas_udf("array<bigint>")
+    def fps_udf(s: pd.Series) -> pd.Series:
+        fps, n_fp = winnow_fingerprints_batch(s.fillna("").tolist(), k, w)
+        hi = fps.astype(np.int64)
+        off = np.zeros(n_fp.size + 1, dtype=np.int64)
+        np.cumsum(n_fp, out=off[1:])
+        return pd.Series([hi[off[i]:off[i + 1]] for i in range(n_fp.size)])
+
+    fp = (
+        df.select(F.col(id_col), fps_udf(F.col(text_col)).alias("fps"))
+        .select(F.col(id_col), F.size("fps").alias("n_fp"),
+                F.explode("fps").alias("fp"))
+    )
+    rare = (fp.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("df"))
+            .filter(F.col("df") <= max_df))
+    pruned = fp.join(F.broadcast(rare.select("fp")), "fp")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"),
+             F.first(F.col("a.n_fp")).alias("_na"),
+             F.first(F.col("b.n_fp")).alias("_nb"))
+        .filter(F.col("shared_fps") >= min_shared)
+        .select("id_a", "id_b", "shared_fps",
+                F.round(F.col("shared_fps")
+                        / F.least("_na", "_nb"), 4).alias("overlap"))
+    )

@@ -865,3 +865,29 @@ def test_streaming_session_windows(spark, tmp_path):
                                gap="30 minutes")
     rows = sorted((r["user_id"], r["n"]) for r in out.collect())
     assert rows == [(7, 1), (7, 2), (8, 1)], rows
+
+
+def test_winnow_overlap_finds_lifted_paragraph(spark):
+    """A paragraph lifted from doc 1 into the middle of a LARGER doc 2
+    must surface as a high-containment pair; an unrelated doc must not
+    pair with either. MinHash-style global Jaccard would dilute this."""
+    from fileconvert_spark.operators.dedup import winnow_overlap_pairs
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+
+    def words(n, tag):
+        return " ".join(f"{tag}{rng.integers(0, 9999)}" for _ in range(n))
+
+    para = words(40, "p")
+    doc1 = words(30, "a") + " " + para + " " + words(30, "b")
+    doc2 = words(200, "c") + " " + para + " " + words(200, "d")
+    doc3 = words(300, "e")
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r
+             for r in winnow_overlap_pairs(df, "doc_id").collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)]["shared_fps"] >= 5
+    assert pairs[(1, 2)]["overlap"] >= 0.2  # containment vs the SMALL doc

@@ -143,3 +143,39 @@ def test_jaccard_batch_empty_and_identity():
     assert sim.jaccard_batch([], []).size == 0
     out = sim.jaccard_batch(["", "x y z"], ["", "x y z"])
     assert out.tolist() == [1.0, 1.0]
+
+
+def test_winnowing_guarantee_and_density():
+    """Winnowing's paper guarantee: any shared word run of length
+    >= w + k - 1 yields at least one shared fingerprint; and density is
+    near the expected 2/(w+1) of grams, far below 1."""
+    import numpy as np
+
+    from fileconvert_spark.functions.similarity import (
+        winnow_fingerprints_batch,
+    )
+
+    rng = np.random.default_rng(13)
+    k, w = 5, 4
+
+    def rand_words(n, tag):
+        return [f"{tag}{rng.integers(0, 50000)}" for _ in range(n)]
+
+    shared = rand_words(k + w - 1, "s")  # exactly the guarantee length
+    a = " ".join(rand_words(150, "a") + shared + rand_words(150, "x"))
+    b = " ".join(rand_words(150, "b") + shared + rand_words(150, "y"))
+    c = " ".join(rand_words(300, "c"))
+    fps, n_fp = winnow_fingerprints_batch([a, b, c], k, w)
+    off = np.concatenate([[0], np.cumsum(n_fp)])
+    fa, fb, fc = (set(fps[off[i]:off[i + 1]].tolist()) for i in range(3))
+    assert fa & fb, "guaranteed shared fingerprint missing"
+    assert not (fa & fc) and not (fb & fc)
+    # density: ~2/(w+1) = 0.4 of grams; allow generous slack both ways
+    grams = 300 + k + w - 1 - k + 1
+    assert 0.15 * grams < len(fa) < 0.65 * grams
+
+    # determinism + short/empty-doc behavior
+    fps2, n2 = winnow_fingerprints_batch([a, b, c], k, w)
+    assert np.array_equal(fps, fps2) and np.array_equal(n_fp, n2)
+    tiny_fps, tiny_n = winnow_fingerprints_batch(["one two", ""], k, w)
+    assert tiny_n.tolist() == [1, 0]  # < k words -> 1 word-hash fp; empty -> 0
