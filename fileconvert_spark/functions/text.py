@@ -211,3 +211,46 @@ def fingerprint_hex(col: Column) -> Column:
     has sha256 but not xxhash64)."""
     normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
     return F.substring(F.sha2(normalized, 256), 1, 16)
+
+
+# PII / secret patterns for training-data scrubbing. Deliberately
+# conservative, high-precision shapes (emails, IPv4, common key/token
+# formats); anchored with lookarounds instead of \b where a hex run must
+# not match inside a longer run. All JVM-side regexp_replace — no UDF.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])"),
+    # AWS-style access key ids and common bearer/secret assignments
+    ("AWSKEY", r"(?<![A-Z0-9])AKIA[0-9A-Z]{16}(?![A-Z0-9])"),
+    ("SECRET",
+     r"(?i)(api[_-]?key|secret|token|passwd|password)\s*[=:]\s*\S+"),
+    # long hex runs (32+) — session ids, private key material
+    ("HEX", r"(?<![0-9a-fA-F])[0-9a-fA-F]{32,}(?![0-9a-fA-F])"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub common PII/secret shapes from text, JVM-side: each match is
+    replaced with a typed placeholder (``<EMAIL>``, ``<IPV4>``, ...) so
+    downstream token statistics stay stable and redactions are
+    countable. Chained regexp_replace stays inside whole-stage codegen —
+    the scale path for a scrub-everything pass at 100 TB. Order matters:
+    emails before hex (an email's local part may contain hex), secrets
+    before generic hex (the assignment form is more specific)."""
+    out = col
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name}>")
+    return out
+
+
+def pii_match_counts(col: Column) -> Column:
+    """Per-row count of PII/secret matches (for audit dashboards):
+    sum of per-pattern match counts on the PROGRESSIVELY redacted text,
+    mirroring redact_pii's order so overlapping shapes are not double
+    counted."""
+    total = F.lit(0)
+    cur = col
+    for name, pat in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"<{name}>")
+    return total
