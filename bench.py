@@ -115,6 +115,23 @@ def main() -> None:
     # hot paths the round-1 verdict flagged; tracked per round
     extras.update(_kernel_micro_bench())
 
+    # PII redaction on pathological near-match inputs (r5 hardening):
+    # possessive quantifiers keep the JVM regex chain linear — before, the
+    # same 40 KB shapes measured 10-16 s/value (quadratic backtracking)
+    from fileconvert_spark.functions.text import redact_pii
+
+    worst = [("a" * 20000 + "@" + "b" * 20000),
+             ("d" * 31 + "x") * 1250,
+             "1.2.3." * 6000,
+             "a@" * 20000] * 8
+    wdf = spark.createDataFrame([(t,) for t in worst], "text string").cache()
+    wdf.count()
+    wb = sum(len(t) for t in worst)
+    t0 = time.time()
+    wdf.select(F.length(redact_pii(F.col("text"))).alias("n")).collect()
+    extras["pii_redact_worst_mb_s"] = round(wb / (time.time() - t0) / 1e6, 1)
+    wdf.unpersist()
+
     qmap = E.queries()
     for name in [
         "q1_pricing_summary",
@@ -176,6 +193,11 @@ def _kernel_micro_bench() -> dict:
             lambda: sim.minhash_signatures(docs, 32)) / 1e6, 1),
         "simhash_mb_s": round(nb / best(
             lambda: sim.simhash64_batch(docs)) / 1e6, 1),
+        # winnowing fingerprints (slab tournament argmin + radix dedup,
+        # r5): shares the gram-hash kernel with minhash, so the same
+        # order of MB/s is the honest target
+        "winnow_mb_s": round(nb / best(
+            lambda: sim.winnow_fingerprints_batch(docs)) / 1e6, 1),
     }
 
     # jaccard verification of LSH-like candidate pairs (docs repeat across

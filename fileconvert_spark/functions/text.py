@@ -217,15 +217,34 @@ def fingerprint_hex(col: Column) -> Column:
 # conservative, high-precision shapes (emails, IPv4, common key/token
 # formats); anchored with lookarounds instead of \b where a hex run must
 # not match inside a longer run. All JVM-side regexp_replace — no UDF.
+#
+# Backtracking-hardened (r5): every unbounded quantifier is POSSESSIVE
+# (java.util.regex `++`) and EMAIL's parts carry the RFC length bounds
+# ({1,64} local, {1,63} labels), so a failed attempt costs O(64) — not
+# O(run) — and per-char backtracking is impossible. Without this, 40 KB
+# of near-matches ("a"*20k + "@" + "b"*20k, 31-hex runs, "1.2.3."
+# repeats) measured 10-16 SECONDS per value — quadratic blowup an
+# adversarial document would weaponize against an executor at 100 TB;
+# hardened, the same inputs redact in ~1 ms (bench.py
+# pii_redact_worst_mb_s). EMAIL's domain is possessive labels + a
+# bounded label-count loop, so "joe@x.com." at sentence end still
+# redacts (the loop gives back whole labels, never characters). A
+# run-boundary lookbehind was tried instead and REJECTED: it
+# under-redacts a second email whose run a previous match partially
+# consumed ("a@bx.co..bob@example.com" left bob's address in the
+# output — caught by the idempotence property test). Precision notes:
+# double-dot domains ("x@a..b.com") and >RFC-length parts don't match —
+# invalid addresses are not PII.
 PII_PATTERNS = (
-    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("EMAIL", r"[A-Za-z0-9._%+-]{1,64}+@"
+              r"(?:[A-Za-z0-9-]{1,63}+\.){1,8}[A-Za-z]{2,24}"),
     ("IPV4", r"(?<![\d.])(?:\d{1,3}\.){3}\d{1,3}(?![\d.])"),
     # AWS-style access key ids and common bearer/secret assignments
     ("AWSKEY", r"(?<![A-Z0-9])AKIA[0-9A-Z]{16}(?![A-Z0-9])"),
     ("SECRET",
-     r"(?i)(api[_-]?key|secret|token|passwd|password)\s*[=:]\s*\S+"),
+     r"(?i)(api[_-]?key|secret|token|passwd|password)\s*+[=:]\s*+\S++"),
     # long hex runs (32+) — session ids, private key material
-    ("HEX", r"(?<![0-9a-fA-F])[0-9a-fA-F]{32,}(?![0-9a-fA-F])"),
+    ("HEX", r"(?<![0-9a-fA-F])[0-9a-fA-F]{32,}+(?![0-9a-fA-F])"),
 )
 
 

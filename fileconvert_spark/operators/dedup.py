@@ -133,8 +133,10 @@ def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
     -> (id_a, id_b, hamming). 4 x 16-bit pigeonhole bands: any pair
     within Hamming distance 3 shares at least one exact band, so recall
     is GUARANTEED for max_hamming <= 3 and probabilistic above it. The
-    shuffle carries (id, band, band_key) only — never the hashed
-    payload's source. Shared by SimHash text dedup and perceptual-hash
+    shuffle carries (id, band, band_key) plus the 8-byte hash itself
+    (needed for the bit_count verification after the band join) — never
+    the hashed payload's SOURCE (text/pixels), which is the part that
+    matters at 100 TB. Shared by SimHash text dedup and perceptual-hash
     image dedup (operators/multimodal.py image_near_dups)."""
     bands = hashed.select(
         F.col(id_col),
@@ -418,6 +420,13 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     hot-key pairs; the same reasoning as raising min_docs in
     boilerplate_ngrams). Any shared run of >= w + k - 1 words
     guarantees a shared fingerprint (the winnowing recall bound).
+
+    Broadcast shape: the pruning broadcasts the FREQUENT-fingerprint
+    set (df > max_df) and anti-joins it away. That set is bounded by
+    corpus-wide boilerplate (license headers, shebangs) and stays small
+    as the corpus grows; the kept "rare" side is nearly every distinct
+    fingerprint — O(corpus) — and must never be the broadcast side
+    (broadcasting it OOMs driver and executors at 100 TB).
     """
     import numpy as np
 
@@ -436,10 +445,10 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         .select(F.col(id_col), F.size("fps").alias("n_fp"),
                 F.explode("fps").alias("fp"))
     )
-    rare = (fp.groupBy("fp")
-            .agg(F.countDistinct(id_col).alias("df"))
-            .filter(F.col("df") <= max_df))
-    pruned = fp.join(F.broadcast(rare.select("fp")), "fp")
+    hot = (fp.groupBy("fp")
+           .agg(F.countDistinct(id_col).alias("df"))
+           .filter(F.col("df") > max_df))
+    pruned = fp.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     a, b = pruned.alias("a"), pruned.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp"))

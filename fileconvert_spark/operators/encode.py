@@ -297,8 +297,15 @@ def _zone_stats(clean: pa.Array, t: pa.DataType):
     return None
 
 
-def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
-    """Encode one column chunk (nulls handled here) -> enc row fields."""
+def encode_column(arr: pa.Array, cache_key: str | None = None,
+                  zone_stats: bool = True) -> dict:
+    """Encode one column chunk (nulls handled here) -> enc row fields.
+
+    ``zone_stats``: store [min, max] zone-map bounds in the chunk meta
+    (decode_table predicate pushdown). Callers that know the column is
+    not a pruning target pass False — the bounds are pure metadata cost
+    on unclustered data (VERDICT r4 item 3), ~50 bytes/chunk/column.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -430,9 +437,10 @@ def encode_column(arr: pa.Array, cache_key: str | None = None) -> dict:
         meta["vt"] = "int"
         meta["ad"] = adapter
     meta["ot"] = orig_type
-    zs = _zone_stats(clean, t)
-    if zs is not None:
-        meta["zs"] = zs  # zone-map bounds ride inside the sha'd meta
+    if zone_stats:
+        zs = _zone_stats(clean, t)
+        if zs is not None:
+            meta["zs"] = zs  # zone-map bounds ride inside the sha'd meta
     meta_json = json.dumps(meta, separators=(",", ":"))
     # integrity sha covers EVERY decode input (length-framed), so decode
     # can verify that no component — payload, dict, validity, or meta —
@@ -601,18 +609,24 @@ def _decode_column_checked(codec: str, payload: bytes,
 
 
 def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int,
-                       cache_ns: str | None = None) -> pa.RecordBatch:
+                       cache_ns: str | None = None,
+                       zone_cols: frozenset | None = None) -> pa.RecordBatch:
     """Encode all columns of one chunk -> a record batch of enc rows.
 
     ``cache_ns`` namespaces the per-worker FSST table cache (reused Python
     workers must not share trained tables across unrelated jobs/tables
     whose columns happen to share a name — decode stays exact either way,
     but a foreign table silently degrades the ratio until drift retrain).
+
+    ``zone_cols``: columns that get zone-map bounds in their chunk meta
+    (None = every column, the standalone/encode_df default).
     """
     rows = {name: [] for name in ENC_ARROW_SCHEMA.names}
     for col in tbl.column_names:
         key = f"{cache_ns}:{col}" if cache_ns else col
-        fields = encode_column(tbl.column(col), cache_key=key)
+        fields = encode_column(
+            tbl.column(col), cache_key=key,
+            zone_stats=(zone_cols is None or col in zone_cols))
         rows["part_id"].append(part_id)
         rows["chunk_id"].append(chunk_id)
         rows["column"].append(col)
@@ -640,7 +654,8 @@ def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
 def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
                    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                    part_id_col: str | None = None,
-                   cache_ns: str | None = None):
+                   cache_ns: str | None = None,
+                   zone_cols: frozenset | None = None):
     """Build the mapInArrow kernel: batches in -> enc record batches out.
 
     ``part_id_col``: optional column carrying the deterministic bucket id
@@ -667,7 +682,8 @@ def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
             if part_id_col is not None:
                 tbl = tbl.drop_columns([part_id_col])
             cid = chunk_ids.get(pid, 0)
-            out = encode_chunk_table(tbl, pid, cid, cache_ns=cache_ns)
+            out = encode_chunk_table(tbl, pid, cid, cache_ns=cache_ns,
+                                     zone_cols=zone_cols)
             chunk_ids[pid] = cid + 1
             bufs[pid], rows[pid], byts[pid] = [], 0, 0
             return out

@@ -52,10 +52,17 @@ def make_fake_media(media_id: int, kind: str, width: int, height: int,
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp) -> grayscale
     pixels. Pure NumPy: strip per-row padding with a reshape, undo the
-    bottom-up row order, collapse BGR(A) to luma."""
+    bottom-up row order, collapse BGR(A) to luma. 8-bpp indices map
+    through the BGRA color palette that follows the header (luma LUT) —
+    a colorful palette decodes correctly, not as raw index values."""
     if len(payload) < 54:
         raise ValueError("BMP payload truncated (no header)")
     data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER?) unsupported; "
+            "only BITMAPINFOHEADER-family (>= 40 bytes) decodes here")
     w = struct.unpack_from("<i", payload, 18)[0]
     h_raw = struct.unpack_from("<i", payload, 22)[0]
     bpp = struct.unpack_from("<H", payload, 28)[0]
@@ -78,7 +85,23 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if h_raw > 0:  # positive height = bottom-up storage
         rows = rows[::-1]
     if bpp == 8:
-        gray = rows.reshape(h, w)
+        idx = rows.reshape(h, w)
+        # palette: BGRA entries between the info header and the pixel
+        # data; biClrUsed (offset 46) of 0 means a full 256-entry table
+        pal_off = 14 + hdr_size
+        n_pal = struct.unpack_from("<I", payload, 46)[0] or 256
+        n_pal = min(n_pal, max((data_off - pal_off) // 4, 0), 256)
+        if n_pal:
+            pal = np.frombuffer(payload, dtype=np.uint8, count=4 * n_pal,
+                                offset=pal_off).reshape(-1, 4)
+            pal16 = pal.astype(np.uint16)
+            lut = np.zeros(256, dtype=np.uint8)  # out-of-palette -> 0
+            lut[:n_pal] = ((29 * pal16[:, 0] + 150 * pal16[:, 1]
+                            + 77 * pal16[:, 2]) >> 8).astype(np.uint8)
+            gray = lut[idx]
+        else:
+            # no palette stored at all: raw 8-bit grayscale samples
+            gray = idx
     else:
         px = rows.reshape(h, w, bytes_pp).astype(np.uint16)
         # integer BT.601 luma on B,G,R (BMP channel order)
@@ -285,8 +308,9 @@ AUDIO_SCHEMA = (
 
 def audio_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Real audio features over decoded PCM samples (WAV rows): RMS and
-    peak on the [-1, 1]-normalized signal, zero-crossing rate per
-    sample. Arrow-batched mapInPandas; all sample math is NumPy. For a
+    peak on the [-1, 1]-normalized signal, zero-crossing rate computed
+    per channel on the de-interleaved frames and averaged across
+    channels. Arrow-batched mapInPandas; all sample math is NumPy. For a
     sine of amplitude A at frequency f: rms -> A/sqrt(2), zcr -> 2f/sr —
     pinned by tests."""
 
@@ -304,8 +328,15 @@ def audio_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
                 n = x.size
                 rms = float(np.sqrt(np.mean(x * x))) if n else 0.0
                 peak = float(np.abs(x).max()) if n else 0.0
-                zcr = (float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
-                       if n > 1 else 0.0)
+                # zcr is per CHANNEL (frames x channels), then averaged —
+                # sign flips between interleaved channels are not
+                # crossings (ADVICE r4: mono-only was exact before)
+                if n > n_ch and n % n_ch == 0:
+                    xm = x.reshape(-1, n_ch)
+                    zcr = float(np.mean(
+                        np.signbit(xm[1:]) != np.signbit(xm[:-1])))
+                else:
+                    zcr = 0.0
                 rows.append((int(mid), int(n_ch), int(bits), n, rms, peak,
                              zcr))
             yield pd.DataFrame(rows, columns=[

@@ -49,6 +49,37 @@ MANIFEST_SPARK_SCHEMA = (
 
 MANIFEST_LIST = "_manifest_list.json"
 
+# On-disk format version, stamped in _meta.json and checked before any
+# decode/resume. v2 (r4): the per-chunk integrity sha covers EVERY decode
+# component, length-framed (payload||dict||validity||meta). v1 (r1-r3)
+# hashed the payload only and carried no marker — a v1 directory would
+# fail v2's integrity check with a "corrupted at rest" report, which
+# misattributes an intentional format change to corruption; the version
+# gate turns that into a clear "format too old, re-encode" error instead.
+FORMAT_VERSION = 2
+
+
+def check_format_version(out_dir: str, meta: dict | None = None) -> None:
+    """Raise ValueError unless the table at out_dir is FORMAT_VERSION.
+
+    A missing _meta.json (decode of a bare directory) is left to the
+    schema/data checks — only an explicit older/newer stamp (or a legacy
+    meta without one) fails here, before integrity verification runs.
+    """
+    if meta is None:
+        path = os.path.join(out_dir, "_meta.json")
+        if not fsio.exists(path):
+            return
+        meta = json.loads(fsio.read_bytes(path))
+    ver = int(meta.get("format_version", 1))
+    if ver != FORMAT_VERSION:
+        raise ValueError(
+            f"encoded table at {out_dir} is format version {ver}, this "
+            f"reader is version {FORMAT_VERSION} — "
+            + ("re-encode the table (v1 predates length-framed chunk "
+               "integrity shas)" if ver < FORMAT_VERSION
+               else "upgrade the engine to read it"))
+
 
 def _load_manifest_list(out_dir: str) -> list[dict] | None:
     """The consolidated manifest list (Iceberg pattern): one file holding
@@ -117,12 +148,13 @@ def scan_done_parts(out_dir: str) -> set[int]:
 def make_write_kernel(out_dir: str,
                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
                       chunk_bytes: int = DEFAULT_CHUNK_BYTES,
-                      part_id_col: str = "bucket"):
+                      part_id_col: str = "bucket",
+                      zone_cols: frozenset | None = None):
     """mapInArrow kernel: encode + write per-bucket parquet + manifest,
     yielding one manifest summary row per bucket."""
 
     encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col,
-                               cache_ns=out_dir)
+                               cache_ns=out_dir, zone_cols=zone_cols)
     man_schema = pa.schema(
         [
             ("part_id", pa.int32()),
@@ -165,16 +197,25 @@ def make_write_kernel(out_dir: str,
             rows_per_col = len(set(tbl.column("chunk_id").to_pylist()))
             # compression=NONE: our codecs, not parquet's, account for size;
             # attempt-unique tmp + move (fsio) so speculative/zombie task
-            # attempts can never corrupt a part whose manifest says done
-            # statistics only on the filter columns: parquet min/max for
-            # the BINARY payload/dict columns store (truncated) value
-            # bytes per row group — with per-column row groups that
-            # ballooned footers ~16 KB/file (+10% engine size at the
-            # bench scale) while never being used as filters
+            # attempts can never corrupt a part whose manifest says done.
+            # Footer discipline (r5, VERDICT item 3): statistics only on
+            # 'column' (the one filter that prunes row groups — part_id is
+            # constant per file and chunk_id stats span every chunk),
+            # dictionary encoding only for the two low-cardinality string
+            # columns (dictionary-encoding unique payload/sha blobs is
+            # pure page overhead), and per-COLUMN row groups only when
+            # the part holds >= 4 chunks: below that the page-skipping
+            # projection can save at most a few hundred KB while the
+            # extra per-row-group column-chunk metadata costs ~1 KB per
+            # row group — at real scale (many chunks/part) the footer
+            # amortizes and the projection win dominates.
+            per_col_rgs = rows_per_col >= 4
             file_bytes = fsio.write_parquet_atomic(
                 tbl, data_path, compression="none",
-                row_group_size=max(rows_per_col, 1),
-                write_statistics=["part_id", "chunk_id", "column"],
+                row_group_size=rows_per_col if per_col_rgs else max(
+                    tbl.num_rows, 1),
+                write_statistics=["column"],
+                use_dictionary=["column", "codec"],
             )
 
             chunk_ids = tbl.column("chunk_id").to_pylist()
@@ -226,7 +267,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  stats_sample_fraction: float = 1.0,
                  bpe_text_col: str | None = None,
                  bpe_merges: int = 128,
-                 cluster_by: tuple[str, ...] | None = None) -> dict:
+                 cluster_by: tuple[str, ...] | None = None,
+                 zone_maps: bool | tuple[str, ...] | None = None) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
@@ -246,6 +288,19 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     as table metadata (``_bpe_merges.txt``; see train_and_store_bpe) —
     encode-once, so downstream token counting loads instead of retrains.
     Resume keeps an existing vocab untouched.
+
+    ``zone_maps``: which columns carry per-chunk [min, max] zone-map
+    bounds for decode_table(predicate=...). None (default) = the
+    ``cluster_by`` columns plus ``key_col`` when clustering is on, else
+    NO columns: on unclustered data every chunk's bounds span the whole
+    range and never prune, so the bounds are pure metadata cost (~50
+    B/chunk/column — VERDICT r4 item 3 measured them at +0.6% of the
+    snappy baseline for zero pruning power). True = every column;
+    False/() = none; a tuple = exactly those columns. Decoding a table
+    without bounds on the predicate column degrades gracefully to the
+    exact catalyst filter — never wrong, just unpruned. Pinned in
+    _meta.json (table identity, like n_buckets) so resumed parts carry
+    the same stats.
     """
     from pyspark.sql import functions as F
 
@@ -260,10 +315,24 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     # duplicate them across old/new parts
     meta_path = os.path.join(out_dir, "_meta.json")
     pinned = None
+    # resolve the zone-map column set (see docstring); () = none
+    if zone_maps is None:
+        zone_cols = (frozenset(cluster_by) | {key_col}) if cluster_by \
+            else frozenset()
+    elif zone_maps is True:
+        zone_cols = None  # every column
+    elif zone_maps is False:
+        zone_cols = frozenset()
+    else:
+        zone_cols = frozenset(zone_maps)
     if resume and fsio.exists(meta_path):
         meta = json.loads(fsio.read_bytes(meta_path))
+        check_format_version(out_dir, meta)  # never mix v1 parts with v2
         pinned = meta["n_buckets"]
         stats_sample_fraction = float(meta.get("stats_sample_fraction", 1.0))
+        zc = meta.get("zone_cols", "none")
+        zone_cols = None if zc == "all" else frozenset(zc if zc != "none"
+                                                       else ())
 
     t_plan = time.time()
     dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
@@ -284,9 +353,12 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
             for name in fsio.listdir(p):
                 fsio.remove(os.path.join(p, name))
         fsio.write_bytes_atomic(meta_path, json.dumps(
-            {"n_buckets": n_buckets, "key_col": key_col,
+            {"format_version": FORMAT_VERSION,
+             "n_buckets": n_buckets, "key_col": key_col,
              "salt_cols": list(salt_cols), "weight_col": weight_col,
-             "stats_sample_fraction": stats_sample_fraction}).encode())
+             "stats_sample_fraction": stats_sample_fraction,
+             "zone_cols": ("all" if zone_cols is None
+                           else sorted(zone_cols))}).encode())
     fsio.write_bytes_atomic(os.path.join(out_dir, "_schema.json"),
                             df.schema.json().encode())
     t_scan = time.time()
@@ -316,7 +388,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     if cluster_by:
         shuffled = shuffled.sortWithinPartitions("bucket", *cluster_by)
     man_df = shuffled.mapInArrow(
-        make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket"),
+        make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket",
+                          zone_cols=zone_cols),
         MANIFEST_SPARK_SCHEMA,
     )
     manifests = [r.asDict() for r in man_df.collect()]
@@ -473,12 +546,17 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     zone-map predicate pushdown into the engine format. Each chunk's
     meta carries [min, max] bounds for string/int/float columns
     (operators/encode.py _zone_stats); on the narrow path the predicate
-    column's (tiny) meta rows are read first per part and chunks whose
-    bounds exclude the predicate are SKIPPED at the parquet layer (the
-    chunk_id filter prunes their row groups), so neither their payload
-    bytes nor their decode cost is paid. Exactness comes from a normal
-    catalyst filter applied on top — zone maps only prune, rows are
-    still filtered precisely. Pruning power follows data clustering:
+    column's (tiny) meta rows are read first per part. A part whose
+    every chunk is excluded is skipped whole — no payload bytes read at
+    all. Within a surviving part, excluded chunks are dropped by a
+    chunk_id filter: that skips their DECODE cost, but because row
+    groups are aligned one-per-COLUMN (for projection page-skipping),
+    each row group's chunk_id stats span all chunks, so the pruned
+    chunks' payload bytes are still read — byte-level skipping inside a
+    part would need per-(column, chunk) row groups, a footer-bloat
+    trade this format deliberately doesn't make. Exactness comes from a
+    normal catalyst filter applied on top — zone maps only prune, rows
+    are still filtered precisely. Pruning power follows data clustering:
     a predicate on the bucketing key (repo) eliminates almost every
     part; a predicate on an unclustered column degrades gracefully to
     the plain filtered decode.
@@ -487,6 +565,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
 
     from ..operators.encode import decode_df
 
+    check_format_version(out_dir)  # fail "format too old", not "corrupt"
     schema = StructType.fromJson(
         json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
     )
@@ -552,8 +631,10 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                 part_flt = list(flt) if flt else None
                 if predicate is not None:
                     # zone-map pass: the predicate column's meta rows are
-                    # tiny; chunks whose bounds exclude the predicate are
-                    # dropped from the main read via the chunk_id filter
+                    # tiny; excluded chunks are dropped via the chunk_id
+                    # filter (skips decode cost; their payload bytes are
+                    # still read unless the WHOLE part prunes — row
+                    # groups are per-column, see decode_table docstring)
                     zmeta = fsio2.read_parquet(
                         path, filters=[("column", "=", pcol)],
                         columns=["chunk_id", "meta"])

@@ -4,7 +4,13 @@ Launch (the north-rule launch mode, BASELINE.json line 14):
 
     spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
         jobs/encode_job.py <src_parquet> <out_dir> [n_buckets] \
-        [key_col] [salt_cols] [weight_col] [stats_sample_fraction]
+        [key_col] [salt_cols] [weight_col] [stats_sample_fraction] \
+        [--cluster-by=a,b]
+
+``--cluster-by``: within-bucket sort on those columns (zone-map
+clustering; they also get per-chunk zone bounds, enabling
+decode_table(predicate=...) part/chunk pruning — the Iceberg
+sort-order economics, see encode_table).
 
 On a real cluster, --master/--num-executors come from spark-submit and
 <out_dir> must be a shared filesystem. The job is idempotent: re-running
@@ -38,6 +44,15 @@ def _ship_package(spark) -> None:
 
 
 def main(argv: list[str]) -> int:
+    cluster_by: tuple[str, ...] | None = None
+    flags = [a for a in argv if a.startswith("--")]
+    argv = [a for a in argv if not a.startswith("--")]
+    for f in flags:
+        if f.startswith("--cluster-by="):
+            cluster_by = tuple(f.split("=", 1)[1].split(","))
+        else:
+            print(f"encode_job: unknown flag {f}", file=sys.stderr)
+            return 2
     if len(argv) < 3:
         print(__doc__, file=sys.stderr)
         return 2
@@ -77,7 +92,8 @@ def main(argv: list[str]) -> int:
     from fileconvert_spark.plans.manifest import encode_table
 
     df = spark.read.parquet(src)
-    missing = {key_col, weight_col, *salt_cols} - set(df.columns)
+    missing = ({key_col, weight_col, *salt_cols, *(cluster_by or ())}
+               - set(df.columns))
     if missing:
         print(f"columns {sorted(missing)} not in {df.columns}; pass "
               f"[key_col] [salt_cols] [weight_col] for this schema",
@@ -86,7 +102,8 @@ def main(argv: list[str]) -> int:
     summary = encode_table(spark, df, out, n_buckets=n_buckets,
                            key_col=key_col, salt_cols=salt_cols,
                            weight_col=weight_col,
-                           stats_sample_fraction=stats_sample_fraction)
+                           stats_sample_fraction=stats_sample_fraction,
+                           cluster_by=cluster_by)
     print(json.dumps(summary))
     if not preexisting:  # embedded callers keep their session
         spark.stop()

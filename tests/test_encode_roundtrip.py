@@ -534,16 +534,36 @@ def test_decode_projection(spark, corpus_df, tmp_path):
     with pytest.raises(ValueError, match="unknown columns"):
         decode_table(spark, out, columns=["nope"])
 
-    # layout pin (r4): every row group of a part file holds exactly ONE
-    # source column, so its `column` statistics (min == max) let a
-    # projected decode skip non-selected payload PAGES at the parquet
-    # layer instead of reading-then-discarding them
+    # layout pin (r4, adaptive since r5): for a part with >= 4 chunks,
+    # every row group holds exactly ONE source column, so its `column`
+    # statistics (min == max) let a projected decode skip non-selected
+    # payload PAGES at the parquet layer instead of
+    # reading-then-discarding them. A part with FEWER chunks collapses
+    # to a single row group — there the page skip saves almost nothing
+    # while the extra per-row-group footer metadata is a measurable
+    # size_vs_snappy cost (VERDICT r4 item 3).
     import pyarrow.parquet as pq
 
-    part = os.path.join(out, "data", sorted(
-        f for f in os.listdir(os.path.join(out, "data"))
-        if f.endswith(".parquet"))[0])
-    meta = pq.ParquetFile(part).metadata
+    def first_part(enc_dir):
+        return os.path.join(enc_dir, "data", sorted(
+            f for f in os.listdir(os.path.join(enc_dir, "data"))
+            if f.endswith(".parquet"))[0])
+
+    # the default-chunked encode above: ~1 chunk per part -> single RG
+    assert pq.ParquetFile(first_part(out)).metadata.num_row_groups == 1
+
+    out_multi = str(tmp_path / "enc_proj_multi")
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "250")
+    try:
+        # chunks form at arrow-batch granularity: 2000 rows/part in
+        # 250-row batches -> 8 chunks/part >= 4 -> per-column row groups
+        encode_table(spark, corpus_df, out_multi, n_buckets=4,
+                     chunk_rows=250)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       old_batch)
+    meta = pq.ParquetFile(first_part(out_multi)).metadata
     col_idx = next(i for i in range(meta.num_columns)
                    if meta.row_group(0).column(i).path_in_schema == "column")
     seen = []
@@ -552,6 +572,9 @@ def test_decode_projection(spark, corpus_df, tmp_path):
         assert st.min == st.max, "row group spans multiple source columns"
         seen.append(st.min)
     assert sorted(seen) == sorted(set(seen)) and len(seen) >= 5
+    # projection still exact on the multi-chunk layout
+    dec = decode_table(spark, out_multi, columns=["path", "content"])
+    assert dec.count() == corpus_df.count()
 
 
 def test_bpe_token_counts_as_derived_engine_column(spark, corpus_df, tmp_path):
@@ -746,3 +769,43 @@ def test_zone_map_actually_prunes_chunks(spark, tmp_path):
     # never decoded, and the win grows as chunks shrink relative to
     # value runs
     assert kept <= 2500, (kept, total)
+
+
+def test_format_version_gates_decode_and_resume(spark, corpus_df, tmp_path):
+    """ADVICE r4: a directory stamped with an older format version (or a
+    legacy one with no stamp, i.e. the pre-r4 payload-only sha) must fail
+    with a clear "format too old" error BEFORE integrity verification —
+    never a "corrupted at rest" misattribution — on decode AND resume."""
+    import json as _json
+
+    import pytest
+
+    from fileconvert_spark.plans import fsio
+    from fileconvert_spark.plans.manifest import (
+        FORMAT_VERSION, decode_table, encode_table,
+    )
+
+    out = str(tmp_path / "enc_ver")
+    encode_table(spark, corpus_df, out, n_buckets=2)
+    meta_path = os.path.join(out, "_meta.json")
+    meta = _json.loads(fsio.read_bytes(meta_path))
+    assert meta["format_version"] == FORMAT_VERSION
+
+    # legacy directory: no stamp at all (rounds 1-3 wrote none)
+    del meta["format_version"]
+    fsio.write_bytes_atomic(meta_path, _json.dumps(meta).encode())
+    with pytest.raises(ValueError, match="format version 1.*re-encode"):
+        decode_table(spark, out)
+    with pytest.raises(ValueError, match="format version 1.*re-encode"):
+        encode_table(spark, corpus_df, out, n_buckets=2, resume=True)
+
+    # a FUTURE version fails as reader-too-old, not re-encode
+    meta["format_version"] = FORMAT_VERSION + 1
+    fsio.write_bytes_atomic(meta_path, _json.dumps(meta).encode())
+    with pytest.raises(ValueError, match="upgrade the engine"):
+        decode_table(spark, out)
+
+    # restored stamp decodes cleanly
+    meta["format_version"] = FORMAT_VERSION
+    fsio.write_bytes_atomic(meta_path, _json.dumps(meta).encode())
+    assert decode_table(spark, out).count() == corpus_df.count()

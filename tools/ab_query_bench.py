@@ -1,0 +1,104 @@
+"""Interleaved fresh-JVM A/B query benchmark between two git refs.
+
+The repo's measurement discipline (NOTES_r4 "traps"): SEQUENTIAL
+parameter sweeps lie on this host — the first configuration pays the
+cold-allocation/page-fault cost for everyone after it. So: one fresh
+process (fresh JVM) per invocation, A/B interleaved, min over
+invocations of (min over 3 in-process repeats after one warm-up run).
+
+    python tools/ab_query_bench.py REF_A REF_B q1,q2,... [reps=3] \
+        [sf_dir=/root/testdata/sf0.1]
+
+REF_A/REF_B are git refs ("HEAD" uses the working tree as-is); any other
+ref is materialized once with `git worktree add` under /tmp/fcs_ab_<ref>
+and removed is NOT automatic (worktrees are cached across runs).
+Prints one JSON line: per query, the min seconds at each ref and the
+B/A ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_RUNNER = r"""
+import json, os, sys, time
+tree = sys.argv[1]; qname = sys.argv[2]; sf = sys.argv[3]
+os.chdir(tree)
+sys.path.insert(0, tree)
+import fileconvert_spark  # noqa: F401  (malloc tuning before numpy)
+from fileconvert_spark.session import get_spark
+import __spark_entry__ as E
+spark = get_spark("ab-bench")
+spark.sparkContext.setLogLevel("ERROR")
+q = E.queries()[qname]
+def run():
+    df = q(spark, sf)
+    df.count() if qname == "dedup_minhash_docs" else df.collect()
+run()  # warm-up: JIT, imports, page-cache for this JVM
+best = 1e9
+for _ in range(3):
+    t0 = time.time(); run(); best = min(best, time.time() - t0)
+print(json.dumps({"q": qname, "best_s": round(best, 3)}))
+spark.stop()
+"""
+
+
+def tree_for(ref: str) -> str:
+    if ref == "HEAD":
+        return REPO
+    safe = ref.replace("/", "_")
+    path = f"/tmp/fcs_ab_{safe}"
+    if not os.path.exists(os.path.join(path, "__spark_entry__.py")):
+        subprocess.run(["git", "-C", REPO, "worktree", "add", "--force",
+                        path, ref], check=True, capture_output=True)
+    return path
+
+
+def run_one(tree: str, qname: str, sf_dir: str) -> float:
+    runner = "/tmp/fcs_ab_runner.py"
+    with open(runner, "w") as f:
+        f.write(_RUNNER)
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    p = subprocess.run([sys.executable, runner, tree, qname, sf_dir],
+                       capture_output=True, text=True, env=env,
+                       timeout=900)
+    if p.returncode != 0:
+        raise RuntimeError(f"{qname}@{tree}: {p.stderr[-800:]}")
+    return json.loads(p.stdout.strip().splitlines()[-1])["best_s"]
+
+
+def main() -> int:
+    ref_a, ref_b = sys.argv[1], sys.argv[2]
+    queries = sys.argv[3].split(",")
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    sf_dir = sys.argv[5] if len(sys.argv) > 5 else "/root/testdata/sf0.1"
+    trees = {ref_a: tree_for(ref_a), ref_b: tree_for(ref_b)}
+    best: dict[tuple[str, str], float] = {}
+    t0 = time.time()
+    for rep in range(reps):
+        for q in queries:
+            for ref in (ref_a, ref_b):  # interleaved A/B
+                s = run_one(trees[ref], q, sf_dir)
+                k = (ref, q)
+                best[k] = min(best.get(k, 1e9), s)
+                print(f"# rep{rep} {ref:>12s} {q:28s} {s:7.3f}s",
+                      file=sys.stderr)
+    out = {"ref_a": ref_a, "ref_b": ref_b, "reps": reps, "sf_dir": sf_dir,
+           "wall_s": round(time.time() - t0, 1), "queries": {}}
+    for q in queries:
+        a, b = best[(ref_a, q)], best[(ref_b, q)]
+        out["queries"][q] = {ref_a: a, ref_b: b,
+                             "ratio_b_over_a": round(b / a, 3)}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

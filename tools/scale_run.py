@@ -62,7 +62,8 @@ def generate_corpus(spark, path: str, n_rows: int) -> float:
 
 
 def run_encode_job(src: str, out: str, n_buckets: int,
-                   kill_at_fraction: float | None = None) -> dict:
+                   kill_at_fraction: float | None = None,
+                   cluster_by: str | None = None) -> dict:
     """Run jobs/encode_job.py as a real subprocess; optionally SIGKILL it
     (executor/job-loss simulation) once ~``kill_at_fraction`` of the
     parts have done-manifests — a genuinely mid-encode kill regardless
@@ -72,6 +73,8 @@ def run_encode_job(src: str, out: str, n_buckets: int,
     cmd = [sys.executable, os.path.join(REPO, "jobs", "encode_job.py"),
            src, out, str(n_buckets),
            "repo", "path,commit", "content", "0.05"]  # sampled bucket stats
+    if cluster_by:
+        cmd.append(f"--cluster-by={cluster_by}")
     t0 = time.time()
     err_log = open(out.rstrip("/") + ".encode_job.stderr", "ab")
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
@@ -94,9 +97,14 @@ def run_encode_job(src: str, out: str, n_buckets: int,
 
 
 def main() -> int:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 7_600_000
-    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    work = sys.argv[3] if len(sys.argv) > 3 else "/tmp/fcs_scale"
+    args = [a for a in sys.argv if not a.startswith("--")]
+    cluster_by = None
+    for a in sys.argv:
+        if a.startswith("--cluster-by="):
+            cluster_by = a.split("=", 1)[1]
+    n_rows = int(args[1]) if len(args) > 1 else 7_600_000
+    n_buckets = int(args[2]) if len(args) > 2 else 1024
+    work = args[3] if len(args) > 3 else "/tmp/fcs_scale"
 
     from fileconvert_spark.session import get_spark
 
@@ -117,16 +125,19 @@ def main() -> int:
     # fresh encode, killed mid-run (the job-loss scenario of BASELINE.json)
     shutil.rmtree(enc_dir, ignore_errors=True)
     if "--no-kill" in sys.argv:
-        out["full"] = run_encode_job(corpus_path, enc_dir, n_buckets)
+        out["full"] = run_encode_job(corpus_path, enc_dir, n_buckets,
+                                     cluster_by=cluster_by)
     else:
         out["kill"] = run_encode_job(corpus_path, enc_dir, n_buckets,
-                                     kill_at_fraction=0.4)
+                                     kill_at_fraction=0.4,
+                                     cluster_by=cluster_by)
         from fileconvert_spark.plans.manifest import scan_done_parts
 
         out["parts_done_at_kill"] = len(scan_done_parts(enc_dir))
 
     # resume to completion through the same CLI
-    resume = run_encode_job(corpus_path, enc_dir, n_buckets)
+    resume = run_encode_job(corpus_path, enc_dir, n_buckets,
+                            cluster_by=cluster_by)
     out["resume"] = {
         k: resume[k] for k in (
             "n_parts", "parts_encoded_this_run", "parts_skipped_resume",
@@ -148,6 +159,30 @@ def main() -> int:
     out["verify"] = {"wall_s": round(time.time() - t0, 1),
                      "n_src": rep["n_src"], "n_dec": rep["n_dec"],
                      "fingerprint_match": bool(rep["fingerprint_match"])}
+
+    if cluster_by:
+        # zone-map predicate decode at scale (VERDICT r4 item 5): a
+        # selective predicate on the clustered bucket key should decode
+        # a tiny fraction of the corpus vs the full decode above
+        pcol = cluster_by.split(",")[0]
+        pval = corpus.select(pcol).first()[pcol]
+        t0 = time.time()
+        full_rows = decode_table(spark, enc_dir).count()
+        t_full = time.time() - t0
+        t0 = time.time()
+        pred_df = decode_table(spark, enc_dir, predicate=(pcol, "=", pval))
+        pred_rows = pred_df.count()
+        t_pred = time.time() - t0
+        want = corpus.filter(F.col(pcol) == pval).count()
+        out["predicate_decode"] = {
+            "column": pcol, "value": str(pval)[:64],
+            "rows": int(pred_rows), "rows_expected": int(want),
+            "exact": bool(pred_rows == want),
+            "wall_s": round(t_pred, 2),
+            "full_decode_wall_s": round(t_full, 2),
+            "speedup": round(t_full / max(t_pred, 1e-9), 1),
+            "selectivity": round(pred_rows / max(full_rows, 1), 6),
+        }
     print(json.dumps(out))
     spark.stop()
     return 0 if out["verify"]["fingerprint_match"] else 1
