@@ -1004,19 +1004,29 @@ def training_pipeline_demo(spark, sf_dir):
 
 def image_near_dup_pairs(spark, sf_dir):
     """Perceptual image dedup (rows-only: binary pipelines are not
-    SQL-expressible; dHash math pinned by tests on hand-built BMPs):
+    SQL-expressible; dHash math pinned by tests on hand-built BMPs/PNGs):
     plant one slightly-edited copy of a synthetic image among 24 media
-    rows, find it via dHash + the banded Hamming join."""
+    rows, plus a REAL-PNG pair (stdlib-zlib decode path, new r5) — both
+    found via dHash + the banded Hamming join."""
     _ensure_workers(spark)
+    import numpy as np
+
     from fileconvert_spark.operators.multimodal import (
-        MEDIA_SCHEMA, image_near_dups, make_fake_media, synth_media_df,
+        MEDIA_SCHEMA, encode_png_gray, image_near_dups, make_fake_media,
+        synth_media_df,
     )
 
     base = make_fake_media(7001, "image", 64, 64)
     near = base[:12] + bytes([(base[12] + 9) % 256]) + base[13:]
+    rng = np.random.Generator(np.random.PCG64(77))
+    img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    edited = img.copy()
+    edited[:2, :2] ^= 3  # light touch-up: dHash stays within hamming 3
     planted = spark.createDataFrame(
         [(1001, "image", 64, 64, 1, bytearray(base)),
-         (1002, "image", 64, 64, 1, bytearray(near))],
+         (1002, "image", 64, 64, 1, bytearray(near)),
+         (2001, "image", 64, 64, 1, bytearray(encode_png_gray(img))),
+         (2002, "image", 64, 64, 1, bytearray(encode_png_gray(edited)))],
         schema=MEDIA_SCHEMA)
     media = synth_media_df(spark, n=24).unionByName(planted)
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")

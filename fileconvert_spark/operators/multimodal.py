@@ -9,12 +9,16 @@ dispatch point, ``_decode_media``:
   bottom-up order, BGR->luma);
 - **WAV** (PCM RIFF) — REAL decode via the stdlib ``wave`` module
   (8/16/32-bit, any channel count);
+- **PNG** (8-bit depth, gray/RGB/palette/gray-alpha/RGBA,
+  non-interlaced) — REAL decode, stdlib ``zlib`` inflate + NumPy
+  defiltering of all five PNG filter types (RFC 2083 §6);
 - FCSM — the deterministic synthetic format used by tests/fixtures;
-- compressed formats (PNG/JPEG/MP3/MP4...) raise ``NotImplementedError``
-  naming the env-block: their codecs need PIL/ffmpeg, which this
-  container does not ship. Swapping them in later touches exactly this
-  one function — the Spark-side plumbing (schema, batch shape,
-  partitioning, UDF signatures) is identical for every format.
+- remaining compressed formats (JPEG/MP3/MP4, 16-bit/interlaced PNG...)
+  raise ``NotImplementedError`` naming the env-block: their codecs need
+  PIL/ffmpeg, which this container does not ship. Swapping them in later
+  touches exactly this one function — the Spark-side plumbing (schema,
+  batch shape, partitioning, UDF signatures) is identical for every
+  format.
 """
 
 from __future__ import annotations
@@ -110,6 +114,149 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return w, h, 1, gray.ravel()
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_defilter(data: np.ndarray, filters: np.ndarray, w: int,
+                  ch: int) -> np.ndarray:
+    """Undo PNG row filters (RFC 2083 §6.2-6.6) -> (h, w*ch) uint8.
+
+    None/Sub/Up rows are fully vectorized (Sub is a wrapping
+    ``np.add.accumulate`` per byte lane); Average and Paeth carry an
+    intra-row left dependency, so those rows run a per-pixel loop with
+    vector ops across the channel lanes — pixels, not bytes.
+    """
+    h = data.shape[0]
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        f = int(filters[r])
+        cur = data[r]
+        if f == 0:  # None
+            row = cur.copy()
+        elif f == 1:  # Sub: cumulative sum along each pixel lane
+            row = np.add.accumulate(
+                cur.reshape(w, ch), axis=0, dtype=np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            row = cur + prev
+        elif f == 3:  # Average
+            row = np.zeros(w * ch, dtype=np.uint8)
+            left = np.zeros(ch, dtype=np.uint16)
+            up = prev.reshape(w, ch).astype(np.uint16)
+            c2 = cur.reshape(w, ch).astype(np.uint16)
+            for i in range(w):
+                left = (c2[i] + ((left + up[i]) >> 1)).astype(np.uint8) \
+                    .astype(np.uint16)
+                row[i * ch:(i + 1) * ch] = left.astype(np.uint8)
+        elif f == 4:  # Paeth
+            row = np.zeros(w * ch, dtype=np.uint8)
+            a = np.zeros(ch, dtype=np.int32)   # left
+            c = np.zeros(ch, dtype=np.int32)   # upper-left
+            up = prev.reshape(w, ch).astype(np.int32)
+            c2 = cur.reshape(w, ch).astype(np.int32)
+            for i in range(w):
+                b = up[i]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a,
+                                np.where(pb <= pc, b, c))
+                val = ((c2[i] + pred) & 0xFF)
+                row[i * ch:(i + 1) * ch] = val.astype(np.uint8)
+                a, c = val, b
+        else:
+            raise ValueError(f"PNG: unknown row filter {f}")
+        out[r] = row
+        prev = row
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """8-bit non-interlaced PNG -> grayscale pixels, pure stdlib+NumPy:
+    chunk walk, zlib inflate, per-row defiltering, then gray/RGB/
+    palette/alpha collapse to BT.601 luma. 16-bit depth, sub-byte
+    depths, and Adam7 interlacing raise NotImplementedError (rare in
+    training corpora; the dispatch seam stays the single swap point)."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    n = len(payload)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth}/interlace={interlace} needs an external "
+            "codec; only 8-bit non-interlaced decodes here")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if ch is None:
+        raise ValueError(f"PNG: bad color type {ctype_n}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + w * ch
+    if len(raw) != stride * h:
+        raise ValueError(
+            f"PNG: inflate produced {len(raw)} bytes, expected {stride * h}")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    px = _png_defilter(rows[:, 1:], rows[:, 0], w, ch)
+    if ctype_n == 0:
+        gray = px
+    elif ctype_n == 4:  # gray + alpha
+        gray = px.reshape(h, w, 2)[:, :, 0]
+    elif ctype_n == 3:  # palette
+        if plte is None:
+            raise ValueError("PNG: palette image without PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3).astype(np.uint16)
+        lut = np.zeros(256, dtype=np.uint8)
+        lum = ((77 * pal[:, 0] + 150 * pal[:, 1] + 29 * pal[:, 2])
+               >> 8).astype(np.uint8)
+        lut[: lum.size] = lum
+        gray = lut[px]
+    else:  # RGB / RGBA
+        rgb = px.reshape(h, w, ch).astype(np.uint16)
+        gray = ((77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+                 + 29 * rgb[:, :, 2]) >> 8).astype(np.uint8)
+    return w, h, 1, np.ascontiguousarray(gray).ravel()
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG writer (filter 0 rows, one IDAT) —
+    a fixture/test utility so PNG paths can be exercised without PIL;
+    round-trips exactly through _decode_png."""
+    import zlib
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    h, w = px.shape
+    raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """PCM RIFF/WAVE -> sample array via the stdlib wave module.
     Mapping into the media schema: width = n_channels, height = bits per
@@ -130,9 +277,10 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
 
 def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Format dispatch: real decoders for uncompressed BMP and PCM WAV
-    (no external libs required), the FCSM synthetic format for fixtures,
-    and a loud env-block for compressed formats (PIL/ffmpeg absent)."""
+    """Format dispatch: real decoders for uncompressed BMP, PCM WAV, and
+    8-bit PNG (no external libs required — stdlib zlib/wave + NumPy),
+    the FCSM synthetic format for fixtures, and a loud env-block for the
+    remaining compressed formats (PIL/ffmpeg absent)."""
     if payload[:4] == _MAGIC:
         w, h, f = struct.unpack("<HHH", payload[4:10])
         pixels = np.frombuffer(payload[10:], dtype=np.uint8)
@@ -141,10 +289,12 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "compressed media decoding (PNG/JPEG/MP3/MP4...) needs PIL/ffmpeg, "
+        "compressed media decoding (JPEG/MP3/MP4...) needs PIL/ffmpeg, "
         "which this environment does not provide; decodable here: "
-        "uncompressed BMP, PCM WAV, FCSM synthetic blobs")
+        "PNG (8-bit), uncompressed BMP, PCM WAV, FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -438,6 +438,160 @@ def test_bmp_8bpp_maps_through_palette(spark):
     assert gray[1, 0] == 76 and gray[1, 1] == 28
 
 
+def _make_png(pixels, color_type, palette=None, filters=None):
+    """Minimal PNG encoder for tests (stdlib only): 8-bit depth,
+    non-interlaced; ``pixels`` is (h, w, ch) or (h, w) uint8;
+    ``filters`` picks the per-row filter type (default 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = px[r].reshape(-1).astype(np.int32)
+        f = filters[r]
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            filt = (cur - left) & 0xFF
+        elif f == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif f == 3:  # Average
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            filt = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            ul = np.zeros_like(cur)
+            ul[ch:] = prev[:-ch]
+            p = left + prev - ul
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - ul))
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = (cur - pred) & 0xFF
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type,
+                                      0, 0, 0))
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(b for rgb in palette for b in rgb))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_all_filters_and_color_types(spark):
+    """r5: PNG decode for REAL (stdlib zlib + NumPy — no PIL). Every row
+    filter type (None/Sub/Up/Average/Paeth) must defilter exactly, and
+    gray/RGB/palette/RGBA must collapse to the same BT.601 luma the BMP
+    path uses. 16-bit stays a loud NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from fileconvert_spark.operators.multimodal import _decode_media
+
+    rng = np.random.Generator(np.random.PCG64(9))
+
+    # grayscale, one row per filter type, exact pixel recovery
+    g = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    png = _make_png(g, color_type=0, filters=[0, 1, 2, 3, 4])
+    w, h, f, px = _decode_media(png)
+    assert (w, h, f) == (7, 5, 1)
+    assert np.array_equal(px.reshape(5, 7), g)
+
+    # RGB with all filters: decoded luma == BT.601 of the source
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png = _make_png(rgb, color_type=2, filters=[4, 3, 2, 1, 0])
+    w, h, f, px = _decode_media(png)
+    r3 = rgb.astype(int)
+    want = ((77 * r3[:, :, 0] + 150 * r3[:, :, 1]
+             + 29 * r3[:, :, 2]) >> 8).astype(np.uint8)
+    assert np.array_equal(px.reshape(5, 4), want)
+
+    # RGBA: alpha ignored, luma from RGB
+    rgba = rng.integers(0, 256, size=(3, 3, 4), dtype=np.uint8)
+    png = _make_png(rgba, color_type=6, filters=[2, 4, 1])
+    _, _, _, px = _decode_media(png)
+    r4_ = rgba.astype(int)
+    want = ((77 * r4_[:, :, 0] + 150 * r4_[:, :, 1]
+             + 29 * r4_[:, :, 2]) >> 8).astype(np.uint8)
+    assert np.array_equal(px.reshape(3, 3), want)
+
+    # palette: indices map through PLTE luma
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    pal = [(255, 255, 255), (0, 0, 0), (255, 0, 0)]
+    png = _make_png(idx, color_type=3, palette=pal)
+    _, _, _, px = _decode_media(png)
+    gray = px.reshape(2, 2)
+    assert gray[0, 0] == 255 and gray[0, 1] == 0
+    assert gray[1, 0] == (77 * 255) >> 8  # red luma
+
+    # 16-bit depth stays env-blocked, loudly
+    import struct as _st
+    import zlib as _zl
+
+    def chunk(ctype, body):
+        return (_st.pack(">I", len(body)) + ctype + body
+                + _st.pack(">I", _zl.crc32(ctype + body)))
+
+    bad = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", _st.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", _zl.compress(b"\x00" * 18))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        _decode_media(bad)
+
+
+def test_png_through_spark_feature_and_dedup_path(spark):
+    """A PNG, a BMP of the SAME image, and an edited copy flow through
+    extract_features + dHash near-dup together: the PNG and BMP decode
+    to identical pixels (format-independent luma), so their dHashes
+    collide exactly and the near-dup join pairs them."""
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, extract_features, image_near_dups,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(4))
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    png = _make_png(base, color_type=0)
+    bmp = _make_bmp_24(16, 16, [[(int(v),) * 3 for v in row]
+                                for row in base])
+    assert np.array_equal(_decode_media(png)[3], _decode_media(bmp)[3])
+
+    df = spark.createDataFrame(
+        [(1, "image", 16, 16, 1, bytearray(png)),
+         (2, "image", 16, 16, 1, bytearray(bmp))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    # feat stats come from the DECODED pixels -> identical across formats
+    # (digest hashes the raw blob, so it differs by design)
+    assert feats[1]["feat_mean"] == feats[2]["feat_mean"]
+    assert feats[1]["feat_std"] == feats[2]["feat_std"]
+    pairs = image_near_dups(df, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
 def test_csv_roundtrip(spark, tmp_path, docs):
     from fileconvert_spark.sources.csv_convert import csv2parquet, parquet2csv
 
