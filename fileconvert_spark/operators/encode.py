@@ -264,37 +264,51 @@ _WORKER_FSST_CACHE = codecs.FsstTableCache()
 
 _ZONE_MAX_STR = 64  # utf-8 bytes; longer bounds are dropped, not truncated
                     # (a truncated max is not a valid upper bound)
+_ZONE_MAX_DISTINCT = 16  # distinct-value list cap per chunk (zsv)
 
 
 def _zone_stats(clean: pa.Array, t: pa.DataType):
-    """Per-chunk [min, max] zone-map bounds for predicate-pushdown decode
-    (plans/manifest.py decode_table(predicate=...)). Strings (bounded
-    length), integers, and floats only; None = no pruning for this chunk
-    — always safe, since pruning treats missing stats as 'may match'."""
+    """Per-chunk zone-map stats for predicate-pushdown decode
+    (plans/manifest.py decode_table(predicate=...)): (bounds, values)
+    where bounds = [min, max] and values = the sorted distinct values
+    when the chunk holds <= _ZONE_MAX_DISTINCT of them, else None.
+
+    The distinct list is what makes pruning work on HASH-bucketed key
+    columns: a bucket holds a handful of scattered key values, so its
+    [min, max] envelope spans nearly the whole key range and never
+    prunes, while the value list prunes equality predicates exactly
+    (each value becomes a degenerate [v, v] interval in the part
+    manifest). Strings (bounded length), integers, and floats only;
+    (None, None) = no pruning for this chunk — always safe, since
+    pruning treats missing stats as 'may match'."""
     import math
 
     if len(clean) == 0:
-        return None
+        return None, None
     try:
         import pyarrow.compute as pc
 
+        zsv = None
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             mm = pc.min_max(clean)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
             if (mn is None or len(mn.encode()) > _ZONE_MAX_STR
                     or len(mx.encode()) > _ZONE_MAX_STR):
-                return None
-            return [mn, mx]
-        if pa.types.is_integer(t) or pa.types.is_floating(t):
+                return None, None
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
             mm = pc.min_max(clean)
             mn, mx = mm["min"].as_py(), mm["max"].as_py()
             if mn is None or (isinstance(mn, float) and (
                     math.isnan(mn) or math.isnan(mx))):
-                return None
-            return [mn, mx]
+                return None, None
+        else:
+            return None, None
+        uniq = pc.unique(clean)
+        if len(uniq) <= _ZONE_MAX_DISTINCT:
+            zsv = sorted(uniq.to_pylist())
+        return [mn, mx], zsv
     except Exception:  # noqa: BLE001 - stats are an optimization only
-        return None
-    return None
+        return None, None
 
 
 def encode_column(arr: pa.Array, cache_key: str | None = None,
@@ -438,9 +452,11 @@ def encode_column(arr: pa.Array, cache_key: str | None = None,
         meta["ad"] = adapter
     meta["ot"] = orig_type
     if zone_stats:
-        zs = _zone_stats(clean, t)
+        zs, zsv = _zone_stats(clean, t)
         if zs is not None:
             meta["zs"] = zs  # zone-map bounds ride inside the sha'd meta
+        if zsv is not None:
+            meta["zsv"] = zsv  # low-cardinality distinct values (exact)
     meta_json = json.dumps(meta, separators=(",", ":"))
     # integrity sha covers EVERY decode input (length-framed), so decode
     # can verify that no component — payload, dict, validity, or meta —

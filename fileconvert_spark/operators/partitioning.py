@@ -102,21 +102,50 @@ def plan_buckets(
     heavy_bytes = sum(int(r["bytes"]) for r in heavy)
     light_share = (total - heavy_bytes) / n_buckets  # expected hash share
     loads = [light_share] * n_buckets
+    # least-loaded-bucket queries via a heap: bounded salting places
+    # O(keys * shards) shards, and a linear min() scan per shard is
+    # O(shards * n_buckets) — minutes of pure planning at 8192+ buckets.
+    # (load, bucket) tuples keep ties deterministic by bucket index.
+    import heapq
 
-    assignments: list[tuple[str, int, bool]] = []  # (key, bucket, salted)
+    heap = [(light_share, i) for i in range(n_buckets)]
+    heapq.heapify(heap)
+
+    def take_least_loaded(add: float) -> int:
+        load, i = heapq.heappop(heap)
+        heapq.heappush(heap, (load + add, i))
+        loads[i] = load + add
+        return i
+
+    # (key, [shard buckets]): one entry = unsalted; k entries = the key is
+    # split into k salt shards, each LPT-placed. BOUNDED salting — a key
+    # too big for one bucket splits into ceil(bytes / (bucket_cap/4))
+    # quarter-cap shards, NOT across all n_buckets: spraying every hot
+    # key everywhere (the pre-r5 shape) put every hot key's rows in
+    # every part, which (a) destroyed key locality so zone-map/manifest
+    # pruning on the bucket key could never prune a part (measured on
+    # the 10 GB corpus: 0 of 1024 parts pruned for a single-repo
+    # predicate), and (b) interleaved ~200 key groups per part, costing
+    # dict/RLE locality. Quarter-cap granularity (not minimum-count):
+    # the row->shard salt hash has binomial variance, and LPT can only
+    # balance at shard granularity — finer shards absorb both. A key
+    # still touches <= 4x its minimum part count (e.g. a 50 MB repo at
+    # 10 MB caps lands in <= 20 of 1024 parts, not all of them); when
+    # shards >= n_buckets (tiny clusters) this degrades to the old
+    # spray, which is then the right call.
+    assignments: list[tuple[str, list[int]]] = []
     n_salted = 0
+    shard_unit = max(bucket_cap / 4, 1.0)
     for r in sorted(heavy, key=lambda r: (-int(r["bytes"]), r[key_col])):
         b = int(r["bytes"])
-        if b > bucket_cap:  # cannot fit one bucket fairly -> salt across all
-            assignments.append((r[key_col], -1, True))
-            per = b / n_buckets
-            for i in range(n_buckets):
-                loads[i] += per
+        if b <= bucket_cap:
+            n_shards = 1
+        else:
+            n_shards = min(int(-(-b // shard_unit)), n_buckets)
             n_salted += 1
-        else:  # LPT: least-loaded bucket
-            i = min(range(n_buckets), key=loads.__getitem__)
-            loads[i] += b
-            assignments.append((r[key_col], i, False))
+        per = b / n_shards
+        shard_buckets = [take_least_loaded(per) for _ in range(n_shards)]
+        assignments.append((r[key_col], shard_buckets))
 
     info = {
         "total_bytes": total,
@@ -129,18 +158,20 @@ def plan_buckets(
 
     if assignments:
         map_df = spark.createDataFrame(
-            assignments, schema=f"{key_col} string, _assigned int, _salted boolean"
+            assignments, schema=f"{key_col} string, _shards array<int>"
         )
         df2 = df.join(F.broadcast(map_df), key_col, "left")
-        salt_hash = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
-                           F.lit(n_buckets)).cast("int")
+        # row's shard = salt hash mod the key's shard count; bucket =
+        # that shard's LPT-assigned bucket (1 shard -> plain assignment)
+        salt_idx = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]),
+                          F.size("_shards")).cast("int")
         key_hash = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
         bucket = (
-            F.when(F.col("_salted"), salt_hash)
-            .when(F.col("_assigned").isNotNull(), F.col("_assigned"))
+            F.when(F.col("_shards").isNotNull(),
+                   F.element_at(F.col("_shards"), salt_idx + 1))
             .otherwise(key_hash)
         )
-        df2 = df2.withColumn("bucket", bucket).drop("_assigned", "_salted")
+        df2 = df2.withColumn("bucket", bucket).drop("_shards")
     else:
         df2 = df.withColumn(
             "bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")

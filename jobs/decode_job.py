@@ -3,7 +3,7 @@ optional bit-identity verification against the original source.
 
     spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
         jobs/decode_job.py <enc_dir> <out_parquet> [src_parquet] \
-        [--columns=a,b,...]
+        [--columns=a,b,...] [--predicate=col,op,value]
 
 - <enc_dir>: directory written by jobs/encode_job.py (local path or URI).
 - <out_parquet>: where to write the decoded table.
@@ -13,6 +13,11 @@ optional bit-identity verification against the original source.
 - [--columns=a,b]: decode only a projection — non-selected columns'
   payload pages are skipped at the parquet layer (row groups are
   column-aligned). Verification compares only the selected columns.
+- [--predicate=col,op,value]: zone-map predicate decode (op in
+  =,<,<=,>,>=); excluded parts prune at the driver via manifest zone
+  bounds, excluded chunks at the parquet read. The value is parsed as
+  int, then float, else kept as string. Verification (if src given)
+  applies the same filter to the source.
 """
 
 from __future__ import annotations
@@ -45,10 +50,25 @@ def main(argv: list[str]) -> int:
         print(__doc__, file=sys.stderr)
         return 2
     columns = None
+    predicate = None
     args = []
     for a in argv[1:]:
         if a.startswith("--columns="):
             columns = [c for c in a.split("=", 1)[1].split(",") if c]
+        elif a.startswith("--predicate="):
+            parts = a.split("=", 1)[1].split(",", 2)
+            if len(parts) != 3:
+                print("decode_job: --predicate wants col,op,value",
+                      file=sys.stderr)
+                return 2
+            pcol, pop, pval = parts
+            for cast in (int, float):
+                try:
+                    pval = cast(pval)
+                    break
+                except ValueError:
+                    continue
+            predicate = (pcol, pop, pval)
         else:
             args.append(a)
     if len(args) < 2:
@@ -90,12 +110,20 @@ def main(argv: list[str]) -> int:
     from fileconvert_spark.operators.verify import multiset_roundtrip_report
     from fileconvert_spark.plans.manifest import decode_table
 
-    dec = decode_table(spark, enc_dir, columns=columns)
+    dec = decode_table(spark, enc_dir, columns=columns, predicate=predicate)
     dec.write.mode("overwrite").parquet(out)
 
     rc = 0
     if src is not None:
+        from pyspark.sql import functions as F
+
         src_df = spark.read.parquet(src)
+        if predicate is not None:
+            pcol, pop, pval = predicate
+            c = F.col(pcol)
+            src_df = src_df.filter(
+                {"=": c == pval, "<": c < pval, "<=": c <= pval,
+                 ">": c > pval, ">=": c >= pval}[pop])
         if columns is not None:
             src_df = src_df.select(*columns)
         report = multiset_roundtrip_report(

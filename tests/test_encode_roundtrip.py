@@ -809,3 +809,64 @@ def test_format_version_gates_decode_and_resume(spark, corpus_df, tmp_path):
     meta["format_version"] = FORMAT_VERSION
     fsio.write_bytes_atomic(meta_path, _json.dumps(meta).encode())
     assert decode_table(spark, out).count() == corpus_df.count()
+
+
+def test_manifest_zone_pruning_drops_parts_at_driver(spark, tmp_path):
+    """r5: part manifests carry part-level zone bounds, and a predicate
+    decode prunes excluded parts at the DRIVER (Iceberg manifest
+    pruning) — a 1024-part selective decode must not schedule 1024
+    tasks. Exactness: the pruned decode returns the same rows as the
+    source filter, and an all-excluding predicate returns zero rows."""
+    import json as _json
+
+    from fileconvert_spark.plans.manifest import (
+        _pred_may_match, decode_table, encode_table, read_all_manifests,
+    )
+
+    rows = [(i, i // 1000, f"doc {i} body") for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long, text string")
+    out = str(tmp_path / "enc_manifest_zones")
+    encode_table(spark, df, out, n_buckets=8,
+                 key_col="grp", salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",))
+
+    mans = read_all_manifests(out)
+    assert len(mans) == 8
+    # every manifest carries doc_id part bounds (cluster_by col + key)
+    # as a capped list of merged intervals (hash-bucketed keys make a
+    # single [min, max] envelope span the whole range and never prune)
+    for m in mans:
+        assert "doc_id" in m["zones"], m
+        for lo, hi in m["zones"]["doc_id"]:
+            assert 0 <= lo <= hi < 8000
+        assert len(m["zones"]["doc_id"]) <= 32
+    # the bounds actually separate parts: a selective predicate excludes
+    # most parts at the manifest level
+    kept = [m for m in mans
+            if any(_pred_may_match(iv, "<", 500)
+                   for iv in m["zones"]["doc_id"])]
+    assert len(kept) < len(mans), [m["zones"]["doc_id"] for m in mans]
+
+    got = decode_table(spark, out, predicate=("doc_id", "<", 500))
+    assert got.count() == 500
+    # all-excluding predicate: zero parts survive, zero rows, no error
+    assert decode_table(spark, out,
+                        predicate=("doc_id", "<", -1)).count() == 0
+
+
+def test_merge_intervals_union_and_cap():
+    """_merge_intervals must only ever GROW coverage (safe for
+    may-match pruning), union overlaps, and respect the cap — for ints
+    and strings alike."""
+    from fileconvert_spark.plans.manifest import _merge_intervals
+
+    assert _merge_intervals([[5, 9], [1, 3], [2, 4]]) == [[1, 4], [5, 9]]
+    assert _merge_intervals([["a", "c"], ["b", "d"], ["x", "z"]]) == \
+        [["a", "d"], ["x", "z"]]
+    many = [[i * 10, i * 10 + 1] for i in range(100)]
+    capped = _merge_intervals(many, cap=8)
+    assert len(capped) <= 8
+    # every original interval stays covered
+    for lo, hi in many:
+        assert any(c[0] <= lo and hi <= c[1] for c in capped), (lo, hi)
+    assert _merge_intervals([[7, 7]]) == [[7, 7]]
