@@ -590,7 +590,7 @@ def _pred_may_match(zs, op: str, value) -> bool:
 
 def decode_table(spark, out_dir: str, narrow: bool = True,
                  columns: list[str] | None = None,
-                 predicate: tuple | None = None):
+                 predicate: tuple | list | None = None):
     """Read an encoded table directory back as the original DataFrame.
 
     narrow=True (default): one task per part file, each decoding its own
@@ -606,7 +606,8 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     part; wide: a catalyst filter the scan pushes down), so their bytes
     never reach a codec.
 
-    ``predicate``: ``(col, op, value)`` with op in ``=,<,<=,>,>=`` —
+    ``predicate``: ``(col, op, value)`` with op in ``=,<,<=,>,>=``, or a
+    LIST of such triples (conjunction — every triple must hold) —
     zone-map predicate pushdown into the engine format. Each chunk's
     meta carries [min, max] bounds for string/int/float columns
     (operators/encode.py _zone_stats), and each part's MANIFEST carries
@@ -639,9 +640,14 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
     )
     all_names = {f.name for f in schema.fields}
-    pcol = pop = pval = None  # bound cells even when predicate is None
-    if predicate is not None:
-        pcol, pop, pval = predicate
+    # normalize: one (col, op, val) triple or a list of them (AND)
+    if predicate is None:
+        preds: list[tuple] = []
+    elif len(predicate) == 3 and isinstance(predicate[0], str):
+        preds = [tuple(predicate)]
+    else:
+        preds = [tuple(p) for p in predicate]
+    for pcol, pop, _pv in preds:
         if pcol not in all_names:
             raise ValueError(f"decode_table: unknown predicate column {pcol!r}")
         if pop not in _PRED_OPS:
@@ -659,14 +665,13 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     data_dir = os.path.join(out_dir, "data")
 
     def _exact_filter(df):
-        if predicate is None:
-            return df
         from pyspark.sql import functions as F
 
-        c = F.col(pcol)
-        expr = {"=": c == pval, "<": c < pval, "<=": c <= pval,
-                ">": c > pval, ">=": c >= pval}[pop]
-        return df.filter(expr)
+        for pcol, pop, pval in preds:
+            c = F.col(pcol)
+            df = df.filter({"=": c == pval, "<": c < pval, "<=": c <= pval,
+                            ">": c > pval, ">=": c >= pval}[pop])
+        return df
 
     if not narrow:
         from pyspark.sql import functions as F
@@ -681,7 +686,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         for f in fsio.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    if predicate is not None:
+    if preds:
         # manifest pruning (Iceberg pattern, r5): every part manifest
         # carries part-level zone bounds per zone column; one driver-side
         # read of the (consolidated) manifest list drops excluded parts
@@ -691,11 +696,21 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         # fixed cost dominates); pruning at the driver makes it scale
         # with matching parts, not total parts. Manifests without zones
         # (or a missing bound for the column) keep the part: absence of
-        # evidence never prunes.
+        # evidence never prunes. Conjunctions: a part survives only if
+        # EVERY predicate may-match (each prunes independently).
         zones_by_part = {
             int(m["part_id"]): m.get("zones") or {}
             for m in read_all_manifests(out_dir)
         }
+
+        def _part_may_match(zb: dict) -> bool:
+            for pcol, pop, pval in preds:
+                ivs = zb.get(pcol)
+                if ivs and not any(_pred_may_match(iv, pop, pval)
+                                   for iv in ivs):
+                    return False
+            return True
+
         kept_files = []
         for p in files:
             stem = os.path.basename(p)
@@ -705,12 +720,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                 kept_files.append(p)
                 continue
             zb = zones_by_part.get(pid)
-            if zb is None:  # no manifest (torn state): keep, stay exact
-                kept_files.append(p)
-                continue
-            ivs = zb.get(pcol)
-            if not ivs or any(_pred_may_match(iv, pop, pval)
-                              for iv in ivs):
+            if zb is None or _part_may_match(zb):
                 kept_files.append(p)
         files = kept_files
     column_order = [f.name for f in schema.fields]
@@ -730,33 +740,50 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
             for path_val in b.column(0):
                 path = path_val.as_py()
                 part_flt = list(flt) if flt else None
-                if predicate is not None:
-                    # zone-map pass: the predicate column's meta rows are
+                if preds:
+                    # zone-map pass: the predicate columns' meta rows are
                     # tiny; excluded chunks are dropped via the chunk_id
                     # filter (skips decode cost; their payload bytes are
                     # still read unless the WHOLE part prunes — row
-                    # groups are per-column, see decode_table docstring)
+                    # groups are per-column, see decode_table docstring).
+                    # A chunk survives only if EVERY predicate may-match
+                    # its column's stats (AND semantics).
+                    pcols = sorted({pc for pc, _, _ in preds})
                     zmeta = fsio2.read_parquet(
-                        path, filters=[("column", "=", pcol)],
-                        columns=["chunk_id", "meta"])
-                    keep = []
-                    for cid, mj in zip(
+                        path, filters=[("column", "in", pcols)],
+                        columns=["column", "chunk_id", "meta"])
+                    stats: dict[tuple, dict] = {}
+                    chunk_ids = set()
+                    for col, cid, mj in zip(
+                            zmeta.column("column").to_pylist(),
                             zmeta.column("chunk_id").to_pylist(),
                             zmeta.column("meta").to_pylist()):
-                        md = json.loads(mj)
-                        zsv = md.get("zsv")
-                        if zsv is not None:
-                            # exact membership check on low-cardinality
-                            # chunks (see _zone_stats)
-                            ok = any(_pred_may_match([v, v], pop, pval)
-                                     for v in zsv)
-                        else:
-                            ok = _pred_may_match(md.get("zs"), pop, pval)
-                        if ok:
-                            keep.append(int(cid))
+                        stats[(col, int(cid))] = json.loads(mj)
+                        chunk_ids.add(int(cid))
+
+                    def _chunk_ok(cid: int) -> bool:
+                        for pcol, pop, pval in preds:
+                            md = stats.get((pcol, cid))
+                            if md is None:
+                                continue  # no stats -> may match
+                            zsv = md.get("zsv")
+                            if zsv is not None:
+                                # exact membership on low-cardinality
+                                # chunks (see _zone_stats)
+                                if not any(_pred_may_match([v, v], pop,
+                                                           pval)
+                                           for v in zsv):
+                                    return False
+                            elif not _pred_may_match(md.get("zs"), pop,
+                                                     pval):
+                                return False
+                        return True
+
+                    keep = [cid for cid in sorted(chunk_ids)
+                            if _chunk_ok(cid)]
                     if not keep:
                         continue  # whole part pruned
-                    if len(keep) < len(zmeta):
+                    if len(keep) < len(chunk_ids):
                         part_flt = (part_flt or []) + [
                             ("chunk_id", "in", keep)]
                 enc_tbl = fsio2.read_parquet(path, filters=part_flt)

@@ -15,9 +15,10 @@ optional bit-identity verification against the original source.
   column-aligned). Verification compares only the selected columns.
 - [--predicate=col,op,value]: zone-map predicate decode (op in
   =,<,<=,>,>=); excluded parts prune at the driver via manifest zone
-  bounds, excluded chunks at the parquet read. The value is parsed as
-  int, then float, else kept as string. Verification (if src given)
-  applies the same filter to the source.
+  bounds, excluded chunks at the parquet read. Repeatable — multiple
+  flags form a conjunction (AND). The value is parsed as int, then
+  float, else kept as string. Verification (if src given) applies the
+  same filters to the source.
 """
 
 from __future__ import annotations
@@ -50,7 +51,7 @@ def main(argv: list[str]) -> int:
         print(__doc__, file=sys.stderr)
         return 2
     columns = None
-    predicate = None
+    predicates = []  # repeatable flag -> conjunction (AND)
     args = []
     for a in argv[1:]:
         if a.startswith("--columns="):
@@ -68,9 +69,10 @@ def main(argv: list[str]) -> int:
                     break
                 except ValueError:
                     continue
-            predicate = (pcol, pop, pval)
+            predicates.append((pcol, pop, pval))
         else:
             args.append(a)
+    predicate = predicates or None
     if len(args) < 2:
         print(__doc__, file=sys.stderr)
         return 2
@@ -118,8 +120,7 @@ def main(argv: list[str]) -> int:
         from pyspark.sql import functions as F
 
         src_df = spark.read.parquet(src)
-        if predicate is not None:
-            pcol, pop, pval = predicate
+        for pcol, pop, pval in (predicate or []):
             c = F.col(pcol)
             src_df = src_df.filter(
                 {"=": c == pval, "<": c < pval, "<=": c <= pval,

@@ -870,3 +870,37 @@ def test_merge_intervals_union_and_cap():
     for lo, hi in many:
         assert any(c[0] <= lo and hi <= c[1] for c in capped), (lo, hi)
     assert _merge_intervals([[7, 7]]) == [[7, 7]]
+
+
+def test_predicate_conjunction_decode(spark, tmp_path):
+    """r5: decode_table accepts a LIST of predicates (AND) — every
+    combination stays exact vs the equivalent source filter, and the
+    part/chunk pruning applies each predicate independently."""
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    rows = [(i, i // 1000, f"s{i % 4}", f"doc {i} body") for i in range(8000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp long, src string, text string")
+    out = str(tmp_path / "enc_conj")
+    encode_table(spark, df, out, n_buckets=8,
+                 key_col="grp", salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",), zone_maps=("doc_id", "grp", "src"))
+
+    cases = [
+        [("doc_id", "<", 3000), ("grp", ">=", 1)],
+        [("doc_id", ">=", 500), ("doc_id", "<", 1500)],   # range via AND
+        [("src", "=", "s1"), ("doc_id", "<", 4000)],
+        [("doc_id", "<", 100), ("grp", ">", 5)],           # empty result
+    ]
+    for preds in cases:
+        want = df
+        for col, op, val in preds:
+            c = F.col(col)
+            want = want.filter({"=": c == val, "<": c < val,
+                                "<=": c <= val, ">": c > val,
+                                ">=": c >= val}[op])
+        got = decode_table(spark, out, predicate=preds)
+        assert got.count() == want.count(), preds
+    # single-triple form still works unchanged
+    assert decode_table(spark, out,
+                        predicate=("doc_id", "<", 10)).count() == 10
