@@ -1,6 +1,8 @@
 """Property-based roundtrip tests (hypothesis): for ANY input, codec
 auto-selection must reproduce the data exactly and never exceed raw+eps."""
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 from hypothesis import given, settings, strategies as st
@@ -278,3 +280,67 @@ def test_decode_structural_failure_wrapped_without_sha():
     with pytest.raises(DecodeError, match=f["codec"]):
         decode_column(f["codec"], f["payload"][: len(f["payload"]) // 3],
                       f["dict"], f["meta"], f["n_rows"], f["validity"])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_gray_roundtrip_property(w, h, seed):
+    """Any 8-bit grayscale image round-trips exactly through the
+    fixture writer + the real decoder (all shapes, incl. 1-pixel)."""
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, encode_png_gray,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    gw, gh, frames, px = _decode_media(encode_png_gray(img))
+    assert (gw, gh, frames) == (w, h, 1)
+    assert np.array_equal(px.reshape(h, w), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(9, 120), xor=st.integers(1, 255),
+       pos=st.integers(8, 119))
+def test_png_corruption_never_silent(cut, xor, pos):
+    """Truncated or bit-flipped PNG bytes must raise (ValueError /
+    NotImplementedError / zlib.error) — never decode into silently
+    wrong pixels of the wrong shape."""
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, encode_png_gray,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    blob = encode_png_gray(img)
+    want = img.ravel()
+
+    truncated = blob[: min(cut, len(blob) - 1)]
+    try:
+        _, _, _, px = _decode_media(truncated)
+        # only acceptable "success" is the exact original image (the
+        # truncation fell inside trailing bytes we never read)
+        assert np.array_equal(px, want)
+    except (ValueError, NotImplementedError, zlib.error, struct.error):
+        pass
+
+    p = min(pos, len(blob) - 1)
+    flipped = blob[:p] + bytes([blob[p] ^ xor]) + blob[p + 1:]
+    try:
+        _, _, _, px = _decode_media(flipped)
+        # a flip may hit a CRC (we don't check CRCs — pyarrow-style
+        # trust-the-transport) or padding; if decode "succeeds" the
+        # shape must still be sane and deterministic
+        assert px.size == want.size
+    except (ValueError, NotImplementedError, zlib.error, struct.error,
+            KeyError):
+        pass
