@@ -560,12 +560,13 @@ def read_all_manifests(out_dir: str) -> list[dict]:
     return out
 
 
-_PRED_OPS = ("=", "<", "<=", ">", ">=")
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _pred_may_match(zs, op: str, value) -> bool:
     """Can any value in [zs[0], zs[1]] satisfy ``op value``? Missing or
-    malformed stats -> True (never prune on absence of evidence)."""
+    malformed stats -> True (never prune on absence of evidence).
+    ``in`` takes a collection: may-match iff any member might."""
     try:
         mn, mx = zs
     except (TypeError, ValueError):
@@ -573,6 +574,8 @@ def _pred_may_match(zs, op: str, value) -> bool:
     if mn is None or mx is None:
         return True
     try:
+        if op == "in":
+            return any(mn <= v <= mx for v in value)
         if op == "=":
             return mn <= value <= mx
         if op == "<":
@@ -606,7 +609,8 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     part; wide: a catalyst filter the scan pushes down), so their bytes
     never reach a codec.
 
-    ``predicate``: ``(col, op, value)`` with op in ``=,<,<=,>,>=``, or a
+    ``predicate``: ``(col, op, value)`` with op one of
+    ``=,<,<=,>,>=,in`` (``in`` takes a collection of values), or a
     LIST of such triples (conjunction — every triple must hold) —
     zone-map predicate pushdown into the engine format. Each chunk's
     meta carries [min, max] bounds for string/int/float columns
@@ -669,8 +673,10 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
 
         for pcol, pop, pval in preds:
             c = F.col(pcol)
-            df = df.filter({"=": c == pval, "<": c < pval, "<=": c <= pval,
-                            ">": c > pval, ">=": c >= pval}[pop])
+            df = df.filter(
+                c.isin(list(pval)) if pop == "in" else
+                {"=": c == pval, "<": c < pval, "<=": c <= pval,
+                 ">": c > pval, ">=": c >= pval}[pop])
         return df
 
     if not narrow:

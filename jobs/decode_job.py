@@ -13,12 +13,13 @@ optional bit-identity verification against the original source.
 - [--columns=a,b]: decode only a projection — non-selected columns'
   payload pages are skipped at the parquet layer (row groups are
   column-aligned). Verification compares only the selected columns.
-- [--predicate=col,op,value]: zone-map predicate decode (op in
-  =,<,<=,>,>=); excluded parts prune at the driver via manifest zone
-  bounds, excluded chunks at the parquet read. Repeatable — multiple
-  flags form a conjunction (AND). The value is parsed as int, then
-  float, else kept as string. Verification (if src given) applies the
-  same filters to the source.
+- [--predicate=col,op,value]: zone-map predicate decode (op one of
+  =,<,<=,>,>=,in); excluded parts prune at the driver via manifest
+  zone bounds, excluded chunks at the parquet read. Repeatable —
+  multiple flags form a conjunction (AND); op "in" takes a
+  |-separated value list (--predicate=repo,in,a|b). Values parse as
+  int, then float, else stay strings. Verification (if src given)
+  applies the same filters to the source.
 """
 
 from __future__ import annotations
@@ -63,13 +64,19 @@ def main(argv: list[str]) -> int:
                       file=sys.stderr)
                 return 2
             pcol, pop, pval = parts
-            for cast in (int, float):
-                try:
-                    pval = cast(pval)
-                    break
-                except ValueError:
-                    continue
-            predicates.append((pcol, pop, pval))
+
+            def _cast(v):
+                for cast in (int, float):
+                    try:
+                        return cast(v)
+                    except ValueError:
+                        continue
+                return v
+
+            # op "in" takes a |-separated value list
+            pv = ([_cast(v) for v in pval.split("|")] if pop == "in"
+                  else _cast(pval))
+            predicates.append((pcol, pop, pv))
         else:
             args.append(a)
     predicate = predicates or None
@@ -123,6 +130,7 @@ def main(argv: list[str]) -> int:
         for pcol, pop, pval in (predicate or []):
             c = F.col(pcol)
             src_df = src_df.filter(
+                c.isin(list(pval)) if pop == "in" else
                 {"=": c == pval, "<": c < pval, "<=": c <= pval,
                  ">": c > pval, ">=": c >= pval}[pop])
         if columns is not None:

@@ -904,3 +904,28 @@ def test_predicate_conjunction_decode(spark, tmp_path):
     # single-triple form still works unchanged
     assert decode_table(spark, out,
                         predicate=("doc_id", "<", 10)).count() == 10
+
+
+def test_predicate_in_list_decode(spark, tmp_path):
+    """r5: op "in" prunes parts/chunks via the same zone machinery
+    (distinct-value lists make it exact on the clustered key) and stays
+    value-exact vs the source isin filter — alone and in conjunction."""
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    rows = [(i, i // 1000, f"doc {i} body") for i in range(8000)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long, text string")
+    out = str(tmp_path / "enc_in")
+    encode_table(spark, df, out, n_buckets=8,
+                 key_col="grp", salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",), zone_maps=("doc_id", "grp"))
+
+    got = decode_table(spark, out, predicate=("grp", "in", [1, 5]))
+    assert got.count() == df.filter(F.col("grp").isin(1, 5)).count()
+    # empty-match IN
+    assert decode_table(spark, out,
+                        predicate=("grp", "in", [99])).count() == 0
+    # conjunction with a range
+    got2 = decode_table(spark, out, predicate=[
+        ("grp", "in", [1, 5]), ("doc_id", ">=", 5200)])
+    want2 = df.filter(F.col("grp").isin(1, 5) & (F.col("doc_id") >= 5200))
+    assert got2.count() == want2.count()
