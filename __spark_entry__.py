@@ -1222,6 +1222,40 @@ def multimodal_features(spark, sf_dir):
     return extract_features(media).orderBy("media_id")
 
 
+def video_frame_stats(spark, sf_dir):
+    """Per-frame features over REAL animated GIFs (new r5 — stdlib LZW
+    decode, frame composition) mixed with FCSM synthetic videos
+    (rows-only: binary pipelines are not SQL-expressible; LZW/compose
+    semantics pinned by tests incl. a real compressing-LZW round-trip):
+    every 2nd frame's luma mean/std per video."""
+    _ensure_workers(spark)
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        MEDIA_SCHEMA, encode_gif_gray, frame_features, make_fake_media,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(55))
+    rows = []
+    for mid in range(4):
+        n_f = 3 + mid
+        frames = [
+            (rng.integers(0, 256, size=(12, 12), dtype=np.uint8) // 2
+             + 40 * i).astype(np.uint8)
+            for i in range(n_f)
+        ]
+        rows.append((mid, "video", 12, 12, n_f,
+                     bytearray(encode_gif_gray(frames))))
+    rows += [(10 + i, "video", 16, 16, 4 + i,
+              bytearray(make_fake_media(10 + i, "video", 16, 16, 4 + i)))
+             for i in range(3)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return (frame_features(media, every_n=2)
+            .withColumn("f_mean", F.round("f_mean", 4))
+            .withColumn("f_std", F.round("f_std", 4))
+            .orderBy("media_id", "frame_idx"))
+
+
 def multimodal_resize(spark, sf_dir):
     """Decode + area-average resize of image rows to an 8x8 grayscale
     plane (rows-only: binary media pipelines are not SQL-expressible;
@@ -1316,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_docs": winnow_overlap_docs,
         "pii_redaction_docs": pii_redaction_docs,
         "bpe_token_counts": bpe_token_counts,
+        "video_frame_stats": video_frame_stats,
     }
 
 

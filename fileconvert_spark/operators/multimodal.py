@@ -12,6 +12,11 @@ dispatch point, ``_decode_media``:
 - **PNG** (8-bit depth, gray/RGB/palette/gray-alpha/RGBA,
   non-interlaced) — REAL decode, stdlib ``zlib`` inflate + NumPy
   defiltering of all five PNG filter types (RFC 2083 §6);
+- **GIF** (87a/89a, incl. ANIMATED) — REAL decode: from-scratch LZW
+  (variable-width codes, 4096-entry table), global/local color tables,
+  interlace remap, multi-frame composition with disposal none/keep/
+  restore-to-background and GCE transparency — the video modality's
+  real format (``frame_features`` samples composed frames);
 - FCSM — the deterministic synthetic format used by tests/fixtures;
 - remaining compressed formats (JPEG/MP3/MP4, 16-bit/interlaced PNG...)
   raise ``NotImplementedError`` naming the env-block: their codecs need
@@ -257,6 +262,220 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int,
+                expected: int) -> np.ndarray:
+    """GIF LZW decode (GIF89a spec appendix F): variable-width codes
+    LSB-first, clear/end codes, table capped at 4096. Per-code Python
+    loop — inherent to LZW's sequential dictionary; bounded by the
+    frame's pixel count."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    out = np.empty(expected, dtype=np.uint8)
+    n_out = 0
+    buf = nbits = pos = 0
+    prev = None
+    while True:
+        while nbits < width and pos < len(data):
+            buf |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or len(table[code])):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF: corrupt LZW code {code}")
+        take = min(len(entry), expected - n_out)
+        if take > 0:
+            out[n_out:n_out + take] = np.frombuffer(entry, np.uint8)[:take]
+        n_out += len(entry)
+        if n_out >= expected:
+            break
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < expected:
+        raise ValueError(
+            f"GIF: LZW stream produced {n_out} of {expected} pixels")
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """GIF87a/89a -> grayscale frames, pure stdlib+NumPy: logical-screen
+    parse, global/local color tables, LZW decompression, interlace
+    remap, frame composition over the canvas with disposal methods
+    none/keep (1) and restore-to-background (2), and GCE transparency
+    (transparent pixels keep the underlying canvas). Returns
+    (w, h, n_frames, luma) with luma = all composed frames concatenated
+    (n_frames * w * h) — the first w*h slice is frame 0, so
+    single-image consumers read it unchanged. Disposal 3
+    (restore-previous) raises NotImplementedError (rare; honest)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n,
+                            offset=pos).reshape(-1, 3)
+        pos += 3 * n
+
+    def luma_lut(ct: np.ndarray) -> np.ndarray:
+        ct16 = ct.astype(np.uint16)
+        lut = np.zeros(256, dtype=np.uint8)
+        lut[: len(ct)] = ((77 * ct16[:, 0] + 150 * ct16[:, 1]
+                           + 29 * ct16[:, 2]) >> 8).astype(np.uint8)
+        return lut
+
+    bg_luma = (luma_lut(gct)[bg_index]
+               if gct is not None and bg_index < len(gct) else 0)
+    canvas = np.full((h, w), bg_luma, dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = None  # index from the pending GCE
+    disposal = 0
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                packed = payload[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                transparent = payload[pos + 4] if packed & 1 else None
+            while True:  # skip/consume sub-blocks
+                size = payload[pos]
+                pos += 1 + size
+                if size == 0:
+                    break
+            continue
+        if block != 0x2C:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+        li, lt, lw, lh = struct.unpack_from("<HHHH", payload, pos)
+        iflags = payload[pos + 8]
+        pos += 9
+        ct = gct
+        if iflags & 0x80:  # local color table
+            cn = 2 << (iflags & 0x07)
+            ct = np.frombuffer(payload, np.uint8, count=3 * cn,
+                               offset=pos).reshape(-1, 3)
+            pos += 3 * cn
+        if ct is None:
+            raise ValueError("GIF: image without any color table")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            size = payload[pos]
+            pos += 1
+            if size == 0:
+                break
+            chunks.append(payload[pos:pos + size])
+            pos += size
+        idx = _lzw_decode(b"".join(chunks), min_code, lw * lh)
+        idx = idx.reshape(lh, lw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate([np.arange(start, lh, step)
+                                    for start, step in _GIF_INTERLACE])
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[order] = idx
+            idx = deinterlaced
+        if disposal == 3:
+            raise NotImplementedError(
+                "GIF disposal method 3 (restore previous) unsupported")
+        region = canvas[lt:lt + lh, li:li + lw]
+        lum = luma_lut(ct)[idx]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = lum[mask]
+        else:
+            region[:] = lum
+        frames.append(canvas.copy().ravel())
+        if disposal == 2:  # restore region to background after display
+            canvas[lt:lt + lh, li:li + lw] = bg_luma
+        transparent = None
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF: no image frames")
+    return w, h, len(frames), np.concatenate(frames)
+
+
+def encode_gif_gray(frames, loop: bool = True) -> bytes:
+    """Minimal animated-GIF writer for tests/fixtures (stdlib only):
+    256-entry grayscale global table (palette index == luma), one
+    full-frame image per input (h, w) uint8 array, LZW emitted with a
+    clear code every 250 symbols so codes stay 9 bits ("uncompressed
+    GIF" technique). Round-trips exactly through _decode_gif."""
+    frames = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8))
+              for f in frames]
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)  # GCT, 256
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for f in frames:
+        assert f.shape == (h, w)
+        out += b"\x21\xf9\x04\x04\x00\x00\x00\x00"  # GCE: disposal 1
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += _gif_lzw_blocks(f.ravel())
+    out.append(0x3B)
+    return bytes(out)
+
+
+def _gif_lzw_blocks(indices: np.ndarray) -> bytes:
+    """min-code byte + LZW sub-blocks for an 8-bit index stream
+    (clear-heavy "uncompressed" emission, fixed 9-bit codes)."""
+    out = bytearray([8])
+    codes = [256]
+    for k, v in enumerate(indices):
+        if k and k % 250 == 0:
+            codes.append(256)  # clear: decoder table stays < 512
+        codes.append(int(v))
+    codes.append(257)  # end
+    buf = nbits = 0
+    data = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(buf & 0xFF)
+    for i in range(0, len(data), 255):
+        sub = data[i:i + 255]
+        out.append(len(sub))
+        out += sub
+    out.append(0)
+    return bytes(out)
+
+
 def _decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """PCM RIFF/WAVE -> sample array via the stdlib wave module.
     Mapping into the media schema: width = n_channels, height = bits per
@@ -291,10 +510,13 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_wav(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
         "compressed media decoding (JPEG/MP3/MP4...) needs PIL/ffmpeg, "
         "which this environment does not provide; decodable here: "
-        "PNG (8-bit), uncompressed BMP, PCM WAV, FCSM synthetic blobs")
+        "PNG (8-bit), GIF (incl. animated), uncompressed BMP, PCM WAV, "
+        "FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:
@@ -499,10 +721,53 @@ def audio_features(df: DataFrame, id_col: str = "media_id") -> DataFrame:
         kernel, schema=AUDIO_SCHEMA.replace("media_id", id_col))
 
 
+FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_idx int, f_mean double, f_std double"
+)
+
+
+def frame_features(df: DataFrame, every_n: int = 2,
+                   id_col: str = "media_id") -> DataFrame:
+    """REAL per-frame features for multi-frame media (animated GIF since
+    r5; FCSM synthetic videos pad/truncate to the frame grid): decode
+    each video payload once, slice every ``every_n``-th composed frame,
+    emit its luma mean/std. Arrow-batched mapInPandas; the per-blob
+    decode loop is inherent to blob decode, the per-frame math is one
+    reshape + vectorized reduction over the frame axis."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].to_numpy(),
+                                    pdf["payload"].to_numpy()):
+                w, h, f, px = _decode_media(bytes(payload))
+                fsize = max(w * h, 1)
+                want = f * fsize
+                if px.size != want:  # 1-D synthetic bodies
+                    buf = np.zeros(want, dtype=np.uint8)
+                    m = min(px.size, want)
+                    buf[:m] = px[:m]
+                    px = buf
+                grid = px.reshape(f, fsize).astype(np.float64)
+                sel = np.arange(0, f, max(every_n, 1))
+                means = grid[sel].mean(axis=1)
+                stds = grid[sel].std(axis=1)
+                rows.extend(
+                    (int(mid), int(i), float(mu), float(sd))
+                    for i, mu, sd in zip(sel, means, stds))
+            yield pd.DataFrame(rows, columns=[
+                id_col, "frame_idx", "f_mean", "f_std"])
+
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        kernel, schema=FRAME_FEATURE_SCHEMA.replace("media_id", id_col))
+
+
 def frame_sample(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing for video rows: explode frame indices
-    JVM-side (the stub has no real frames to decode, so this demonstrates
-    the partition/batch shape only)."""
+    JVM-side — the index-only shape for when frames need no decode
+    (see frame_features for the decoding path)."""
     from pyspark.sql import functions as F
 
     return (

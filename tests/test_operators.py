@@ -1185,3 +1185,176 @@ def test_pii_redaction_no_catastrophic_backtracking(spark):
     t0 = time.time()
     df.select(redact_pii(F.col("text")).alias("r")).collect()
     assert time.time() - t0 < 4.0  # was ~40 s combined before hardening
+
+
+def test_gif_roundtrip_and_real_lzw_dictionary_growth():
+    """r5: GIF decode for REAL (stdlib + NumPy LZW). The fixture writer
+    round-trips multi-frame animations exactly, and a REAL compressing
+    LZW encoder (growing dictionary, variable code widths, the cScSc
+    edge case) written here from the spec also decodes exactly."""
+    import struct
+
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, _lzw_decode, encode_gif_gray,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    frames = [rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+              for _ in range(3)]
+    w, h, f, px = _decode_media(encode_gif_gray(frames))
+    assert (w, h, f) == (11, 9, 3)
+    got = px.reshape(3, 9, 11)
+    for i in range(3):
+        assert np.array_equal(got[i], frames[i])
+
+    def lzw_compress(data, min_code=8):
+        # textbook GIF LZW: string table, widths grow 9->12, clear at cap
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code, width = end + 1, min_code + 1
+        out, buf, nbits = [clear], 0, 0
+        emitted = bytearray()
+
+        def emit(code, width):
+            nonlocal buf, nbits
+            buf |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                emitted.append(buf & 0xFF)
+                buf >>= 8
+                nbits -= 8
+
+        widths = []
+        cur = b""
+        for b in bytes(data):
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            widths.append((table[cur], width))
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+            if next_code == 4096:
+                widths.append((clear, width))
+                table = {bytes([i]): i for i in range(clear)}
+                next_code, width = end + 1, min_code + 1
+            cur = bytes([b])
+        if cur:
+            widths.append((table[cur], width))
+        widths.append((end, width))
+        for code, wd in widths:
+            emit(code, wd)
+        if nbits:
+            emitted.append(buf & 0xFF)
+        return bytes(emitted)
+
+    # repetitive data drives dictionary growth; 'ababab...' shapes hit
+    # the code==len(table) (cScSc) branch
+    for pattern in (b"ab" * 3000,
+                    bytes(rng.integers(0, 4, size=5000, dtype=np.uint8)),
+                    b"\x00" * 4000,
+                    bytes(rng.integers(0, 256, size=6000,
+                                       dtype=np.uint8))):
+        dec = _lzw_decode(lzw_compress(pattern), 8, len(pattern))
+        assert bytes(dec) == pattern, pattern[:10]
+
+    # decoder width bump must track the encoder exactly: the compressed
+    # stream of 6000 random bytes is >4096 table entries -> a mid-stream
+    # clear was emitted and decoded (implicitly covered above)
+
+    # wrong expected length raises, never silent truncation
+    import pytest
+
+    with pytest.raises(ValueError, match="LZW stream produced"):
+        _lzw_decode(lzw_compress(b"abc"), 8, 10)
+
+
+def test_gif_transparency_disposal_and_interlace():
+    """Frame composition semantics: a transparent patch keeps the
+    underlying canvas, disposal 2 restores the region to background,
+    and interlaced frames deinterlace to the same pixels."""
+    import struct
+
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, _gif_lzw_blocks,
+    )
+
+    w = h = 8
+    base = np.full((h, w), 5, dtype=np.uint8)
+    patch = np.full((h, w), 9, dtype=np.uint8)
+    patch[:4, :4] = 7  # index 7 will be declared transparent
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 3, 0)  # bg index 3
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    # frame 1: full base, disposal 2 (restore to background after)
+    out += b"\x21\xf9\x04" + bytes([2 << 2]) + b"\x00\x00\x00\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += _gif_lzw_blocks(base.ravel())
+    # frame 2: full patch with transparent index 7
+    out += b"\x21\xf9\x04" + bytes([(1 << 2) | 1]) + b"\x00\x00\x07\x00"
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += _gif_lzw_blocks(patch.ravel())
+    out.append(0x3B)
+
+    gw, gh, gf, px = _decode_media(bytes(out))
+    assert (gw, gh, gf) == (w, h, 2)
+    f1, f2 = px.reshape(2, h, w)
+    assert (f1 == 5).all()
+    # disposal 2 cleared frame 1 to background (index 3 -> luma 3), so
+    # the transparent quadrant of frame 2 shows BACKGROUND, not 5
+    assert (f2[:4, :4] == 3).all()
+    assert (f2[4:, 4:] == 9).all()
+
+    # interlaced variant of a single frame == sequential variant
+    rng = np.random.Generator(np.random.PCG64(8))
+    img = rng.integers(0, 256, size=(16, 8), dtype=np.uint8)
+    order = np.concatenate([np.arange(s, 16, st)
+                            for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))])
+    seq = bytearray(b"GIF89a")
+    seq += struct.pack("<HHBBB", 8, 16, 0x80 | 0x07, 0, 0)
+    seq += bytes(v for i in range(256) for v in (i, i, i))
+    seq += b"\x2c" + struct.pack("<HHHHB", 0, 0, 8, 16, 0x40)  # interlaced
+    seq += _gif_lzw_blocks(img[order].ravel())  # rows in interlace order
+    seq.append(0x3B)
+    _, _, _, ipx = _decode_media(bytes(seq))
+    assert np.array_equal(ipx.reshape(16, 8), img)
+
+
+def test_frame_features_on_real_animated_gif(spark):
+    """Per-frame features over a REAL animated GIF through Spark: frame
+    means must track the planted per-frame brightness, and sampling
+    every_n=2 keeps exactly the even frames. FCSM synthetic videos flow
+    through the same kernel."""
+    import numpy as np
+
+    from fileconvert_spark.operators.multimodal import (
+        encode_gif_gray, frame_features, make_fake_media,
+    )
+
+    levels = [10, 80, 150, 220]
+    frames = [np.full((6, 6), v, dtype=np.uint8) for v in levels]
+    gif = encode_gif_gray(frames)
+    fake = make_fake_media(3, "video", 8, 8, 5)
+    df = spark.createDataFrame(
+        [(1, "video", 6, 6, 4, bytearray(gif)),
+         (2, "image", 6, 6, 1, bytearray(gif)),  # filtered out
+         (3, "video", 8, 8, 5, bytearray(fake))],
+        "media_id long, kind string, width int, height int, n_frames int, "
+        "payload binary")
+    rows = frame_features(df, every_n=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], {})[r["frame_idx"]] = r
+    assert set(by_media) == {1, 3}
+    assert sorted(by_media[1]) == [0, 2]
+    assert by_media[1][0]["f_mean"] == 10.0
+    assert by_media[1][2]["f_mean"] == 150.0
+    assert by_media[1][0]["f_std"] == 0.0
+    assert sorted(by_media[3]) == [0, 2, 4]
