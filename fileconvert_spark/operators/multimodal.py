@@ -332,6 +332,15 @@ def _decode_gif(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     (restore-previous) raises NotImplementedError (rare; honest)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as e:
+        # ran off the end of a truncated/corrupted stream mid-parse —
+        # surface it as the same loud ValueError family as bad LZW data
+        raise ValueError(f"GIF: truncated or corrupt stream ({e})") from e
+
+
+def _decode_gif_inner(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h = struct.unpack_from("<HH", payload, 6)
     flags = payload[10]
     bg_index = payload[11]

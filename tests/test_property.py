@@ -344,3 +344,43 @@ def test_png_corruption_never_silent(cut, xor, pos):
     except (ValueError, NotImplementedError, zlib.error, struct.error,
             KeyError):
         pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(cut=st.integers(7, 400), xor=st.integers(1, 255),
+       pos=st.integers(6, 399))
+def test_gif_corruption_never_silent(cut, xor, pos):
+    """Truncated or bit-flipped GIF bytes must raise ValueError /
+    NotImplementedError — never an uncaught IndexError and never
+    silently wrong pixels of the wrong shape."""
+    import numpy as np
+    from fileconvert_spark.operators.multimodal import (
+        _decode_media, encode_gif_gray,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = [rng.integers(0, 256, size=(6, 7), dtype=np.uint8)
+           for _ in range(2)]
+    blob = encode_gif_gray(img)
+    want = np.concatenate([f.ravel() for f in img])
+
+    truncated = blob[: min(cut, len(blob) - 1)]
+    try:
+        _, _, f, px = _decode_media(truncated)
+        # acceptable only if the cut fell after a complete frame set:
+        # every returned frame must be bit-exact
+        assert f >= 1 and np.array_equal(px, want[: px.size])
+    except (ValueError, NotImplementedError):
+        pass
+
+    p = min(pos, len(blob) - 1)
+    flipped = blob[:p] + bytes([blob[p] ^ xor]) + blob[p + 1:]
+    try:
+        gw, gh, f, px = _decode_media(flipped)
+        # GIF carries no checksums, so a header flip can legitimately
+        # decode at different declared dims — but the result must be
+        # internally consistent (whole frames of the declared size),
+        # never a torn buffer
+        assert px.size == f * gw * gh
+    except (ValueError, NotImplementedError):
+        pass
