@@ -265,20 +265,29 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
 def _lzw_decode(data: bytes, min_code_size: int,
                 expected: int) -> np.ndarray:
     """GIF LZW decode (GIF89a spec appendix F): variable-width codes
-    LSB-first, clear/end codes, table capped at 4096. Per-code Python
-    loop — inherent to LZW's sequential dictionary; bounded by the
-    frame's pixel count."""
+    LSB-first, clear/end codes, table capped at 4096.
+
+    Output-backreference form: every table entry's string is, by LZW
+    construction, a CONTIGUOUS slice of the output already produced
+    (entry = previous emission + the byte emitted right after it), so
+    the table stores (start, length) pairs into the output buffer and
+    each code becomes one vectorized slice copy — no per-code bytes
+    allocation, no per-byte Python. The loop itself stays per-CODE
+    (inherent to LZW's sequential dictionary)."""
     clear = 1 << min_code_size
     end = clear + 1
-    base = [bytes([i]) for i in range(clear)] + [b"", b""]
-    table = list(base)
-    width = min_code_size + 1
     out = np.empty(expected, dtype=np.uint8)
-    n_out = 0
+    starts = np.zeros(4096, dtype=np.int64)
+    lens = np.zeros(4096, dtype=np.int64)
+    n_table = end + 1
+    width = min_code_size + 1
     buf = nbits = pos = 0
-    prev = None
+    n = 0
+    prev_start = prev_len = 0
+    have_prev = False
+    data_len = len(data)
     while True:
-        while nbits < width and pos < len(data):
+        while nbits < width and pos < data_len:
             buf |= data[pos] << nbits
             nbits += 8
             pos += 1
@@ -288,32 +297,46 @@ def _lzw_decode(data: bytes, min_code_size: int,
         buf >>= width
         nbits -= width
         if code == clear:
-            table = list(base)
+            n_table = end + 1
             width = min_code_size + 1
-            prev = None
+            have_prev = False
             continue
         if code == end:
             break
-        if code < len(table) and (code < clear or len(table[code])):
-            entry = table[code]
-        elif code == len(table) and prev is not None:
-            entry = prev + prev[:1]
+        room = expected - n
+        if code < clear:  # literal byte
+            length = 1
+            if room > 0:
+                out[n] = code
+        elif code < n_table and code > end:  # existing entry: slice copy
+            s0, length = int(starts[code]), int(lens[code])
+            take = min(length, room)
+            if take > 0:
+                out[n:n + take] = out[s0:s0 + take]
+        elif code == n_table and have_prev:  # cScSc: prev + prev[0]
+            length = prev_len + 1
+            t1 = min(prev_len, room)
+            if t1 > 0:
+                out[n:n + t1] = out[prev_start:prev_start + t1]
+            if room > prev_len:
+                out[n + prev_len] = out[prev_start]
         else:
             raise ValueError(f"GIF: corrupt LZW code {code}")
-        take = min(len(entry), expected - n_out)
-        if take > 0:
-            out[n_out:n_out + take] = np.frombuffer(entry, np.uint8)[:take]
-        n_out += len(entry)
-        if n_out >= expected:
-            break
-        if prev is not None and len(table) < 4096:
-            table.append(prev + entry[:1])
-            if len(table) == (1 << width) and width < 12:
+        if have_prev and n_table < 4096:
+            # new entry = prev emission + its following byte — exactly
+            # out[prev_start : prev_start + prev_len + 1], contiguous
+            starts[n_table] = prev_start
+            lens[n_table] = prev_len + 1
+            n_table += 1
+            if n_table == (1 << width) and width < 12:
                 width += 1
-        prev = entry
-    if n_out < expected:
+        prev_start, prev_len, have_prev = n, length, True
+        n += length
+        if n >= expected:
+            break
+    if n < expected:
         raise ValueError(
-            f"GIF: LZW stream produced {n_out} of {expected} pixels")
+            f"GIF: LZW stream produced {n} of {expected} pixels")
     return out
 
 
