@@ -17,6 +17,8 @@ dispatch point, ``_decode_media``:
   interlace remap, multi-frame composition with disposal none/keep/
   restore-to-background and GCE transparency — the video modality's
   real format (``frame_features`` samples composed frames);
+- **netpbm** (binary P5 grayscale / P6 RGB, maxval <= 255) — REAL
+  decode, one frombuffer (TGA is deliberately not sniffed: no magic);
 - FCSM — the deterministic synthetic format used by tests/fixtures;
 - remaining compressed formats (JPEG/MP3/MP4, 16-bit/interlaced PNG...)
   raise ``NotImplementedError`` naming the env-block: their codecs need
@@ -260,6 +262,50 @@ def encode_png_gray(pixels: np.ndarray) -> bytes:
             + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary netpbm: P5 (grayscale) / P6 (RGB), maxval <= 255 ->
+    grayscale pixels. Header tokens may be separated by any whitespace
+    and '#' comments (the spec's token rules); the raster follows the
+    single whitespace byte after maxval. (TGA is deliberately NOT
+    dispatched: the format has no magic bytes, so sniffing it would
+    misclassify arbitrary binaries.)"""
+    kind = payload[:2]
+    pos = 2
+    tokens: list[int] = []
+    n = len(payload)
+    while len(tokens) < 3 and pos < n:
+        c = payload[pos]
+        if c == 0x23:  # '#' comment to end of line
+            while pos < n and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+        elif c in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+            pos += 1
+        else:
+            start = pos
+            while pos < n and payload[pos] not in (
+                    0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+    if len(tokens) < 3:
+        raise ValueError("PNM: truncated header")
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("PNM: 16-bit samples unsupported")
+    pos += 1  # the single whitespace after maxval
+    ch = 1 if kind == b"P5" else 3
+    need = w * h * ch
+    if n - pos < need:
+        raise ValueError(f"PNM: raster truncated ({n - pos} < {need})")
+    px = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    if ch == 1:
+        gray = px
+    else:
+        rgb = px.reshape(h, w, 3).astype(np.uint16)
+        gray = ((77 * rgb[:, :, 0] + 150 * rgb[:, :, 1]
+                 + 29 * rgb[:, :, 2]) >> 8).astype(np.uint8).ravel()
+    return w, h, 1, gray
 
 
 def _lzw_decode(data: bytes, min_code_size: int,
@@ -544,11 +590,14 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] in (b"P5", b"P6") and len(payload) > 2 \
+            and payload[2] in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
+        return _decode_pnm(payload)
     raise NotImplementedError(
         "compressed media decoding (JPEG/MP3/MP4...) needs PIL/ffmpeg, "
         "which this environment does not provide; decodable here: "
-        "PNG (8-bit), GIF (incl. animated), uncompressed BMP, PCM WAV, "
-        "FCSM synthetic blobs")
+        "PNG (8-bit), GIF (incl. animated), netpbm P5/P6, uncompressed "
+        "BMP, PCM WAV, FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -1358,3 +1358,33 @@ def test_frame_features_on_real_animated_gif(spark):
     assert by_media[1][2]["f_mean"] == 150.0
     assert by_media[1][0]["f_std"] == 0.0
     assert sorted(by_media[3]) == [0, 2, 4]
+
+
+def test_pnm_decode_p5_p6():
+    """r5: binary netpbm decodes for real — P5 grayscale is exact, P6
+    RGB collapses to the shared BT.601 luma, header comments and
+    whitespace variants parse, truncation raises."""
+    import numpy as np
+    import pytest
+
+    from fileconvert_spark.operators.multimodal import _decode_media
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    g = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n9 5\n255\n" + g.tobytes()
+    w, h, f, px = _decode_media(p5)
+    assert (w, h, f) == (9, 5, 1)
+    assert np.array_equal(px.reshape(5, 9), g)
+
+    rgb = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    p6 = b"P6 3 4 255\n" + rgb.tobytes()
+    _, _, _, px = _decode_media(p6)
+    r3 = rgb.astype(int)
+    want = ((77 * r3[:, :, 0] + 150 * r3[:, :, 1]
+             + 29 * r3[:, :, 2]) >> 8).astype(np.uint8)
+    assert np.array_equal(px.reshape(4, 3), want)
+
+    with pytest.raises(ValueError, match="raster truncated"):
+        _decode_media(b"P5\n9 5\n255\n" + g.tobytes()[:10])
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _decode_media(b"P5\n2 2\n65535\n" + b"\x00" * 8)
