@@ -1120,11 +1120,21 @@ def enc_predicate_scan(spark, sf_dir):
         _encode()
     dec = decode_table(spark, enc_dir, predicate=("doc_id", "<", 100))
     want = d.filter(F.col("doc_id") < 100)
+    # r6: disjunction over the same zone machinery — two disjoint
+    # doc_id ranges prune to the union of each branch's keeps
+    hi = d.agg(F.max("doc_id")).first()[0] or 0
+    dec_or = decode_table(spark, enc_dir, predicate=(
+        "or", [("doc_id", "<", 50), ("doc_id", ">=", hi - 50)]))
+    want_or = d.filter((F.col("doc_id") < 50)
+                       | (F.col("doc_id") >= hi - 50)).count()
     return dec.agg(
         F.count("*").alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
         (F.count("*") == F.lit(want.count())).alias("matches_raw_filter"),
-    )
+    ).crossJoin(dec_or.agg(
+        F.count("*").alias("n_rows_or"),
+        (F.count("*") == F.lit(want_or)).alias("or_matches_raw_filter"),
+    ))
 
 
 def audio_feature_stats(spark, sf_dir):

@@ -293,7 +293,17 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     w, h, maxval = tokens
     if maxval > 255:
         raise NotImplementedError("PNM: 16-bit samples unsupported")
-    pos += 1  # the single whitespace after maxval
+    # netpbm allows '#' comments anywhere in header whitespace — including
+    # immediately after the maxval digits ("255#c\n<raster>"); skip them
+    # before consuming the single mandatory whitespace byte, and refuse to
+    # treat anything else as that whitespace (comment/garbage bytes must
+    # never be silently read as raster pixels)
+    while pos < n and payload[pos] == 0x23:
+        while pos < n and payload[pos] not in (0x0A, 0x0D):
+            pos += 1
+    if pos >= n or payload[pos] not in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C):
+        raise ValueError("PNM: expected whitespace after maxval")
+    pos += 1  # the single whitespace before the raster
     ch = 1 if kind == b"P5" else 3
     need = w * h * ch
     if n - pos < need:

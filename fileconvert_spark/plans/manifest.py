@@ -563,6 +563,129 @@ def read_all_manifests(out_dir: str) -> list[dict]:
 _PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
+def normalize_predicate(predicate):
+    """Normalize a user predicate into a nested boolean tree.
+
+    Accepted shapes (composable):
+      - triple ``(col, op, value)`` with op in ``=,<,<=,>,>=,in``
+        (``in`` takes a collection of values)
+      - plain list/tuple of predicates — conjunction (AND), the historic
+        shape
+      - tagged pair ``("and", [preds...])`` / ``("or", [preds...])`` —
+        explicit boolean combinators, nestable to any depth
+
+    Returns ``("leaf", col, op, value)`` / ``("and", [nodes])`` /
+    ``("or", [nodes])``, or None for an empty predicate. Any other shape
+    raises ValueError naming the expected forms up front — a malformed
+    predicate must fail loudly here, not as an opaque unpack error deep
+    in the decode path.
+    """
+    if predicate is None:
+        return None
+    node = _norm_pred(predicate)
+    return node
+
+
+def _norm_pred(p):
+    def bad(detail: str) -> ValueError:
+        return ValueError(
+            f"decode predicate: {detail}; expected a (col, op, value) "
+            f"triple with op in {_PRED_OPS}, a list of predicates (AND), "
+            f"or ('and'|'or', [predicates...]) — got {p!r}")
+
+    if not isinstance(p, (list, tuple)):
+        raise bad(f"not a sequence: {type(p).__name__}")
+    if (len(p) == 3 and isinstance(p[0], str)
+            and isinstance(p[1], str) and p[1] in _PRED_OPS):
+        col, op, val = p
+        if op == "in" and not isinstance(val, (list, tuple, set, frozenset)):
+            raise bad("op 'in' needs a collection of values")
+        return ("leaf", col, op, list(val) if op == "in" else val)
+    if len(p) == 2 and p[0] in ("and", "or"):
+        tag, subs = p
+        if not isinstance(subs, (list, tuple)) or not subs:
+            raise bad(f"('{tag}', ...) needs a non-empty list of predicates")
+        return (tag, [_norm_pred(s) for s in subs])
+    if len(p) == 0:
+        return None
+    if (len(p) == 3 and isinstance(p[0], str) and isinstance(p[1], str)):
+        raise bad(f"op {p[1]!r} not in {_PRED_OPS}")
+    # plain sequence of predicates = conjunction
+    if not all(isinstance(s, (list, tuple)) for s in p):
+        raise bad("a conjunction list must contain only predicates "
+                  "(triples / tagged pairs / nested lists)")
+    subs = [_norm_pred(s) for s in p]
+    return subs[0] if len(subs) == 1 else ("and", subs)
+
+
+def pred_columns(node) -> set:
+    """Every column name referenced anywhere in a predicate tree."""
+    if node is None:
+        return set()
+    if node[0] == "leaf":
+        return {node[1]}
+    out: set = set()
+    for s in node[1]:
+        out |= pred_columns(s)
+    return out
+
+
+def predicate_column_expr(node):
+    """Catalyst Column for a predicate tree — the EXACT filter applied on
+    top of zone pruning (zone maps only prune; rows are still filtered
+    precisely)."""
+    import functools
+    import operator as _op
+
+    from pyspark.sql import functions as F
+
+    if node[0] == "leaf":
+        _, col, op, val = node
+        c = F.col(col)
+        return (c.isin(list(val)) if op == "in" else
+                {"=": c == val, "<": c < val, "<=": c <= val,
+                 ">": c > val, ">=": c >= val}[op])
+    exprs = [predicate_column_expr(s) for s in node[1]]
+    return functools.reduce(
+        _op.and_ if node[0] == "and" else _op.or_, exprs)
+
+
+def _may_match_part(node, zones: dict) -> bool:
+    """Can any row of a part satisfy the predicate tree, judging only by
+    the part's manifest zone bounds? Missing bounds -> True (absence of
+    evidence never prunes). AND prunes if ANY branch is impossible; OR
+    prunes only if EVERY branch is impossible — each is an upper bound
+    on satisfiability, so pruning is always safe."""
+    if node[0] == "leaf":
+        _, col, op, val = node
+        ivs = zones.get(col)
+        if not ivs:
+            return True
+        return any(_pred_may_match(iv, op, val) for iv in ivs)
+    if node[0] == "and":
+        return all(_may_match_part(s, zones) for s in node[1])
+    return any(_may_match_part(s, zones) for s in node[1])
+
+
+def _may_match_chunk(node, stats: dict, cid: int) -> bool:
+    """Same logic at chunk granularity: ``stats[(col, cid)]`` holds the
+    chunk's meta dict with ``zs`` [min, max] bounds and optionally
+    ``zsv`` (distinct-value list — exact membership on low-cardinality
+    chunks, see operators/encode.py _zone_stats)."""
+    if node[0] == "leaf":
+        _, col, op, val = node
+        md = stats.get((col, cid))
+        if md is None:
+            return True  # no stats -> may match
+        zsv = md.get("zsv")
+        if zsv is not None:
+            return any(_pred_may_match([v, v], op, val) for v in zsv)
+        return _pred_may_match(md.get("zs"), op, val)
+    if node[0] == "and":
+        return all(_may_match_chunk(s, stats, cid) for s in node[1])
+    return any(_may_match_chunk(s, stats, cid) for s in node[1])
+
+
 def _pred_may_match(zs, op: str, value) -> bool:
     """Can any value in [zs[0], zs[1]] satisfy ``op value``? Missing or
     malformed stats -> True (never prune on absence of evidence).
@@ -610,9 +733,14 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     never reach a codec.
 
     ``predicate``: ``(col, op, value)`` with op one of
-    ``=,<,<=,>,>=,in`` (``in`` takes a collection of values), or a
-    LIST of such triples (conjunction — every triple must hold) —
-    zone-map predicate pushdown into the engine format. Each chunk's
+    ``=,<,<=,>,>=,in`` (``in`` takes a collection of values), a
+    LIST of predicates (conjunction — every one must hold), or a tagged
+    boolean combinator ``("and"|"or", [predicates...])`` nestable to any
+    depth (see normalize_predicate) — zone-map predicate pushdown into
+    the engine format. A disjunction prunes a part/chunk only when EVERY
+    branch is impossible by its bounds (union of keeps), so
+    ``("or", [("repo","=",a), ("repo","=",b)])`` on a clustered table
+    reads exactly the parts holding either repo. Each chunk's
     meta carries [min, max] bounds for string/int/float columns
     (operators/encode.py _zone_stats), and each part's MANIFEST carries
     the part-level fold of those bounds. Pruning happens at two levels
@@ -644,19 +772,12 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         json.loads(fsio.read_bytes(os.path.join(out_dir, "_schema.json")))
     )
     all_names = {f.name for f in schema.fields}
-    # normalize: one (col, op, val) triple or a list of them (AND)
-    if predicate is None:
-        preds: list[tuple] = []
-    elif len(predicate) == 3 and isinstance(predicate[0], str):
-        preds = [tuple(predicate)]
-    else:
-        preds = [tuple(p) for p in predicate]
-    for pcol, pop, _pv in preds:
+    # normalize into the boolean predicate tree (validates shape/ops)
+    pred = normalize_predicate(predicate)
+    pcols_all = sorted(pred_columns(pred))
+    for pcol in pcols_all:
         if pcol not in all_names:
             raise ValueError(f"decode_table: unknown predicate column {pcol!r}")
-        if pop not in _PRED_OPS:
-            raise ValueError(
-                f"decode_table: predicate op {pop!r} not in {_PRED_OPS}")
         if columns is not None and pcol not in columns:
             raise ValueError(
                 "decode_table: predicate column must be in the projection")
@@ -669,15 +790,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     data_dir = os.path.join(out_dir, "data")
 
     def _exact_filter(df):
-        from pyspark.sql import functions as F
-
-        for pcol, pop, pval in preds:
-            c = F.col(pcol)
-            df = df.filter(
-                c.isin(list(pval)) if pop == "in" else
-                {"=": c == pval, "<": c < pval, "<=": c <= pval,
-                 ">": c > pval, ">=": c >= pval}[pop])
-        return df
+        return df.filter(predicate_column_expr(pred)) if pred else df
 
     if not narrow:
         from pyspark.sql import functions as F
@@ -692,7 +805,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         for f in fsio.listdir(data_dir)
         if f.endswith(".parquet")
     ]
-    if preds:
+    if pred:
         # manifest pruning (Iceberg pattern, r5): every part manifest
         # carries part-level zone bounds per zone column; one driver-side
         # read of the (consolidated) manifest list drops excluded parts
@@ -702,20 +815,13 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         # fixed cost dominates); pruning at the driver makes it scale
         # with matching parts, not total parts. Manifests without zones
         # (or a missing bound for the column) keep the part: absence of
-        # evidence never prunes. Conjunctions: a part survives only if
-        # EVERY predicate may-match (each prunes independently).
+        # evidence never prunes. AND: a part survives only if EVERY
+        # branch may-match; OR: it survives if ANY branch may-match
+        # (union of keeps over the same bounds — see _may_match_part).
         zones_by_part = {
             int(m["part_id"]): m.get("zones") or {}
             for m in read_all_manifests(out_dir)
         }
-
-        def _part_may_match(zb: dict) -> bool:
-            for pcol, pop, pval in preds:
-                ivs = zb.get(pcol)
-                if ivs and not any(_pred_may_match(iv, pop, pval)
-                                   for iv in ivs):
-                    return False
-            return True
 
         kept_files = []
         for p in files:
@@ -726,7 +832,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                 kept_files.append(p)
                 continue
             zb = zones_by_part.get(pid)
-            if zb is None or _part_may_match(zb):
+            if zb is None or _may_match_part(pred, zb):
                 kept_files.append(p)
         files = kept_files
     column_order = [f.name for f in schema.fields]
@@ -746,17 +852,17 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
             for path_val in b.column(0):
                 path = path_val.as_py()
                 part_flt = list(flt) if flt else None
-                if preds:
+                if pred:
                     # zone-map pass: the predicate columns' meta rows are
                     # tiny; excluded chunks are dropped via the chunk_id
                     # filter (skips decode cost; their payload bytes are
                     # still read unless the WHOLE part prunes — row
                     # groups are per-column, see decode_table docstring).
-                    # A chunk survives only if EVERY predicate may-match
-                    # its column's stats (AND semantics).
-                    pcols = sorted({pc for pc, _, _ in preds})
+                    # AND/OR follow _may_match_chunk: a chunk survives an
+                    # AND only if every branch may-match, an OR if any
+                    # branch does.
                     zmeta = fsio2.read_parquet(
-                        path, filters=[("column", "in", pcols)],
+                        path, filters=[("column", "in", pcols_all)],
                         columns=["column", "chunk_id", "meta"])
                     stats: dict[tuple, dict] = {}
                     chunk_ids = set()
@@ -767,26 +873,8 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                         stats[(col, int(cid))] = json.loads(mj)
                         chunk_ids.add(int(cid))
 
-                    def _chunk_ok(cid: int) -> bool:
-                        for pcol, pop, pval in preds:
-                            md = stats.get((pcol, cid))
-                            if md is None:
-                                continue  # no stats -> may match
-                            zsv = md.get("zsv")
-                            if zsv is not None:
-                                # exact membership on low-cardinality
-                                # chunks (see _zone_stats)
-                                if not any(_pred_may_match([v, v], pop,
-                                                           pval)
-                                           for v in zsv):
-                                    return False
-                            elif not _pred_may_match(md.get("zs"), pop,
-                                                     pval):
-                                return False
-                        return True
-
                     keep = [cid for cid in sorted(chunk_ids)
-                            if _chunk_ok(cid)]
+                            if _may_match_chunk(pred, stats, cid)]
                     if not keep:
                         continue  # whole part pruned
                     if len(keep) < len(chunk_ids):

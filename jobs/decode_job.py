@@ -16,10 +16,15 @@ optional bit-identity verification against the original source.
 - [--predicate=col,op,value]: zone-map predicate decode (op one of
   =,<,<=,>,>=,in); excluded parts prune at the driver via manifest
   zone bounds, excluded chunks at the parquet read. Repeatable —
-  multiple flags form a conjunction (AND); op "in" takes a
-  |-separated value list (--predicate=repo,in,a|b). Values parse as
-  int, then float, else stay strings. Verification (if src given)
-  applies the same filters to the source.
+  multiple flags form a conjunction (AND); WITHIN one flag,
+  ;-separated triples form a disjunction (OR):
+  --predicate="repo,=,a;repo,=,b" reads the parts holding either
+  repo. op "in" takes a |-separated value list (--predicate=repo,in,a|b).
+  Values cast by the encoded table's OWN column type (_schema.json) —
+  a string column keeps digit-like values as strings ('007' matches
+  '007', never 7); quote a value ('x' or "x") to force string
+  regardless. Verification (if src given) applies the same filters to
+  the source.
 """
 
 from __future__ import annotations
@@ -47,44 +52,96 @@ def _ship_package(spark) -> None:
         pass
 
 
+def _schema_caster(enc_dir: str):
+    """Value caster resolved against the encoded table's own column types
+    (_schema.json) — NOT try-int-then-float guessing: a string column
+    with digit-like values ('007') must compare as the literal string,
+    or Spark casts the COLUMN to int and '007' matches 7 (and zone
+    pruning silently disables on the type mismatch). Quoting ('x'/"x")
+    forces string for any column."""
+    import json as _json
+
+    from fileconvert_spark.plans import fsio
+
+    fields = _json.loads(
+        fsio.read_bytes(os.path.join(enc_dir, "_schema.json")))["fields"]
+    types = {f["name"]: f["type"] for f in fields
+             if isinstance(f.get("type"), str)}
+
+    def cast(col: str, v: str):
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in ("'", '"'):
+            return v[1:-1]  # explicit string literal
+        t = types.get(col)
+        try:
+            if t in ("byte", "short", "integer", "long"):
+                return int(v)
+            if t in ("float", "double", "decimal"):
+                return float(v)
+            if t == "boolean":
+                return v.lower() in ("1", "true", "t", "yes")
+            if t == "string":
+                return v
+        except ValueError as e:
+            raise SystemExit(
+                f"decode_job: predicate value {v!r} does not parse as the "
+                f"{t} column {col!r}") from e
+        # unknown/absent column type: legacy int-then-float guess (the
+        # unknown-column error surfaces later in decode_table)
+        for c in (int, float):
+            try:
+                return c(v)
+            except ValueError:
+                continue
+        return v
+
+    return cast
+
+
+def _parse_predicates(raw_flags: list[str], cast) -> list | None:
+    """Each flag is an OR of ;-separated triples; flags AND together."""
+    conj = []
+    for raw in raw_flags:
+        branches = []
+        for triple in raw.split(";"):
+            parts = triple.split(",", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    "decode_job: --predicate wants col,op,value "
+                    "(;-separate triples for OR)")
+            pcol, pop, pval = parts
+            pv = ([cast(pcol, v) for v in pval.split("|")] if pop == "in"
+                  else cast(pcol, pval))
+            branches.append((pcol, pop, pv))
+        conj.append(branches[0] if len(branches) == 1
+                    else ("or", branches))
+    return conj or None
+
+
 def main(argv: list[str]) -> int:
     if len(argv) < 3:
         print(__doc__, file=sys.stderr)
         return 2
     columns = None
-    predicates = []  # repeatable flag -> conjunction (AND)
+    pred_flags: list[str] = []  # parsed after enc_dir is known (schema cast)
     args = []
     for a in argv[1:]:
         if a.startswith("--columns="):
             columns = [c for c in a.split("=", 1)[1].split(",") if c]
         elif a.startswith("--predicate="):
-            parts = a.split("=", 1)[1].split(",", 2)
-            if len(parts) != 3:
-                print("decode_job: --predicate wants col,op,value",
-                      file=sys.stderr)
-                return 2
-            pcol, pop, pval = parts
-
-            def _cast(v):
-                for cast in (int, float):
-                    try:
-                        return cast(v)
-                    except ValueError:
-                        continue
-                return v
-
-            # op "in" takes a |-separated value list
-            pv = ([_cast(v) for v in pval.split("|")] if pop == "in"
-                  else _cast(pval))
-            predicates.append((pcol, pop, pv))
+            pred_flags.append(a.split("=", 1)[1])
         else:
             args.append(a)
-    predicate = predicates or None
     if len(args) < 2:
         print(__doc__, file=sys.stderr)
         return 2
     enc_dir, out = args[0], args[1]
     src = args[2] if len(args) > 2 else None
+    try:
+        predicate = _parse_predicates(pred_flags, _schema_caster(enc_dir)) \
+            if pred_flags else None
+    except SystemExit as e:
+        print(e, file=sys.stderr)
+        return 2
     # refuse to clobber existing data: the decoded output goes to a FRESH
     # path (a transposed-arguments invocation must not overwrite a source)
     if os.path.exists(out) and (os.path.isfile(out) or os.listdir(out)):
@@ -124,15 +181,13 @@ def main(argv: list[str]) -> int:
 
     rc = 0
     if src is not None:
-        from pyspark.sql import functions as F
+        from fileconvert_spark.plans.manifest import (
+            normalize_predicate, predicate_column_expr)
 
         src_df = spark.read.parquet(src)
-        for pcol, pop, pval in (predicate or []):
-            c = F.col(pcol)
-            src_df = src_df.filter(
-                c.isin(list(pval)) if pop == "in" else
-                {"=": c == pval, "<": c < pval, "<=": c <= pval,
-                 ">": c > pval, ">=": c >= pval}[pop])
+        ptree = normalize_predicate(predicate)
+        if ptree:
+            src_df = src_df.filter(predicate_column_expr(ptree))
         if columns is not None:
             src_df = src_df.select(*columns)
         report = multiset_roundtrip_report(

@@ -929,3 +929,99 @@ def test_predicate_in_list_decode(spark, tmp_path):
         ("grp", "in", [1, 5]), ("doc_id", ">=", 5200)])
     want2 = df.filter(F.col("grp").isin(1, 5) & (F.col("doc_id") >= 5200))
     assert got2.count() == want2.count()
+
+
+def test_predicate_disjunction_decode(spark, tmp_path):
+    """r6: OR predicates — ("or", [...]) composes with AND and IN over
+    the same zone machinery; results stay exact vs the equivalent source
+    filter, and part pruning keeps exactly the UNION of the branches'
+    keeps (a part prunes only when every branch excludes it)."""
+    from fileconvert_spark.plans.manifest import (
+        _may_match_part, decode_table, encode_table, normalize_predicate,
+        read_all_manifests,
+    )
+
+    rows = [(i, i // 1000, f"s{i % 4}", f"doc {i} body") for i in range(8000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, grp long, src string, text string")
+    out = str(tmp_path / "enc_disj")
+    encode_table(spark, df, out, n_buckets=8,
+                 key_col="grp", salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",), zone_maps=("doc_id", "grp", "src"))
+
+    def want(expr):
+        return df.filter(expr).count()
+
+    c = F.col
+    cases = [
+        # plain OR of two point ranges
+        (("or", [("doc_id", "<", 300), ("doc_id", ">=", 7700)]),
+         (c("doc_id") < 300) | (c("doc_id") >= 7700)),
+        # AND-of-OR: (grp=1 OR grp=5) AND doc_id >= 5200
+        ([("or", [("grp", "=", 1), ("grp", "=", 5)]),
+          ("doc_id", ">=", 5200)],
+         ((c("grp") == 1) | (c("grp") == 5)) & (c("doc_id") >= 5200)),
+        # OR-of-IN with a range branch
+        (("or", [("grp", "in", [2, 3]), ("doc_id", "<", 50)]),
+         c("grp").isin(2, 3) | (c("doc_id") < 50)),
+        # nested: OR containing an AND
+        (("or", [[("doc_id", ">=", 1000), ("doc_id", "<", 1200)],
+                 ("src", "=", "s2")]),
+         ((c("doc_id") >= 1000) & (c("doc_id") < 1200))
+         | (c("src") == "s2")),
+        # empty-result OR
+        (("or", [("doc_id", "<", -5), ("grp", ">", 99)]),
+         (c("doc_id") < -5) | (c("grp") > 99)),
+    ]
+    for pred, expr in cases:
+        got = decode_table(spark, out, predicate=pred).count()
+        assert got == want(expr), pred
+
+    # union-of-keeps at the manifest level: parts kept by the OR ==
+    # parts kept by branch A | parts kept by branch B
+    mans = read_all_manifests(out)
+    br_a = normalize_predicate(("doc_id", "<", 300))
+    br_b = normalize_predicate(("doc_id", ">=", 7700))
+    both = normalize_predicate(("or", [("doc_id", "<", 300),
+                                       ("doc_id", ">=", 7700)]))
+    keep_a = {m["part_id"] for m in mans
+              if _may_match_part(br_a, m["zones"])}
+    keep_b = {m["part_id"] for m in mans
+              if _may_match_part(br_b, m["zones"])}
+    keep_or = {m["part_id"] for m in mans
+               if _may_match_part(both, m["zones"])}
+    assert keep_or == keep_a | keep_b
+    # and the OR still prunes: with doc_id-clustered parts, two tight
+    # ranges must not keep every part
+    assert len(keep_or) < len(mans)
+
+
+def test_predicate_malformed_shapes_raise(spark, tmp_path):
+    """ADVICE r5: malformed predicates fail up front with a ValueError
+    naming the expected shape — never an opaque unpack error deep in the
+    decode path."""
+    import pytest
+
+    from fileconvert_spark.plans.manifest import normalize_predicate
+
+    bad_shapes = [
+        ("doc_id", "<"),                       # 2-tuple, not a triple
+        [("doc_id", "<", 5), "stray"],         # scalar mixed into AND list
+        ("doc_id", "between", 1),              # unknown op
+        ("or", []),                            # empty OR
+        ("or", ("doc_id", "<", 5), "extra"),   # malformed tagged shape
+        ("doc_id", "in", 5),                   # IN without a collection
+        42,                                    # not a sequence at all
+    ]
+    for p in bad_shapes:
+        with pytest.raises(ValueError, match="predicate"):
+            normalize_predicate(p)
+
+    # the valid shapes normalize as documented
+    assert normalize_predicate(None) is None
+    assert normalize_predicate(("a", "=", 1)) == ("leaf", "a", "=", 1)
+    assert normalize_predicate([("a", "=", 1)]) == ("leaf", "a", "=", 1)
+    assert normalize_predicate([("a", "=", 1), ("b", "<", 2)]) == \
+        ("and", [("leaf", "a", "=", 1), ("leaf", "b", "<", 2)])
+    assert normalize_predicate(("or", [("a", "=", 1), ("b", "<", 2)])) == \
+        ("or", [("leaf", "a", "=", 1), ("leaf", "b", "<", 2)])

@@ -78,6 +78,60 @@ def test_decode_job_column_projection_flag(tmp_path, spark):
     assert got.count() == 200
 
 
+def test_decode_job_predicate_schema_cast_and_or(tmp_path, spark):
+    """ADVICE r5 + r6: --predicate values cast by the encoded table's OWN
+    column type — a digit-like value against a string column compares as
+    the literal string ('007' matches '007', never 7) — and ;-separated
+    triples inside one flag form a disjunction (OR)."""
+    import decode_job
+    import encode_job
+
+    src = str(tmp_path / "src.parquet")
+    # string key with digit-like values INCLUDING both '007' and '7'
+    rows = [(i, "007" if i % 5 == 0 else ("7" if i % 5 == 1 else f"k{i % 5}"),
+             f"body {i} " * 10) for i in range(200)]
+    spark.createDataFrame(rows, "doc_id long, key string, text string") \
+        .write.parquet(src)
+    enc = str(tmp_path / "enc")
+    assert encode_job.main(["encode_job", src, enc, "4",
+                            "doc_id", "key", "text"]) == 0
+
+    # '007' must match ONLY the 40 literal-'007' rows (int-guess casting
+    # would make Spark cast the string column to int and match '7' too)
+    out1 = str(tmp_path / "dec1.parquet")
+    assert decode_job.main(["decode_job", enc, out1, src,
+                            "--predicate=key,=,007"]) == 0
+    assert spark.read.parquet(out1).count() == 40
+
+    # quoting forces string for any column too
+    out2 = str(tmp_path / "dec2.parquet")
+    assert decode_job.main(["decode_job", enc, out2, src,
+                            "--predicate=key,=,'7'"]) == 0
+    assert spark.read.parquet(out2).count() == 40
+
+    # ;-separated OR within one flag, AND across flags: (key='007' OR
+    # key='7') AND doc_id < 100
+    out3 = str(tmp_path / "dec3.parquet")
+    assert decode_job.main(["decode_job", enc, out3, src,
+                            "--predicate=key,=,007;key,=,7",
+                            "--predicate=doc_id,<,100"]) == 0
+    got = spark.read.parquet(out3)
+    assert got.count() == 40  # 2-in-5 of the first 100 doc_ids
+    keys = {r["key"] for r in got.select("key").distinct().collect()}
+    assert keys == {"007", "7"}
+
+    # an int-typed column still casts numerically
+    out4 = str(tmp_path / "dec4.parquet")
+    assert decode_job.main(["decode_job", enc, out4, src,
+                            "--predicate=doc_id,<,10"]) == 0
+    assert spark.read.parquet(out4).count() == 10
+
+    # a non-numeric value against an int column fails loudly, exit 2
+    out5 = str(tmp_path / "dec5.parquet")
+    assert decode_job.main(["decode_job", enc, out5, src,
+                            "--predicate=doc_id,<,xyz"]) == 2
+
+
 def test_encode_job_validates_columns(tmp_path, spark):
     """Wrong key/weight columns for the input schema exit 2 with a clear
     message instead of failing deep inside the plan."""

@@ -1388,3 +1388,14 @@ def test_pnm_decode_p5_p6():
         _decode_media(b"P5\n9 5\n255\n" + g.tobytes()[:10])
     with pytest.raises(NotImplementedError, match="16-bit"):
         _decode_media(b"P5\n2 2\n65535\n" + b"\x00" * 8)
+
+    # ADVICE r5: a '#' comment starting IMMEDIATELY after the maxval
+    # digits is header whitespace, not raster — the comment bytes must
+    # be skipped (same pixels), never silently read as pixels
+    p5c = b"P5 9 5 255# trailing comment\n" + g.tobytes()
+    _, _, _, pxc = _decode_media(p5c)
+    assert np.array_equal(pxc.reshape(5, 9), g)
+    # and a header that ENDS at the comment (no whitespace before the
+    # raster ever arrives) fails loudly instead of reading garbage
+    with pytest.raises(ValueError, match="whitespace after maxval"):
+        _decode_media(b"P5 9 5 255# comment only")
