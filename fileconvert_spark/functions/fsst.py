@@ -362,6 +362,16 @@ def encode_buffer(buf: bytes, lengths: np.ndarray,
     lengths = np.asarray(lengths, dtype=np.int64)
     bounds = np.cumsum(lengths)
     lut12, ones, h3 = _build_match_tables(table)
+    # compiled kernel (native/kernels.c): the same greedy parse as one
+    # sequential C loop — byte-identical output (piece cuts, probe order,
+    # tie-breaks all mirrored; property-tested), ~10x the NumPy walk.
+    # Falls through to the NumPy path when no toolchain / FCS_NO_NATIVE.
+    from .. import native
+
+    nat = native.fsst_encode(arr, lengths, (lut12, ones, h3),
+                             _HASH_BITS, _WALK_SEG)
+    if nat is not None:
+        return nat
     w = _window_keys(arr)
 
     is_tok = np.zeros(n, dtype=bool)

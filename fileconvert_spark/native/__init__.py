@@ -1,0 +1,190 @@
+"""Optional compiled kernels (ctypes + the host C compiler).
+
+The sequential inner loops NumPy cannot vectorize — the greedy FSST parse
+(each token's start depends on the previous token's length) and PNG row
+defiltering (each pixel depends on its left neighbour) — compile once per
+host from ``kernels.c`` into a content-addressed shared library under the
+system temp dir. Everything degrades gracefully:
+
+- no C compiler / compile failure / ``FCS_NO_NATIVE=1``  ->  callers get
+  None and fall back to the pure-NumPy implementations, whose output is
+  BYTE-IDENTICAL (property-tested in tests/test_native.py);
+- the library is keyed by a hash of the C source, so editing kernels.c
+  recompiles and stale caches are never loaded;
+- concurrent processes (Spark's forked Python workers) race benignly:
+  each compiles to a unique temp name and os.replace()s it into place.
+
+The C source is read through ``__file__`` when the package runs from a
+directory and through zipimport when executors import it from the shipped
+``--py-files`` zip (session._package_zip archives non-.py files too).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+_LIB = None          # cached ctypes.CDLL (or False = tried and failed)
+_SRC_NAME = "kernels.c"
+
+
+def _read_source() -> bytes | None:
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, _SRC_NAME)
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError:
+        pass
+    # running from the shipped package zip: __file__ is <...>.zip/pkg/...
+    probe = here
+    while probe and probe != os.path.dirname(probe):
+        if os.path.isfile(probe):
+            try:
+                import zipfile
+
+                rel = os.path.relpath(os.path.join(here, _SRC_NAME), probe)
+                with zipfile.ZipFile(probe) as z:
+                    return z.read(rel.replace(os.sep, "/"))
+            except (OSError, KeyError):
+                return None
+        probe = os.path.dirname(probe)
+    return None
+
+
+def _compiler() -> str | None:
+    import shutil as _sh
+
+    for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
+        if cc and _sh.which(cc):
+            return cc
+    return None
+
+
+def load():
+    """The compiled library, or None (no toolchain / disabled / failed)."""
+    global _LIB
+    if os.environ.get("FCS_NO_NATIVE"):
+        return None
+    if _LIB is not None:
+        return _LIB or None
+    src = _read_source()
+    cc = _compiler()
+    if src is None or cc is None:
+        _LIB = False
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    lib_path = os.path.join(tempfile.gettempdir(), f"fcs_native_{tag}.so")
+    if not os.path.exists(lib_path):
+        tmp_c = lib_path + f".{os.getpid()}.c"
+        tmp_so = lib_path + f".{os.getpid()}.so"
+        try:
+            with open(tmp_c, "wb") as f:
+                f.write(src)
+            subprocess.run(
+                [cc, "-O3", "-fPIC", "-shared", "-std=c99", tmp_c,
+                 "-o", tmp_so],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp_so, lib_path)    # atomic vs racing workers
+        except (OSError, subprocess.SubprocessError) as e:
+            print(f"fcs.native: compile failed ({e}); using NumPy paths",
+                  file=sys.stderr)
+            _LIB = False
+            return None
+        finally:
+            for p in (tmp_c, tmp_so):
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+    try:
+        lib = ctypes.CDLL(lib_path)
+    except OSError as e:
+        print(f"fcs.native: load failed ({e}); using NumPy paths",
+              file=sys.stderr)
+        _LIB = False
+        return None
+
+    from ctypes import POINTER, c_int64, c_uint8, c_uint16, c_uint64
+
+    lib.fsst_encode.restype = c_int64
+    lib.fsst_encode.argtypes = [
+        POINTER(c_uint8), c_int64,              # buf (n+8 readable), n
+        POINTER(c_int64), c_int64,              # str_lens, n_str
+        POINTER(c_uint16), POINTER(c_uint16),   # lut12, ones
+        POINTER(c_uint64), POINTER(c_uint16),   # sym_t, lc_t (nullable)
+        c_int64, c_int64,                       # hash_bits, walk_seg
+        POINTER(c_uint8), POINTER(c_int64),     # out (2n), enc_lens
+    ]
+    lib.png_defilter.restype = c_int64
+    lib.png_defilter.argtypes = [
+        POINTER(c_uint8), POINTER(c_uint8),     # data, filters
+        c_int64, c_int64, c_int64,              # h, w, ch
+        POINTER(c_uint8),                       # out
+    ]
+    _LIB = lib
+    return lib
+
+
+def _u8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def fsst_encode(arr, lengths, tables, hash_bits: int, walk_seg: int):
+    """C greedy FSST parse; returns (enc bytes, enc_lengths) or None when
+    the native library is unavailable. ``tables`` is the
+    fsst._build_match_tables result; output is byte-identical to the
+    NumPy walk (tests/test_native.py)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    lut12, ones, h3 = tables
+    n = len(arr)
+    padded = np.empty(n + 8, dtype=np.uint8)    # memcpy reads 8 past pos
+    padded[:n] = arr
+    padded[n:] = 0
+    out = np.empty(2 * max(n, 1), dtype=np.uint8)
+    enc_lens = np.empty(max(len(lengths), 1), dtype=np.int64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u16 = ctypes.POINTER(ctypes.c_uint16)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    if h3 is not None:
+        sym_t, lc_t = h3
+        sym_p = sym_t.ctypes.data_as(p_u64)
+        lc_p = lc_t.ctypes.data_as(p_u16)
+    else:
+        sym_p = ctypes.cast(None, p_u64)
+        lc_p = ctypes.cast(None, p_u16)
+    total = lib.fsst_encode(
+        _u8p(padded), n,
+        lengths.ctypes.data_as(p_i64), len(lengths),
+        lut12.ctypes.data_as(p_u16), ones.ctypes.data_as(p_u16),
+        sym_p, lc_p, hash_bits, walk_seg,
+        _u8p(out), enc_lens.ctypes.data_as(p_i64))
+    return out[:total].tobytes(), enc_lens[:len(lengths)].copy()
+
+
+def png_defilter(data, filters, w: int, ch: int):
+    """C PNG defilter; returns (h, w*ch) uint8 or None when unavailable.
+    Callers pre-validate filter bytes (the kernel's error return is
+    defensive only)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    filters = np.ascontiguousarray(filters, dtype=np.uint8)
+    h = data.shape[0]
+    out = np.empty((h, w * ch), dtype=np.uint8)
+    rc = lib.png_defilter(_u8p(data), _u8p(filters), h, w, ch, _u8p(out))
+    if rc != 0:
+        raise ValueError(f"PNG: unknown row filter at row {-rc - 1}")
+    return out

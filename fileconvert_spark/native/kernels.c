@@ -1,0 +1,161 @@
+/* Optional compiled kernels for fileconvert_spark.
+ *
+ * Compiled on first use with the host C compiler (see native/__init__.py);
+ * every kernel has a NumPy fallback with IDENTICAL output, property-tested
+ * in tests/test_native.py — the engine works without a toolchain, it is
+ * just slower. Only sequential inner loops that NumPy cannot vectorize
+ * live here (greedy FSST parse: each token's start depends on the previous
+ * token's length; PNG defilter: each pixel depends on the previous pixel).
+ *
+ * Plain C99 + stdint, no libc beyond memcpy/memset, little-endian host
+ * (the same assumption functions/fsst.py makes and guards at import).
+ */
+
+#include <stdint.h>
+#include <string.h>
+
+#define FSST_ESCAPE 255u
+#define HASH_MULT  0x9E3779B97F4A7C15ULL
+#define HASH_MULT2 0xC2B2AE3D27D4EB4FULL
+
+/* mask of the low L bytes of a little-endian uint64 window, L = 0..8
+ * (mirrors fsst._LEN_MASK) */
+static const uint64_t LEN_MASK[9] = {
+    0ULL,
+    0xFFULL, 0xFFFFULL, 0xFFFFFFULL, 0xFFFFFFFFULL,
+    0xFFFFFFFFFFULL, 0xFFFFFFFFFFFFULL, 0xFFFFFFFFFFFFFFULL,
+    0xFFFFFFFFFFFFFFFFULL,
+};
+
+/* Greedy FSST encode of n_str concatenated strings.
+ *
+ * Exactly the parse of functions/fsst.py encode_buffer: strings are
+ * virtually chopped into walk_seg-byte pieces (the parse restarts at each
+ * cut; a symbol never crosses one), at each position the candidate is the
+ * max over the 2-byte LUT (with the string-final-byte fallback to the
+ * 1-byte entry) and the two lossy hash ways (3-byte-keyed way A, then
+ * 4-byte-keyed way B, each winning only on lc > combo) — byte-identical
+ * output to the NumPy walk by construction, pinned by property tests.
+ *
+ * buf must be readable for n + 8 bytes (caller zero-pads, matching the
+ * NumPy _window_keys zero padding). out must hold 2*n bytes (worst case:
+ * every byte escapes). Returns total encoded bytes; enc_lens[k] = encoded
+ * bytes of string k.
+ */
+int64_t fsst_encode(const uint8_t *buf, int64_t n,
+                    const int64_t *str_lens, int64_t n_str,
+                    const uint16_t *lut12, const uint16_t *ones,
+                    const uint64_t *sym_t, const uint16_t *lc_t,
+                    int64_t hash_bits, int64_t walk_seg,
+                    uint8_t *out, int64_t *enc_lens)
+{
+    (void)n;
+    const int has_h3 = sym_t != NULL;
+    const unsigned shift = (unsigned)(64 - hash_bits);
+    const int64_t way_b = has_h3 ? ((int64_t)1 << hash_bits) : 0;
+    int64_t o = 0;
+    int64_t start = 0;
+    for (int64_t k = 0; k < n_str; k++) {
+        const int64_t slen = str_lens[k];
+        const int64_t o_str = o;
+        int64_t piece = start;
+        const int64_t send = start + slen;
+        while (piece < send) {
+            int64_t pend = piece + walk_seg;
+            if (pend > send) pend = send;
+            int64_t pos = piece;
+            while (pos < pend) {
+                uint64_t w8;
+                memcpy(&w8, buf + pos, 8);        /* padded past n */
+                const int64_t rem = pend - pos;
+                uint16_t combo = lut12[w8 & 0xFFFFu];
+                if (combo >= (2u << 8) && rem < 2)
+                    combo = ones[buf[pos]];
+                if (has_h3) {
+                    uint64_t slot = ((w8 & 0xFFFFFFULL) * HASH_MULT) >> shift;
+                    uint16_t lc = lc_t[slot];
+                    uint16_t lg = (uint16_t)(lc >> 8);
+                    if ((w8 & LEN_MASK[lg]) == sym_t[slot]
+                        && lc > combo && rem >= (int64_t)lg)
+                        combo = lc;
+                    slot = way_b + (((w8 & 0xFFFFFFFFULL) * HASH_MULT2)
+                                    >> shift);
+                    lc = lc_t[slot];
+                    lg = (uint16_t)(lc >> 8);
+                    if ((w8 & LEN_MASK[lg]) == sym_t[slot]
+                        && lc > combo && rem >= (int64_t)lg)
+                        combo = lc;
+                }
+                if (combo >= (1u << 8)) {          /* symbol code */
+                    out[o++] = (uint8_t)(combo & 0xFF);
+                    pos += combo >> 8;
+                } else {                           /* escape + literal */
+                    out[o++] = FSST_ESCAPE;
+                    out[o++] = buf[pos];
+                    pos += 1;
+                }
+            }
+            piece = pend;
+        }
+        enc_lens[k] = o - o_str;
+        start = send;
+    }
+    return o;
+}
+
+/* Undo PNG row filters (RFC 2083 §6.2-6.6) for 8-bit samples.
+ * data/out: h rows of w*ch bytes; filters: one byte per row; bpp = ch
+ * (8-bit depth). Returns 0, or the offending row on an unknown filter
+ * type (as -(row+1)); callers pre-validate so that path is defensive. */
+int64_t png_defilter(const uint8_t *data, const uint8_t *filters,
+                     int64_t h, int64_t w, int64_t ch, uint8_t *out)
+{
+    const int64_t stride = w * ch;
+    for (int64_t r = 0; r < h; r++) {
+        const uint8_t *cur = data + r * stride;
+        const uint8_t *up = r ? out + (r - 1) * stride : NULL;
+        uint8_t *o = out + r * stride;
+        switch (filters[r]) {
+        case 0:                                    /* None */
+            memcpy(o, cur, (size_t)stride);
+            break;
+        case 1:                                    /* Sub */
+            for (int64_t i = 0; i < ch && i < stride; i++)
+                o[i] = cur[i];
+            for (int64_t i = ch; i < stride; i++)
+                o[i] = (uint8_t)(cur[i] + o[i - ch]);
+            break;
+        case 2:                                    /* Up */
+            if (up)
+                for (int64_t i = 0; i < stride; i++)
+                    o[i] = (uint8_t)(cur[i] + up[i]);
+            else
+                memcpy(o, cur, (size_t)stride);
+            break;
+        case 3:                                    /* Average */
+            for (int64_t i = 0; i < stride; i++) {
+                const int a = i >= ch ? o[i - ch] : 0;
+                const int b = up ? up[i] : 0;
+                o[i] = (uint8_t)(cur[i] + ((a + b) >> 1));
+            }
+            break;
+        case 4:                                    /* Paeth */
+            for (int64_t i = 0; i < stride; i++) {
+                const int a = i >= ch ? o[i - ch] : 0;
+                const int b = up ? up[i] : 0;
+                const int c = (up && i >= ch) ? up[i - ch] : 0;
+                const int p = a + b - c;
+                const int pa = p >= a ? p - a : a - p;
+                const int pb = p >= b ? p - b : b - p;
+                const int pc = p >= c ? p - c : c - p;
+                const int pred = (pa <= pb && pa <= pc) ? a
+                                 : (pb <= pc ? b : c);
+                o[i] = (uint8_t)(cur[i] + pred);
+            }
+            break;
+        default:
+            return -(r + 1);
+        }
+    }
+    return 0;
+}

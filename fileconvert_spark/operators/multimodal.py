@@ -128,11 +128,24 @@ def _png_defilter(data: np.ndarray, filters: np.ndarray, w: int,
                   ch: int) -> np.ndarray:
     """Undo PNG row filters (RFC 2083 §6.2-6.6) -> (h, w*ch) uint8.
 
-    None/Sub/Up rows are fully vectorized (Sub is a wrapping
-    ``np.add.accumulate`` per byte lane); Average and Paeth carry an
-    intra-row left dependency, so those rows run a per-pixel loop with
-    vector ops across the channel lanes — pixels, not bytes.
+    Hot path is the compiled kernel (native/kernels.c png_defilter —
+    all five filters in C, identical output, property-tested against
+    this fallback). Without a toolchain: None/Sub/Up rows are fully
+    vectorized (Sub is a wrapping ``np.add.accumulate`` per byte lane);
+    Average and Paeth carry an intra-row left dependency, so those rows
+    run a per-PIXEL Python loop with vector ops across the channel
+    lanes — a real throughput cliff on photos from libpng-family
+    encoders (which choose Paeth/Average for most rows): large images
+    decode at interpreter speed on the fallback path.
     """
+    bad = filters[filters > 4]
+    if bad.size:
+        raise ValueError(f"PNG: unknown row filter {int(bad[0])}")
+    from .. import native
+
+    nat = native.png_defilter(data, filters, w, ch)
+    if nat is not None:
+        return nat
     h = data.shape[0]
     out = np.zeros((h, w * ch), dtype=np.uint8)
     prev = np.zeros(w * ch, dtype=np.uint8)

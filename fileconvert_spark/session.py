@@ -23,7 +23,7 @@ def _package_zip() -> str:
     if not os.path.exists(zip_path) or any(
         os.path.getmtime(os.path.join(root, f)) > os.path.getmtime(zip_path)
         for root, _d, files in os.walk(pkg_dir)
-        for f in files if f.endswith(".py")
+        for f in files if f.endswith((".py", ".c"))
     ):
         tmp = shutil.make_archive(out + "_tmp", "zip", root_dir=parent,
                                   base_dir="fileconvert_spark")

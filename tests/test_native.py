@@ -1,0 +1,155 @@
+"""Compiled-kernel equivalence: native/kernels.c vs the NumPy fallbacks.
+
+The native paths must be BYTE-IDENTICAL to the pure-NumPy implementations
+— same greedy FSST parse (piece cuts, probe order, tie-breaks), same PNG
+defilter semantics — so a host without a C toolchain produces the same
+artifacts, just slower. If no toolchain is present these tests skip (the
+fallback paths are covered by the rest of the suite either way).
+"""
+
+import os
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fileconvert_spark import native
+
+
+requires_native = pytest.mark.skipif(
+    native.load() is None, reason="no C toolchain on this host")
+
+
+def _numpy_encode(buf, lengths, table):
+    """Force the NumPy walk regardless of toolchain availability."""
+    from fileconvert_spark.functions import fsst
+
+    os.environ["FCS_NO_NATIVE"] = "1"
+    try:
+        return fsst.encode_buffer(buf, lengths, table)
+    finally:
+        del os.environ["FCS_NO_NATIVE"]
+
+
+@requires_native
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=255),
+    max_size=300), min_size=0, max_size=60),
+    st.integers(min_value=0, max_value=3))
+def test_fsst_native_matches_numpy_walk(strings, salt):
+    """Property: for arbitrary byte strings (empties, repeats, full byte
+    range) the C parse emits the same bytes and per-string lengths as the
+    NumPy walk, and the stream decodes back exactly."""
+    from fileconvert_spark.functions import fsst
+
+    enc_strs = [s.encode("latin-1") for s in strings]
+    if salt:  # mix in pathological shapes
+        enc_strs += [b"", b"a" * (1024 * salt + 7), b"ab" * 600,
+                     bytes(range(256)) * salt]
+    buf = b"".join(enc_strs)
+    lengths = np.array([len(s) for s in enc_strs], dtype=np.int64)
+    table = fsst.train(buf, lengths=lengths)
+
+    enc_c, el_c = fsst.encode_buffer(buf, lengths, table)
+    enc_np, el_np = _numpy_encode(buf, lengths, table)
+    assert enc_c == enc_np
+    assert np.array_equal(el_c, el_np)
+    dec, dl = fsst.decode_buffer(enc_c, el_c, table)
+    assert dec == buf
+    assert np.array_equal(dl, lengths)
+
+
+@requires_native
+def test_fsst_native_empty_table_and_boundaries():
+    """Degenerate tables (empty, singles-only) and piece-boundary-sized
+    strings (exactly _WALK_SEG, _WALK_SEG +/- 1) stay identical."""
+    from fileconvert_spark.functions import fsst
+
+    seg = fsst._WALK_SEG
+    strs = [b"x" * seg, b"y" * (seg - 1), b"z" * (seg + 1), b"", b"q"]
+    buf = b"".join(strs)
+    lengths = np.array([len(s) for s in strs], dtype=np.int64)
+    for table in ([], [b"x"], [b"xx", b"x", b"y"],
+                  fsst.train(buf, lengths=lengths)):
+        enc_c, el_c = fsst.encode_buffer(buf, lengths, table)
+        enc_np, el_np = _numpy_encode(buf, lengths, table)
+        assert enc_c == enc_np, table
+        assert np.array_equal(el_c, el_np)
+        dec, _ = fsst.decode_buffer(enc_c, el_c, table)
+        assert dec == buf
+
+
+def _forward_filter(px, filters, ch):
+    """Apply PNG row filters (the encoder direction) to reference pixels —
+    ground truth for the defilter tests."""
+    h, stride = px.shape
+    out = np.empty_like(px)
+    px16 = px.astype(np.int32)
+    for r in range(h):
+        up = px16[r - 1] if r else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(ch, np.int32), px16[r, :-ch]]) \
+            if stride > ch else np.zeros(stride, np.int32)
+        ul = np.concatenate([np.zeros(ch, np.int32), up[:-ch]]) \
+            if stride > ch else np.zeros(stride, np.int32)
+        f = int(filters[r])
+        if f == 0:
+            pred = 0
+        elif f == 1:
+            pred = left
+        elif f == 2:
+            pred = up
+        elif f == 3:
+            pred = (left + up) >> 1
+        else:
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+        out[r] = ((px16[r] - pred) & 0xFF).astype(np.uint8)
+    return out
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_defilter_all_filters_roundtrip(ch):
+    """Every filter type (including rows mixing all five) defilters back
+    to the original pixels, on the native path when available AND on the
+    forced-NumPy fallback — and the two agree byte-for-byte."""
+    from fileconvert_spark.operators.multimodal import _png_defilter
+
+    rng = np.random.Generator(np.random.PCG64(31 + ch))
+    h, w = 24, 17
+    px = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8)
+    filters = rng.integers(0, 5, size=h).astype(np.uint8)
+    filters[:5] = [0, 1, 2, 3, 4]  # guarantee every type appears
+    data = _forward_filter(px, filters, ch)
+
+    got = _png_defilter(data, filters, w, ch)
+    assert np.array_equal(got, px)
+
+    os.environ["FCS_NO_NATIVE"] = "1"
+    try:
+        got_np = _png_defilter(data, filters, w, ch)
+    finally:
+        del os.environ["FCS_NO_NATIVE"]
+    assert np.array_equal(got_np, px)
+
+
+def test_png_defilter_rejects_unknown_filter():
+    from fileconvert_spark.operators.multimodal import _png_defilter
+
+    data = np.zeros((2, 6), dtype=np.uint8)
+    with pytest.raises(ValueError, match="unknown row filter"):
+        _png_defilter(data, np.array([0, 7], dtype=np.uint8), 2, 3)
+
+
+@requires_native
+def test_native_disabled_by_env(monkeypatch):
+    monkeypatch.setenv("FCS_NO_NATIVE", "1")
+    assert native.load() is None
+    assert native.fsst_encode(np.zeros(1, np.uint8),
+                              np.array([1], np.int64),
+                              (np.zeros(1 << 16, np.uint16),
+                               np.zeros(256, np.uint16), None),
+                              12, 1024) is None
