@@ -59,7 +59,9 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       n_bands: int = N_BANDS,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      max_band_bucket: int | None = 4096,
+                      sig_est_margin: float | None = 0.2) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
     exact n-gram jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
@@ -68,9 +70,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     by id strictly for the jaccard verification of the (much smaller)
     candidate-pair set, so the corpus is shuffled at most once per side of
     that join instead of 8x through the band explode.
+
+    Two guards keep the candidate set bounded at corpus scale (measured
+    r6, 200k templated code files: without them the text-verify join
+    shuffled 3.8 GB for 260 MB of content — and the candidate count
+    grows quadratically with corpus size inside hot buckets):
+
+    - ``max_band_bucket``: band buckets with more members than this are
+      dropped via a broadcast anti-join on (band, band_key) — the hot
+      set is tiny by construction (it takes >cap docs sharing a band
+      signature to enter it). A bucket that hot is a massive near-dup
+      crowd (m^2/2 pairs says nothing a per-bucket representative
+      doesn't); exact duplicates should already be removed upstream
+      (exact-dedup-first layering, tools/scale_dedup.py).
+    - ``sig_est_margin``: before any text is shuffled, candidate pairs
+      join back only the 32-value SIGNATURES (~256 B vs whole
+      documents) and keep pairs whose signature-estimated jaccard
+      (matching components / n) >= threshold - margin. The estimate is
+      Binomial(32, J)/32, so at the default margin 0.2 a true-J=0.5
+      pair is lost with p~1.2% and a true-J>=0.6 pair with p<4e-4 —
+      the exact-jaccard filter after the text join is unchanged and
+      still decides. None disables either guard.
     """
     rows_per_band = N_MINHASH // n_bands
-    sigs = with_minhash(df.select(id_col, text_col), text_col)
+    sigs = with_minhash(df.select(id_col, text_col), text_col) \
+        .select(id_col, "minhash")
     bands = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -82,6 +106,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             )
         ).alias("band", "band_key"),
     )
+    if max_band_bucket:
+        hot = (bands.groupBy("band", "band_key")
+               .agg(F.count("*").alias("n"))
+               .filter(F.col("n") > max_band_bucket)
+               .select("band", "band_key"))
+        bands = bands.join(F.broadcast(hot), ["band", "band_key"],
+                           "left_anti")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -97,6 +128,21 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if sig_est_margin is not None:
+        sa = sigs.select(F.col(id_col).alias("id_a"),
+                         F.col("minhash").alias("sig_a"))
+        sb = sigs.select(F.col(id_col).alias("id_b"),
+                         F.col("minhash").alias("sig_b"))
+        cand = (
+            cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn(
+                "est_j",
+                F.size(F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v)) / F.size("sig_a"))
+            .filter(F.col("est_j") >= jaccard_threshold - sig_est_margin)
+            .select("id_a", "id_b")
+        )
     texts = df.select(id_col, text_col)
     with_texts = (
         cand.join(
@@ -128,28 +174,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       n_blocks: int | None = None) -> DataFrame:
     """Banded Hamming-distance candidate join on any 64-bit hash column
-    -> (id_a, id_b, hamming). 4 x 16-bit pigeonhole bands: any pair
-    within Hamming distance 3 shares at least one exact band, so recall
-    is GUARANTEED for max_hamming <= 3 and probabilistic above it. The
-    shuffle carries (id, band, band_key) plus the 8-byte hash itself
+    -> (id_a, id_b, hamming). Pigeonhole bands: the 64 bits split into
+    ``n_blocks`` blocks and every combination of (n_blocks - max_hamming)
+    blocks becomes one exact-match band key, so any pair within
+    max_hamming shares at least one band (<= max_hamming errors corrupt
+    <= max_hamming blocks; some combination of the clean ones matches)
+    — recall is GUARANTEED for max_hamming and probabilistic above it.
+
+    ``n_blocks`` picks the recall/collision trade (default
+    max_hamming + 1 = the minimal scheme, 4 single 16-bit blocks for
+    max_hamming 3). The minimal scheme's 16-bit keys SATURATE at large
+    corpora: expected chance-collision pairs are ~4 * n^2 / 2^17 (~1.4
+    BILLION candidates at n = 7M) regardless of data. n_blocks=6 is the
+    Manku-Jarlin-Sarma (WWW'07) shape for that regime: C(6,3) = 20
+    bands keyed on ~32 bits each — 20x the explode rows, but
+    chance-collisions drop by 2^16 to ~20 * n^2 / 2^33 (~115k at 7M).
+    The outputs are IDENTICAL for any valid n_blocks (the exact
+    bit_count(xor) filter decides); only the candidate volume differs.
+
+    The shuffle carries (id, band, band_key) plus the 8-byte hash itself
     (needed for the bit_count verification after the band join) — never
     the hashed payload's SOURCE (text/pixels), which is the part that
     matters at 100 TB. Shared by SimHash text dedup and perceptual-hash
     image dedup (operators/multimodal.py image_near_dups)."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    k = n_blocks - max_hamming
+    if k < 1:
+        raise ValueError(
+            f"hamming_band_pairs: n_blocks={n_blocks} must exceed "
+            f"max_hamming={max_hamming}")
+    base, extra = divmod(64, n_blocks)
+    lens = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(lens[:i]) for i in range(n_blocks)]
+
+    def block(i: int):
+        return (F.shiftrightunsigned(F.col(hash_col), offs[i])
+                .bitwiseAND(F.lit((1 << lens[i]) - 1)))
+
+    keys = []
+    for combo in combinations(range(n_blocks), k):
+        e, shift = None, 0
+        for i in combo:
+            part = F.shiftleft(block(i), shift) if shift else block(i)
+            e = part if e is None else e.bitwiseOR(part)
+            shift += lens[i]
+        keys.append(e)
     bands = hashed.select(
         F.col(id_col),
         F.col(hash_col).alias("_h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col(hash_col), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("band", "band_key"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"),
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -172,11 +251,15 @@ def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                  max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: 4-band exact match guarantees recall for
-    Hamming distance <= 3 (pigeonhole), verified by bit_count(xor)."""
+                  max_hamming: int = 3,
+                  n_blocks: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole band exact match guarantees
+    recall for Hamming distance <= max_hamming, verified by
+    bit_count(xor). ``n_blocks``: see hamming_band_pairs — use 6 at
+    multi-million-doc scale (the 4x16-bit minimal scheme's band space
+    saturates and chance collisions grow quadratically)."""
     sh = with_simhash(df.select(id_col, text_col), text_col)
-    return hamming_band_pairs(sh, id_col, "simhash", max_hamming)
+    return hamming_band_pairs(sh, id_col, "simhash", max_hamming, n_blocks)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -716,7 +716,8 @@ def _pred_may_match(zs, op: str, value) -> bool:
 
 def decode_table(spark, out_dir: str, narrow: bool = True,
                  columns: list[str] | None = None,
-                 predicate: tuple | list | None = None):
+                 predicate: tuple | list | None = None,
+                 task_target_bytes: int | None = None):
     """Read an encoded table directory back as the original DataFrame.
 
     narrow=True (default): one task per part file, each decoding its own
@@ -762,6 +763,19 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     a predicate on the bucketing key (repo) eliminates almost every
     part; a predicate on an unclustered column degrades gracefully to
     the plain filtered decode.
+
+    ``task_target_bytes``: decode task granularity. One task per part
+    pays a fixed per-task cost (scheduling, Python-worker Arrow stream
+    setup, parquet footer read) that dominates the wall when an
+    operator mis-sizes buckets into 10^4+ tiny parts (measured r5:
+    decode+verify 32 s at 1024 parts -> 90 s at 8192 on the same
+    bytes). The driver therefore greedily packs CONSECUTIVE parts
+    (preserving cluster_by key locality) into task groups of about
+    this many bytes, using the per-part file sizes the manifest list
+    already carries. Default None = auto: 64 MiB, floored so at least
+    4x defaultParallelism groups exist (never under-parallelize a
+    big decode). An explicit value is exact (no parallelism floor);
+    0 disables grouping (one task per part, the pre-r6 shape).
     """
     from pyspark.sql.types import StructType
 
@@ -837,72 +851,118 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         files = kept_files
     column_order = [f.name for f in schema.fields]
     wanted = set(column_order)
-    fdf = spark.createDataFrame([(p,) for p in files], "path string") \
-        .repartition(max(len(files), 1))
+
+    # task-group coalescing (r6, see docstring): pack consecutive parts
+    # into ~task_target_bytes tasks so decode wall tracks bytes, not
+    # part count. Sizes come from the manifest list (one consolidated
+    # read); a part without a manifest counts as a full target (its own
+    # group) — grouping is a performance layer, never a correctness one.
+    auto = task_target_bytes is None
+    target = (64 << 20) if auto else int(task_target_bytes)
+    if target and len(files) > 1:
+        sizes = {int(m["part_id"]): int(m.get("file_bytes") or 0)
+                 for m in read_all_manifests(out_dir)}
+
+        def _fsize(p: str) -> int:
+            stem = os.path.basename(p)
+            try:
+                pid = int(stem.split("-")[1].split(".")[0])
+            except (IndexError, ValueError):
+                return target
+            return sizes.get(pid, target)
+
+        fsizes = [_fsize(p) for p in files]
+        if auto:
+            # parallelism floor: at least 4 groups per core so a big
+            # decode still saturates the cluster
+            par = max(spark.sparkContext.defaultParallelism, 1)
+            target = max(min(target, sum(fsizes) // (4 * par)), 1)
+        groups: list[list[str]] = []
+        cur: list[str] = []
+        cur_b = 0
+        for p, sz in zip(files, fsizes):
+            cur.append(p)
+            cur_b += max(sz, 1)
+            if cur_b >= target:
+                groups.append(cur)
+                cur, cur_b = [], 0
+        if cur:
+            groups.append(cur)
+    else:
+        groups = [[p] for p in files]
+    fdf = spark.createDataFrame([("\n".join(g),) for g in groups],
+                                "paths string") \
+        .repartition(max(len(groups), 1))
 
     def decode_file_arrow(batches):
         # mapInArrow: decoded chunks go back to the JVM as Arrow batches
-        # directly — no pandas materialization on the decode hot path
-        from ..operators.encode import decode_column
-        from . import fsio as fsio2  # resolve the FS inside the executor
-
+        # directly — no pandas materialization on the decode hot path;
+        # each incoming row is one task GROUP of newline-joined part
+        # paths (see task_target_bytes)
         flt = [("column", "in", sorted(wanted))] if len(wanted) < n_full \
             else None
         for b in batches:
-            for path_val in b.column(0):
-                path = path_val.as_py()
-                part_flt = list(flt) if flt else None
-                if pred:
-                    # zone-map pass: the predicate columns' meta rows are
-                    # tiny; excluded chunks are dropped via the chunk_id
-                    # filter (skips decode cost; their payload bytes are
-                    # still read unless the WHOLE part prunes — row
-                    # groups are per-column, see decode_table docstring).
-                    # AND/OR follow _may_match_chunk: a chunk survives an
-                    # AND only if every branch may-match, an OR if any
-                    # branch does.
-                    zmeta = fsio2.read_parquet(
-                        path, filters=[("column", "in", pcols_all)],
-                        columns=["column", "chunk_id", "meta"])
-                    stats: dict[tuple, dict] = {}
-                    chunk_ids = set()
-                    for col, cid, mj in zip(
-                            zmeta.column("column").to_pylist(),
-                            zmeta.column("chunk_id").to_pylist(),
-                            zmeta.column("meta").to_pylist()):
-                        stats[(col, int(cid))] = json.loads(mj)
-                        chunk_ids.add(int(cid))
+            for paths_val in b.column(0):
+                paths = paths_val.as_py().split("\n")
+                yield from _decode_paths(paths, flt)
 
-                    keep = [cid for cid in sorted(chunk_ids)
-                            if _may_match_chunk(pred, stats, cid)]
-                    if not keep:
-                        continue  # whole part pruned
-                    if len(keep) < len(chunk_ids):
-                        part_flt = (part_flt or []) + [
-                            ("chunk_id", "in", keep)]
-                enc_tbl = fsio2.read_parquet(path, filters=part_flt)
-                # one C-level conversion for the whole part file instead of
-                # per-cell .as_py() round trips through Python objects
-                enc_rows = enc_tbl.to_pylist()
-                by_chunk: dict[int, list[dict]] = {}
-                for row in enc_rows:
-                    by_chunk.setdefault(row["chunk_id"], []).append(row)
-                for cid in sorted(by_chunk):
-                    cols = {
-                        row["column"]: decode_column(
-                            row["codec"], row["payload"], row["dict"],
-                            row["meta"], row["n_rows"], row["validity"],
-                            expect_sha=row.get("sha256_chunk"),
-                            ctx=f"part={row['part_id']} chunk={cid} "
-                                f"column={row['column']}")
-                        for row in by_chunk[cid]
-                    }
-                    arrays = [
-                        cols[c].combine_chunks()
-                        if isinstance(cols[c], pa.ChunkedArray) else cols[c]
-                        for c in column_order
-                    ]
-                    yield pa.RecordBatch.from_arrays(arrays, names=column_order)
+    def _decode_paths(paths, flt):
+        from ..operators.encode import decode_column
+        from . import fsio as fsio2
+
+        for path in paths:
+            part_flt = list(flt) if flt else None
+            if pred:
+                # zone-map pass: the predicate columns' meta rows are
+                # tiny; excluded chunks are dropped via the chunk_id
+                # filter (skips decode cost; their payload bytes are
+                # still read unless the WHOLE part prunes — row
+                # groups are per-column, see decode_table docstring).
+                # AND/OR follow _may_match_chunk: a chunk survives an
+                # AND only if every branch may-match, an OR if any
+                # branch does.
+                zmeta = fsio2.read_parquet(
+                    path, filters=[("column", "in", pcols_all)],
+                    columns=["column", "chunk_id", "meta"])
+                stats: dict[tuple, dict] = {}
+                chunk_ids = set()
+                for col, cid, mj in zip(
+                        zmeta.column("column").to_pylist(),
+                        zmeta.column("chunk_id").to_pylist(),
+                        zmeta.column("meta").to_pylist()):
+                    stats[(col, int(cid))] = json.loads(mj)
+                    chunk_ids.add(int(cid))
+
+                keep = [cid for cid in sorted(chunk_ids)
+                        if _may_match_chunk(pred, stats, cid)]
+                if not keep:
+                    continue  # whole part pruned
+                if len(keep) < len(chunk_ids):
+                    part_flt = (part_flt or []) + [
+                        ("chunk_id", "in", keep)]
+            enc_tbl = fsio2.read_parquet(path, filters=part_flt)
+            # one C-level conversion for the whole part file instead of
+            # per-cell .as_py() round trips through Python objects
+            enc_rows = enc_tbl.to_pylist()
+            by_chunk: dict[int, list[dict]] = {}
+            for row in enc_rows:
+                by_chunk.setdefault(row["chunk_id"], []).append(row)
+            for cid in sorted(by_chunk):
+                cols = {
+                    row["column"]: decode_column(
+                        row["codec"], row["payload"], row["dict"],
+                        row["meta"], row["n_rows"], row["validity"],
+                        expect_sha=row.get("sha256_chunk"),
+                        ctx=f"part={row['part_id']} chunk={cid} "
+                            f"column={row['column']}")
+                    for row in by_chunk[cid]
+                }
+                arrays = [
+                    cols[c].combine_chunks()
+                    if isinstance(cols[c], pa.ChunkedArray) else cols[c]
+                    for c in column_order
+                ]
+                yield pa.RecordBatch.from_arrays(arrays, names=column_order)
 
     return _exact_filter(fdf.mapInArrow(decode_file_arrow, schema=schema))
 

@@ -996,6 +996,47 @@ def test_predicate_disjunction_decode(spark, tmp_path):
     assert len(keep_or) < len(mans)
 
 
+def test_decode_task_grouping(spark, tmp_path):
+    """r6: tiny parts coalesce into byte-targeted task groups at the
+    driver (decode wall must track bytes, not part count — the measured
+    ~8 ms/part fixed cost at 8192 parts). Grouping is a performance
+    layer only: rows, values, predicates, and projections are identical
+    across group sizes, and 0 disables it (one task per part)."""
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    rows = [(i, i // 100, f"doc {i} body " * 5) for i in range(6400)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long, text string")
+    out = str(tmp_path / "enc_grouped")
+    encode_table(spark, df, out, n_buckets=64,
+                 key_col="grp", salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("doc_id",))
+
+    # explicit huge target -> all 64 parts in ONE task group
+    one = decode_table(spark, out, task_target_bytes=1 << 40)
+    assert one.rdd.getNumPartitions() == 1
+    assert one.count() == 6400
+    # explicit 0 -> pre-r6 shape, one task per part
+    per_part = decode_table(spark, out, task_target_bytes=0)
+    assert per_part.rdd.getNumPartitions() == 64
+    # auto: grouped between the two extremes, never fewer than needed
+    auto = decode_table(spark, out)
+    assert 1 <= auto.rdd.getNumPartitions() <= 64
+
+    # values identical across granularities (sorted compare)
+    a = sorted(one.collect())
+    b = sorted(per_part.collect())
+    assert a == b
+
+    # predicates prune per-part THROUGH a group: same exact rows
+    got = decode_table(spark, out, predicate=("doc_id", "<", 200),
+                       task_target_bytes=1 << 40)
+    assert got.count() == 200
+    got2 = decode_table(spark, out, columns=["doc_id", "grp"],
+                        predicate=("doc_id", "<", 200),
+                        task_target_bytes=1 << 40)
+    assert got2.count() == 200 and sorted(got2.columns) == ["doc_id", "grp"]
+
+
 def test_predicate_malformed_shapes_raise(spark, tmp_path):
     """ADVICE r5: malformed predicates fail up front with a ValueError
     naming the expected shape — never an opaque unpack error deep in the

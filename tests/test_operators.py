@@ -59,6 +59,62 @@ def test_simhash_hamming_pairs(spark):
     assert (1, 3) not in pairs
 
 
+def test_hamming_combinatorial_blocks_equivalent(spark):
+    """r6: the Manku-style 6-block combinatorial banding must return
+    EXACTLY the pairs the minimal 4x16 scheme returns (the exact
+    bit_count filter decides; bands only generate candidates), and its
+    pigeonhole guarantee holds at hamming == max_hamming exactly."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import hamming_band_pairs
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    hashes = [int(x) for x in rng.integers(-(1 << 63), 1 << 63, size=40)]
+    # plant pairs at hamming exactly 3 (flip 3 spread-out bits) and 4
+    hashes.append(hashes[0] ^ (1 << 2) ^ (1 << 30) ^ (1 << 60))  # d=3
+    hashes.append(hashes[1] ^ 0b1111)                             # d=4
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hashes)], "doc_id long, h long")
+    p4 = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+          hamming_band_pairs(df, "doc_id", "h", max_hamming=3).collect()}
+    p6 = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+          hamming_band_pairs(df, "doc_id", "h", max_hamming=3,
+                             n_blocks=6).collect()}
+    assert p6 == p4
+    assert (0, 40, 3) in p6          # guaranteed at d == max_hamming
+    assert all(h <= 3 for _, _, h in p6)  # d=4 plant correctly excluded
+    import pytest
+
+    with pytest.raises(ValueError, match="must exceed"):
+        hamming_band_pairs(df, "doc_id", "h", max_hamming=3, n_blocks=3)
+
+
+def test_minhash_hot_bucket_cap_and_sig_prefilter(spark):
+    """r6 scale guards: a band bucket larger than max_band_bucket is
+    dropped whole (its m^2/2 pairs never materialize — exact-dup crowds
+    are upstream exact-dedup's job), while planted near-dup pairs in
+    normal buckets survive both the cap and the signature prefilter."""
+    from fileconvert_spark.operators.dedup import minhash_lsh_pairs
+
+    base = " ".join(f"word{i}" for i in range(60))
+    near = " ".join(f"word{i}" for i in range(58)) + " wordX wordY"
+    crowd = [(100 + i, " ".join(f"crowd{j}" for j in range(40)))
+             for i in range(30)]  # 30 identical docs -> hot buckets
+    df = spark.createDataFrame(
+        [(1, base), (2, near)] + crowd, "doc_id long, text string")
+
+    capped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, "doc_id", jaccard_threshold=0.3, max_band_bucket=10).collect()}
+    assert (1, 2) in capped                      # normal pair survives
+    assert not any(a >= 100 for a, _ in capped)  # crowd pairs capped away
+
+    uncapped = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, "doc_id", jaccard_threshold=0.3, max_band_bucket=None,
+        sig_est_margin=None).collect()}
+    assert (1, 2) in uncapped
+    assert sum(a >= 100 for a, _ in uncapped) == 30 * 29 // 2
+
+
 def test_knn_ivf_agrees_with_bruteforce(spark):
     from fileconvert_spark.operators.knn import brute_force_topk, ivf_topk
 

@@ -1,0 +1,306 @@
+"""Dedup/similarity stack at the 10 GB / 7.6M-row scale (VERDICT r5 #1).
+
+The encode path has kill-resume and manifest-pruning evidence at this
+scale; the LLM-pipeline operators (minhash LSH, SimHash, winnowing
+containment, contamination) had only plan shapes + sf0.1 numbers. This
+driver runs them on the same 9.9 GB codefiles corpus with PLANTED
+ground-truth pairs and reports, per phase: wall seconds, shuffle
+read/write bytes (from the Spark REST status API — verifying the
+"shuffles carry ids/hashes only, never documents" plan claim at scale),
+output pair counts, and planted-pair recall.
+
+    python tools/scale_dedup.py [n_rows=7600000] [work_dir=/tmp/fcs_scale] \
+        [--skip-winnow] [--winnow-rows=N]
+
+Pipeline shape: EXACT-DEDUP-FIRST — keeper per byte-identical group,
+near-dup over distinct texts. At 100 TB the corpus's ~10% exact
+duplicates would otherwise turn every LSH band bucket holding an m-copy
+group into m^2/2 candidate pairs; exact dedup first is the standard
+layering and the shape this engine recommends.
+
+Planted ground truth (deterministic; sampled from the KEEPER set so
+pair ids are canonical; planted ids live in a disjoint namespace):
+- heavy near-dup pairs: N_PLANT keeper documents + a copy with ~2% of
+  word tokens replaced and ~1% deleted (word-3-gram jaccard ~0.85-0.95)
+  — the MinHash-LSH target.
+- light near-dup pairs: N_PLANT keepers + a copy with ~0.3% tokens
+  replaced — the SimHash target (its 4x16-bit pigeonhole bands only
+  GUARANTEE recall at Hamming <= 3; the heavy set's recall is reported
+  for both operators but asserted for neither on SimHash).
+- lifted-paragraph pairs: two documents sharing a unique 60-word
+  paragraph inside different filler — the winnowing containment target.
+  (A paragraph lifted from the templated corpus itself would be
+  boilerplate-filtered: every 2-line sequence of the synthetic line
+  pools appears ~10^4 times corpus-wide, which the max_df guard drops
+  BY DESIGN; the unique-paragraph plant tests the machinery, the
+  boilerplate drop is itself part of what scale exercises.)
+- contamination: N_BENCH keepers' leading 40 words as the "benchmark"
+  table; those docs must all be flagged by the 8-gram broadcast
+  semi-join (plus whatever else legitimately shares grams with the
+  templated corpus — reported, not asserted).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_PLANT = 1000          # near-dup plants per mutation profile
+N_WINNOW_PLANT = 500    # lifted-paragraph plants
+N_BENCH = 500           # contamination benchmark items
+PLANT_BASE = 1 << 40    # planted doc_id namespace (corpus ids are xxhash64
+                        # of unique paths; collision odds ~ n/2^64)
+
+
+def _ui_totals(port: int = 4040) -> dict:
+    """Cumulative task metrics from the Spark status REST API."""
+    import urllib.request
+
+    base = f"http://localhost:{port}/api/v1"
+    try:
+        apps = json.load(urllib.request.urlopen(f"{base}/applications",
+                                                timeout=10))
+        app = apps[0]["id"]
+        stages = json.load(urllib.request.urlopen(
+            f"{base}/applications/{app}/stages?status=complete", timeout=30))
+    except Exception:  # noqa: BLE001 - metrics are best-effort reporting
+        return {}
+    return {
+        "shuffle_read_b": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "shuffle_write_b": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "input_b": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def _prog(out: dict, key: str) -> None:
+    print(f"[scale_dedup] {key}: {json.dumps(out[key])}",
+          file=sys.stderr, flush=True)
+
+
+class PhaseMeter:
+    def __init__(self):
+        self.t0 = None
+        self.base = {}
+
+    def start(self):
+        self.base = _ui_totals()
+        self.t0 = time.time()
+
+    def stop(self) -> dict:
+        wall = time.time() - self.t0
+        now = _ui_totals()
+        out = {"wall_s": round(wall, 1)}
+        for k in ("shuffle_read_b", "shuffle_write_b", "input_b"):
+            if k in now and k in self.base:
+                out[k] = int(now[k] - self.base[k])
+        return out
+
+
+def _mutate_texts(texts: list, repl: float, drop: float,
+                  seed: int = 99) -> list:
+    """Deterministic word-level mutation (fractions of tokens)."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    out = []
+    for t in texts:
+        toks = (t or "").split()
+        if not toks:
+            out.append("MUT empty")
+            continue
+        n = len(toks)
+        r = rng.random(n) < repl
+        d = rng.random(n) < drop
+        kept = [f"MUT{i}" if r[i] else tok
+                for i, tok in enumerate(toks) if not d[i]]
+        out.append(" ".join(kept) if kept else "MUT empty")
+    return out
+
+
+def main() -> int:  # noqa: PLR0915 - linear phase script
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_rows = int(args[0]) if args else 7_600_000
+    work = args[1] if len(args) > 1 else "/tmp/fcs_scale"
+    skip_winnow = "--skip-winnow" in sys.argv
+    winnow_rows = None
+    for a in sys.argv:
+        if a.startswith("--winnow-rows="):
+            winnow_rows = int(a.split("=", 1)[1])
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.session import get_spark
+    from scale_run import generate_corpus
+
+    spark = get_spark("scale-dedup",
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4040"})
+    out: dict = {"n_rows": n_rows}
+    meter = PhaseMeter()
+
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(corpus_path):
+        t0 = time.time()
+        generate_corpus(spark, corpus_path, n_rows)
+        out["gen_wall_s"] = round(time.time() - t0, 1)
+    corpus = spark.read.parquet(corpus_path)
+    docs = corpus.select(
+        F.xxhash64("path").alias("doc_id"), F.col("content").alias("text"))
+    out["content_gb"] = round(corpus.select(
+        F.sum(F.octet_length("content")).alias("b")).first()["b"] / 1e9, 2)
+
+    # ---- phase 1: exact dedup over the full corpus
+    from fileconvert_spark.operators.dedup import (
+        exact_dup_groups, minhash_lsh_pairs, simhash_pairs,
+        winnow_overlap_pairs,
+    )
+
+    meter.start()
+    groups = exact_dup_groups(docs, "doc_id").persist()
+    n_groups = groups.count()
+    n_dup_rows = groups.agg(F.sum("n_dups")).first()[0] or 0
+    out["exact"] = {**meter.stop(), "dup_groups": int(n_groups),
+                    "rows_in_dup_groups": int(n_dup_rows)}
+    _prog(out, "exact")
+    groups.unpersist()
+
+    # keepers: one doc per byte-identical group (canonical = min id)
+    meter.start()
+    keepers = (docs.withColumn("text_md5", F.md5("text"))
+               .groupBy("text_md5")
+               .agg(F.min("doc_id").alias("doc_id"),
+                    F.first("text").alias("text"))
+               .drop("text_md5").persist())
+    n_keep = keepers.count()
+    out["keepers"] = {**meter.stop(), "distinct_docs": int(n_keep)}
+    _prog(out, "keepers")
+
+    # ---- deterministic source sample for all plants (tiny, driver-side;
+    # drawn from KEEPERS so planted pair ids are canonical)
+    n_src = 2 * N_PLANT + N_WINNOW_PLANT + N_BENCH
+    src_rows = (keepers.filter(F.length("text").between(400, 4000))
+                .orderBy(F.abs(F.col("doc_id")) % 997, "doc_id")
+                .limit(n_src).collect())
+    assert len(src_rows) == n_src
+    ndh_src = src_rows[:N_PLANT]
+    ndl_src = src_rows[N_PLANT:2 * N_PLANT]
+    wn_src_unused = src_rows[2 * N_PLANT:2 * N_PLANT + N_WINNOW_PLANT]
+    ct_src = src_rows[2 * N_PLANT + N_WINNOW_PLANT:]
+    del wn_src_unused  # winnow plants are fully synthetic (see docstring)
+
+    ndh_pairs = [(r["doc_id"], PLANT_BASE + i) for i, r in enumerate(ndh_src)]
+    ndl_pairs = [(r["doc_id"], PLANT_BASE + 1_000_000 + i)
+                 for i, r in enumerate(ndl_src)]
+    plant_rows = (
+        [(PLANT_BASE + i, m) for i, m in enumerate(
+            _mutate_texts([r["text"] for r in ndh_src], 0.02, 0.01, seed=99))]
+        + [(PLANT_BASE + 1_000_000 + i, m) for i, m in enumerate(
+            _mutate_texts([r["text"] for r in ndl_src], 0.003, 0.0,
+                          seed=101))])
+    nd_docs = spark.createDataFrame(plant_rows, "doc_id long, text string")
+
+    def _unique_paragraph(rng, n_words: int = 60) -> str:
+        return " ".join(f"uniq{int(x)}" for x in
+                        rng.integers(0, 1 << 48, size=n_words))
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    wn_rows, wn_pairs = [], []
+    for i in range(N_WINNOW_PLANT):
+        para = _unique_paragraph(rng)
+        ida = PLANT_BASE + 2_000_000 + 2 * i
+        idb = ida + 1
+        wn_rows += [(ida, f"{_unique_paragraph(rng, 40)} {para}"),
+                    (idb, f"{para} {_unique_paragraph(rng, 40)}")]
+        wn_pairs.append((ida, idb))
+    wn_docs = spark.createDataFrame(wn_rows, "doc_id long, text string")
+
+    bench = spark.createDataFrame(
+        [(" ".join((r["text"] or "").split()[:40]),) for r in ct_src],
+        "text string")
+    ct_ids = [r["doc_id"] for r in ct_src]
+
+    def recall(pairs_df, planted) -> float:
+        """Spark-side: never collects the (possibly huge) pair set."""
+        pl = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in planted], "pa long, pb long")
+        norm = pairs_df.select(F.least("id_a", "id_b").alias("pa"),
+                               F.greatest("id_a", "id_b").alias("pb"))
+        return pl.join(norm, ["pa", "pb"], "left_semi").count() / len(planted)
+
+    nd_input = keepers.unionByName(nd_docs).persist()
+    nd_input.count()
+
+    # ---- phase 2: MinHash LSH near-dup pairs (planted recall)
+    meter.start()
+    mh = minhash_lsh_pairs(nd_input, "doc_id",
+                           jaccard_threshold=0.5).persist()
+    n_mh = mh.count()
+    out["minhash_lsh"] = {
+        **meter.stop(), "pairs": int(n_mh),
+        "planted_recall_heavy": round(recall(mh, ndh_pairs), 4),
+        "planted_recall_light": round(recall(mh, ndl_pairs), 4)}
+    _prog(out, "minhash_lsh")
+    mh.unpersist()
+
+    # ---- phase 3: SimHash near-dup pairs
+    meter.start()
+    sh = simhash_pairs(nd_input, "doc_id", max_hamming=3,
+                   n_blocks=6).persist()
+    n_sh = sh.count()
+    out["simhash"] = {
+        **meter.stop(), "pairs": int(n_sh),
+        "planted_recall_light": round(recall(sh, ndl_pairs), 4),
+        "planted_recall_heavy": round(recall(sh, ndh_pairs), 4)}
+    _prog(out, "simhash")
+    sh.unpersist()
+    nd_input.unpersist()
+
+    # ---- phase 4: winnowing containment (lifted paragraphs)
+    if not skip_winnow:
+        base_docs = keepers if winnow_rows is None else keepers.filter(
+            F.abs(F.col("doc_id")) % max(n_keep // winnow_rows, 1) == 0)
+        wdocs = base_docs.unionByName(wn_docs)
+        n_scan = wdocs.count()
+        meter.start()
+        wp = winnow_overlap_pairs(wdocs, "doc_id", min_shared=3).persist()
+        n_wp = wp.count()
+        out["winnow"] = {**meter.stop(), "pairs": int(n_wp),
+                         "planted_recall": round(recall(wp, wn_pairs), 4),
+                         "docs_scanned": int(n_scan)}
+        _prog(out, "winnow")
+        wp.unpersist()
+
+    # ---- phase 5: contamination (broadcast semi-join over the FULL corpus)
+    from fileconvert_spark.operators.contamination import (
+        exact_contamination, ngram_contamination)
+
+    meter.start()
+    flagged = ngram_contamination(docs, bench, "doc_id", "text").persist()
+    n_flag = flagged.count()
+    hit = flagged.join(
+        spark.createDataFrame([(i,) for i in ct_ids], "doc_id long"),
+        "doc_id", "left_semi").count()
+    n_exact = exact_contamination(docs, bench, "doc_id", "text").count()
+    out["contamination"] = {
+        **meter.stop(), "docs_flagged": int(n_flag),
+        "exact_flagged": int(n_exact),
+        "planted_recall": round(hit / len(ct_ids), 4)}
+    _prog(out, "contamination")
+
+    keepers.unpersist()
+    print(json.dumps(out))
+    spark.stop()
+    ok = (out["minhash_lsh"]["planted_recall_heavy"] >= 0.95
+          and out["contamination"]["planted_recall"] == 1.0
+          and (skip_winnow or out["winnow"]["planted_recall"] >= 0.95))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
