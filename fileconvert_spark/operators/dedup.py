@@ -173,6 +173,47 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     )
 
 
+def _hamming_bands(hashed: DataFrame, id_col: str, hash_col: str,
+                   max_hamming: int, n_blocks: int | None) -> DataFrame:
+    """(id, _h, band, band_key) pigeonhole band rows — see
+    hamming_band_pairs for the combinatorial-block scheme."""
+    from itertools import combinations
+
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    k = n_blocks - max_hamming
+    if k < 1:
+        raise ValueError(
+            f"hamming bands: n_blocks={n_blocks} must exceed "
+            f"max_hamming={max_hamming}")
+    base, extra = divmod(64, n_blocks)
+    lens = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(lens[:i]) for i in range(n_blocks)]
+
+    def block(i: int):
+        c = F.shiftrightunsigned(F.col(hash_col), offs[i])
+        if lens[i] >= 64:
+            # single-block degenerate case (max_hamming=0, n_blocks=1):
+            # the mask literal 2^64-1 would overflow a java long; the
+            # shifted value already IS the whole hash
+            return c
+        return c.bitwiseAND(F.lit((1 << lens[i]) - 1))
+
+    keys = []
+    for combo in combinations(range(n_blocks), k):
+        e, shift = None, 0
+        for i in combo:
+            part = F.shiftleft(block(i), shift) if shift else block(i)
+            e = part if e is None else e.bitwiseOR(part)
+            shift += lens[i]
+        keys.append(e)
+    return hashed.select(
+        F.col(id_col),
+        F.col(hash_col).alias("_h"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"),
+    )
+
+
 def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
                        max_hamming: int = 3,
                        n_blocks: int | None = None) -> DataFrame:
@@ -199,37 +240,15 @@ def hamming_band_pairs(hashed: DataFrame, id_col: str, hash_col: str,
     (needed for the bit_count verification after the band join) — never
     the hashed payload's SOURCE (text/pixels), which is the part that
     matters at 100 TB. Shared by SimHash text dedup and perceptual-hash
-    image dedup (operators/multimodal.py image_near_dups)."""
-    from itertools import combinations
+    image dedup (operators/multimodal.py image_near_dups).
 
-    if n_blocks is None:
-        n_blocks = max_hamming + 1
-    k = n_blocks - max_hamming
-    if k < 1:
-        raise ValueError(
-            f"hamming_band_pairs: n_blocks={n_blocks} must exceed "
-            f"max_hamming={max_hamming}")
-    base, extra = divmod(64, n_blocks)
-    lens = [base + (1 if i < extra else 0) for i in range(n_blocks)]
-    offs = [sum(lens[:i]) for i in range(n_blocks)]
-
-    def block(i: int):
-        return (F.shiftrightunsigned(F.col(hash_col), offs[i])
-                .bitwiseAND(F.lit((1 << lens[i]) - 1)))
-
-    keys = []
-    for combo in combinations(range(n_blocks), k):
-        e, shift = None, 0
-        for i in combo:
-            part = F.shiftleft(block(i), shift) if shift else block(i)
-            e = part if e is None else e.bitwiseOR(part)
-            shift += lens[i]
-        keys.append(e)
-    bands = hashed.select(
-        F.col(id_col),
-        F.col(hash_col).alias("_h"),
-        F.posexplode(F.array(*keys)).alias("band", "band_key"),
-    )
+    CROWD WARNING: pair output is inherently quadratic in near-dup crowd
+    size — m mutually-close documents (template boilerplate) emit
+    m^2/2 pairs no matter how the candidates are generated (measured r6:
+    200k templated code files -> 38M true pairs). When the goal is
+    dedup KEEPERS rather than the pair list, use hamming_components —
+    linear edge volume by construction."""
+    bands = _hamming_bands(hashed, id_col, hash_col, max_hamming, n_blocks)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -260,6 +279,156 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     saturates and chance collisions grow quadratically)."""
     sh = with_simhash(df.select(id_col, text_col), text_col)
     return hamming_band_pairs(sh, id_col, "simhash", max_hamming, n_blocks)
+
+
+def minhash_lsh_components(df: DataFrame, id_col: str,
+                           text_col: str = "text",
+                           n_bands: int = N_BANDS,
+                           jaccard_threshold: float = 0.5,
+                           est_margin: float = 0.2,
+                           chain_window: int = 2,
+                           max_iter: int = 25) -> DataFrame:
+    """MinHash near-dup CLUSTERS -> (id, component), component = min
+    member id; docs with no qualifying neighbor are absent (their own
+    keepers). The crowd-safe, keeper-oriented sibling of
+    minhash_lsh_pairs: pair enumeration is Theta(m^2) per m-member
+    near-dup crowd, but dedup needs crowd MEMBERSHIP, which linear edge
+    volume recovers.
+
+    Shape: band rows CARRY the 32-value signature (no join back);
+    within each (band, band_key) bucket, members sort by (signature,
+    id) — near-dups share most of the signature, so they sort adjacent
+    — and each links to its ``chain_window`` predecessors. Edges are
+    kept when the SIGNATURE-estimated jaccard (matching components /
+    32, Binomial so sd ~ 0.09 at J=0.5) >= threshold - margin, then
+    connected components (pointer doubling). Edge volume is n_bands *
+    chain_window * corpus — linear, no bucket cap, mega-crowds cost
+    O(m log m). Unlike minhash_lsh_pairs there is NO exact-jaccard text
+    verification: estimator-only dedup is the standard web-scale
+    MinHash practice, and the corpus text never shuffles at all. The
+    one wide shuffle carries (id, band, band_key, 256 B signature) —
+    ~n_bands * 280 B per doc, a fixed ~1.7x of a 10 GB corpus rather
+    than a quadratic pair stream.
+
+    Chain-connectivity approximation: see hamming_components — planted
+    2%-mutation pairs measure >= 0.98 co-membership recall in
+    tools/scale_dedup.py."""
+    from pyspark.sql.window import Window
+
+    rows_per_band = N_MINHASH // n_bands
+    sigs = with_minhash(df.select(id_col, text_col), text_col) \
+        .select(id_col, "minhash")
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("minhash"),
+                            b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "band_key"),
+    )
+    w = Window.partitionBy("band", "band_key").orderBy("minhash", id_col)
+    # window exprs must live in a Project, not inside the generator —
+    # compute the lag structs first, then explode them
+    lagged = bands.select(
+        F.col(id_col).alias("id_b"),
+        F.col("minhash").alias("sig_b"),
+        *[F.struct(F.lag(id_col, j).over(w).alias("id_a"),
+                   F.lag("minhash", j).over(w).alias("sig_a"))
+          .alias(f"_p{j}") for j in range(1, chain_window + 1)],
+    )
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                           lambda v: v)) / F.size("sig_b"))
+    edges = (
+        lagged.select(
+            "id_b", "sig_b",
+            F.explode(F.array(*[F.col(f"_p{j}")
+                                for j in range(1, chain_window + 1)])
+                      ).alias("p"))
+        .select("id_b", "sig_b", F.col("p.id_a").alias("id_a"),
+                F.col("p.sig_a").alias("sig_a"))
+        .filter(F.col("id_a").isNotNull())
+        .withColumn("est_j", est)
+        .filter(F.col("est_j") >= jaccard_threshold - est_margin)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return connected_components(edges, "id_a", "id_b", max_iter)
+
+
+def hamming_components(hashed: DataFrame, id_col: str, hash_col: str,
+                       max_hamming: int = 3, n_blocks: int | None = None,
+                       chain_window: int = 4,
+                       max_iter: int = 25) -> DataFrame:
+    """Near-dup CLUSTERS on a 64-bit hash column -> (id, component),
+    component = min member id; docs with no verified neighbor are absent
+    (each is its own keeper). The dedup rule is keep ``id == component``
+    plus every absent id.
+
+    This is the crowd-safe sibling of hamming_band_pairs: enumerating
+    pairs is Theta(m^2) per m-member near-dup crowd (template
+    boilerplate — measured 38M pairs in 200k templated code files, which
+    extrapolates to ~55 BILLION at 7.6M docs), but dedup only needs the
+    crowd MEMBERSHIP. Within each pigeonhole band bucket the members are
+    sorted by (hash, id) and each links to its ``chain_window``
+    predecessors — candidate edge volume is bands * chain_window *
+    corpus, LINEAR by construction, no bucket cap needed, and mega-crowds
+    cost O(m log m) sort instead of O(m^2) join. Every edge is then
+    VERIFIED by bit_count(xor) <= max_hamming before connected
+    components (pointer doubling, O(log diameter) rounds), so a chance
+    band collision never merges unrelated clusters — unverified
+    bucket-transitive dedup (common in web-scale pipelines) deletes
+    ~false-collision-rate of the corpus; verified chains do not.
+
+    Approximation (documented, measured by planted-pair co-membership in
+    tools/scale_dedup.py): connectivity is the transitive closure of
+    verified chain edges, which can miss a pair whose bucket neighbors
+    BETWEEN them (in hash sort order) are all > max_hamming from both —
+    raise ``chain_window`` to hop longer outlier runs. In a real crowd
+    adjacent sorted hashes are near-identical, so chains hold; planted
+    0.3%-mutation pairs measure >= 0.98 co-membership recall.
+
+    Shuffles carry (id, 8-byte hash, band, band_key) and verified
+    (id, id) edges — never the hashed payload's source."""
+    from pyspark.sql.window import Window
+
+    bands = _hamming_bands(hashed, id_col, hash_col, max_hamming, n_blocks)
+    w = Window.partitionBy("band", "band_key").orderBy("_h", id_col)
+    # window exprs must live in a Project, not inside the generator
+    lagged = bands.select(
+        F.col(id_col).alias("id_b"), F.col("_h").alias("h_b"),
+        *[F.struct(F.lag(id_col, j).over(w).alias("id_a"),
+                   F.lag("_h", j).over(w).alias("h_a")).alias(f"_p{j}")
+          for j in range(1, chain_window + 1)],
+    )
+    edges = (
+        lagged.select(
+            "id_b", "h_b",
+            F.explode(F.array(*[F.col(f"_p{j}")
+                                for j in range(1, chain_window + 1)])
+                      ).alias("p"))
+        .select("id_b", "h_b", F.col("p.id_a").alias("id_a"),
+                F.col("p.h_a").alias("h_a"))
+        .filter(F.col("id_a").isNotNull())
+        .filter(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return connected_components(edges, "id_a", "id_b", max_iter)
+
+
+def simhash_components(df: DataFrame, id_col: str, text_col: str = "text",
+                       max_hamming: int = 3, n_blocks: int | None = None,
+                       chain_window: int = 4) -> DataFrame:
+    """SimHash near-dup clusters -> (id, component) — the keeper-oriented,
+    crowd-safe form of simhash_pairs (see hamming_components)."""
+    sh = with_simhash(df.select(id_col, text_col), text_col)
+    return hamming_components(sh, id_col, "simhash", max_hamming, n_blocks,
+                              chain_window)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

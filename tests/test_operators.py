@@ -89,6 +89,74 @@ def test_hamming_combinatorial_blocks_equivalent(spark):
         hamming_band_pairs(df, "doc_id", "h", max_hamming=3, n_blocks=3)
 
 
+def test_hamming_components_clusters_and_rejects_chance_collisions(spark):
+    """r6 crowd-safe clustering: a tight hash crowd lands in one
+    component (via verified chain edges — linear volume, no m^2 pair
+    join), two far crowds stay separate, and a pure band-bucket chance
+    collision (one shared 16-bit block, >3 total differing bits) must
+    NOT merge — the bit_count verification is what separates this from
+    unverified bucket-transitive dedup. Components must also REFINE the
+    all-pairs transitive closure (never merge what pairs+components
+    would not)."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import (
+        connected_components, hamming_band_pairs, hamming_components,
+    )
+
+    c1 = 0x0123456789ABCDEF
+    c2 = c1 ^ ((1 << 40) - 1)  # far: 40 flipped bits, same high bits
+    crowd1 = [c1, c1 ^ 1, c1 ^ 2, c1 ^ 3, c1 ^ (1 << 20)]
+    crowd2 = [c2, c2 ^ 4, c2 ^ (1 << 50)]
+    # chance collision: identical low 16-bit block, 4 differing bits above
+    chance = [0x00000000_0000AAAA, 0x000F0000_0000AAAA]
+    rng = np.random.Generator(np.random.PCG64(11))
+    noise = [int(x) for x in rng.integers(0, 1 << 62, size=30)]
+    hashes = crowd1 + crowd2 + chance + noise
+    df = spark.createDataFrame(
+        [(i, np.int64(np.uint64(h)).item()) for i, h in enumerate(hashes)],
+        "doc_id long, h long")
+
+    comp = {r["id"]: r["component"] for r in
+            hamming_components(df, "doc_id", "h", max_hamming=3).collect()}
+    assert {comp[i] for i in range(5)} == {0}          # crowd1 together
+    assert {comp[i] for i in range(5, 8)} == {5}       # crowd2 together
+    assert comp.get(8) != comp.get(9) or 8 not in comp  # chance not merged
+
+    # refinement: every chain component lies inside a pairs-component
+    pairs = hamming_band_pairs(df, "doc_id", "h", max_hamming=3)
+    full = {r["id"]: r["component"] for r in
+            connected_components(pairs).collect()}
+    for i, c in comp.items():
+        assert full.get(i) is not None and full[i] == full[c]
+
+
+def test_simhash_and_minhash_components_planted(spark):
+    """The keeper-oriented components forms find planted near-dup pairs
+    (co-membership) without merging unrelated documents."""
+    from fileconvert_spark.operators.dedup import (
+        minhash_lsh_components, simhash_components,
+    )
+
+    base = " ".join(f"tok{i * 7 % 101}" for i in range(120))
+    near = base.replace("tok3 ", "tokX ")          # tiny mutation
+    other = " ".join(f"zzz{i}" for i in range(90))  # unrelated
+    rows = [(1, base), (2, near), (3, other)] + [
+        (10 + i, " ".join(f"w{i}x{j * i % 37}" for j in range(80)))
+        for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sc = {r["id"]: r["component"] for r in
+          simhash_components(df, "doc_id").collect()}
+    assert sc.get(1) == sc.get(2) == 1
+    assert sc.get(3, "absent") != 1
+
+    mc = {r["id"]: r["component"] for r in
+          minhash_lsh_components(df, "doc_id").collect()}
+    assert mc.get(1) == mc.get(2) == 1
+    assert mc.get(3, "absent") != 1
+
+
 def test_minhash_hot_bucket_cap_and_sig_prefilter(spark):
     """r6 scale guards: a band bucket larger than max_band_bucket is
     dropped whole (its m^2/2 pairs never materialize — exact-dup crowds

@@ -126,6 +126,37 @@ def test_contamination_exact_is_broadcast_semi_join(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_contamination_ngram_no_prejoin_corpus_shuffle(spark):
+    """ngram_contamination: the benchmark gram-hash set broadcasts and
+    the corpus gram stream reaches the semi-join WITHOUT a wide shuffle
+    — the only hash Exchange is the post-join per-doc aggregate over
+    matched rows. (The r6 10 GB run caught the old shape: a pre-join
+    dropDuplicates shuffled the entire corpus gram stream, and a
+    Catalyst gram expression burned ~10 us/gram.)"""
+    from fileconvert_spark.operators.contamination import ngram_contamination
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    bench = docs.limit(20).select("text")
+    df = ngram_contamination(docs, bench)
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p
+    # the corpus branch (the join's streamed side, rendered with ':-'/':'
+    # prefixes in the tree) must contain no Exchange — every hash
+    # Exchange in the plan sits ABOVE the semi-join (matched rows only)
+    # or inside the tiny broadcast build side
+    tree = p.split("(1) Scan")[0]
+    join_line = next(l for l in tree.splitlines()
+                     if "BroadcastHashJoin" in l)
+    indent = join_line.index("BroadcastHashJoin")
+    streamed = [l for l in tree.splitlines()[
+        tree.splitlines().index(join_line) + 1:]
+        if len(l) > indent and l[indent] == ":"]
+    assert streamed and not any("Exchange" in l for l in streamed), p
+    # gram hashing must be the Arrow-batched kernel, not higher-order exprs
+    assert "ArrowEvalPython" in p, p
+
+
 def test_embedding_pairs_grouped_matmul_single_exchange(spark):
     """The exact near-dup path must be applyInPandas over block-pair
     groups (one hash Exchange into the group grid) — not a catalyst

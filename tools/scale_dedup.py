@@ -10,7 +10,18 @@ read/write bytes (from the Spark REST status API — verifying the
 output pair counts, and planted-pair recall.
 
     python tools/scale_dedup.py [n_rows=7600000] [work_dir=/tmp/fcs_scale] \
-        [--skip-winnow] [--winnow-rows=N]
+        [--skip-winnow] [--winnow-rows=N] [--pairs-rows=N]
+
+Pair enumeration vs clustering (r6): PAIR output is Theta(m^2) per
+m-member near-dup crowd — measured 38M true SimHash pairs in just 200k
+templated code files, extrapolating to ~55 BILLION at 7.6M docs. No
+engine enumerates that; the scale-correct product is crowd MEMBERSHIP.
+So the driver runs BOTH forms: the pairs operators
+(minhash_lsh_pairs / simhash_pairs, exact per-pair verification) on a
+deterministic keeper subsample capped at --pairs-rows (default 200k),
+and the components operators (minhash_lsh_components /
+simhash_components — linear edge volume, no bucket caps) on the FULL
+corpus, with planted recall measured as component co-membership.
 
 Pipeline shape: EXACT-DEDUP-FIRST — keeper per byte-identical group,
 near-dup over distinct texts. At 100 TB the corpus's ~10% exact
@@ -128,9 +139,12 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     work = args[1] if len(args) > 1 else "/tmp/fcs_scale"
     skip_winnow = "--skip-winnow" in sys.argv
     winnow_rows = None
+    pairs_rows = 200_000
     for a in sys.argv:
         if a.startswith("--winnow-rows="):
             winnow_rows = int(a.split("=", 1)[1])
+        if a.startswith("--pairs-rows="):
+            pairs_rows = int(a.split("=", 1)[1])
 
     import numpy as np
     from pyspark.sql import functions as F
@@ -157,8 +171,8 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
 
     # ---- phase 1: exact dedup over the full corpus
     from fileconvert_spark.operators.dedup import (
-        exact_dup_groups, minhash_lsh_pairs, simhash_pairs,
-        winnow_overlap_pairs,
+        exact_dup_groups, minhash_lsh_components, minhash_lsh_pairs,
+        simhash_components, simhash_pairs, winnow_overlap_pairs,
     )
 
     meter.start()
@@ -233,32 +247,92 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
                                F.greatest("id_a", "id_b").alias("pb"))
         return pl.join(norm, ["pa", "pb"], "left_semi").count() / len(planted)
 
+    def corecall(comp_df, planted) -> float:
+        """Fraction of planted pairs whose two ids share a component
+        (Spark-side; absent-from-components ids count as their own
+        singleton, so a planted pair needs both present AND equal)."""
+        pl = spark.createDataFrame(
+            [(a, b) for a, b in planted], "pa long, pb long")
+        ca = comp_df.select(F.col("id").alias("pa"),
+                            F.col("component").alias("c_a"))
+        cb = comp_df.select(F.col("id").alias("pb"),
+                            F.col("component").alias("c_b"))
+        hits = (pl.join(ca, "pa").join(cb, "pb")
+                .filter(F.col("c_a") == F.col("c_b")).count())
+        return hits / len(planted)
+
     nd_input = keepers.unionByName(nd_docs).persist()
     nd_input.count()
 
-    # ---- phase 2: MinHash LSH near-dup pairs (planted recall)
+    # pairs input: PAIR enumeration is Theta(m^2) per near-dup crowd (see
+    # module docstring), so the pairs operators run on a deterministic
+    # keeper subsample capped at --pairs-rows — always including the
+    # plant source docs so planted recall stays meaningful.
+    if n_keep > pairs_rows:
+        stride = max(n_keep // pairs_rows, 1)
+        src_ids = [r["doc_id"] for r in src_rows]
+        pairs_base = keepers.filter(
+            ((F.abs(F.col("doc_id")) % stride) == 0)
+            | F.col("doc_id").isin(src_ids))
+        pairs_input = pairs_base.unionByName(nd_docs).persist()
+        n_pairs_in = pairs_input.count()
+    else:
+        pairs_input, n_pairs_in = nd_input, n_keep + len(plant_rows)
+    out["pairs_subsample_rows"] = int(n_pairs_in)
+
+    # ---- phase 2: MinHash LSH near-dup pairs (subsample, exact verify)
     meter.start()
-    mh = minhash_lsh_pairs(nd_input, "doc_id",
+    mh = minhash_lsh_pairs(pairs_input, "doc_id",
                            jaccard_threshold=0.5).persist()
     n_mh = mh.count()
-    out["minhash_lsh"] = {
-        **meter.stop(), "pairs": int(n_mh),
+    out["minhash_lsh_pairs"] = {
+        **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_mh),
         "planted_recall_heavy": round(recall(mh, ndh_pairs), 4),
         "planted_recall_light": round(recall(mh, ndl_pairs), 4)}
-    _prog(out, "minhash_lsh")
+    _prog(out, "minhash_lsh_pairs")
     mh.unpersist()
 
-    # ---- phase 3: SimHash near-dup pairs
+    # ---- phase 2b: MinHash LSH components (FULL corpus, linear edges)
     meter.start()
-    sh = simhash_pairs(nd_input, "doc_id", max_hamming=3,
-                   n_blocks=6).persist()
+    mhc = minhash_lsh_components(nd_input, "doc_id",
+                                 jaccard_threshold=0.5).persist()
+    n_nodes = mhc.count()
+    n_comp = mhc.select("component").distinct().count()
+    out["minhash_lsh_components"] = {
+        **meter.stop(), "docs_clustered": int(n_nodes),
+        "clusters": int(n_comp),
+        "planted_corecall_heavy": round(corecall(mhc, ndh_pairs), 4),
+        "planted_corecall_light": round(corecall(mhc, ndl_pairs), 4)}
+    _prog(out, "minhash_lsh_components")
+    mhc.unpersist()
+
+    # ---- phase 3: SimHash near-dup pairs (subsample, exact verify)
+    meter.start()
+    sh = simhash_pairs(pairs_input, "doc_id", max_hamming=3,
+                       n_blocks=6).persist()
     n_sh = sh.count()
-    out["simhash"] = {
-        **meter.stop(), "pairs": int(n_sh),
+    out["simhash_pairs"] = {
+        **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_sh),
         "planted_recall_light": round(recall(sh, ndl_pairs), 4),
         "planted_recall_heavy": round(recall(sh, ndh_pairs), 4)}
-    _prog(out, "simhash")
+    _prog(out, "simhash_pairs")
     sh.unpersist()
+
+    # ---- phase 3b: SimHash components (FULL corpus, linear edges)
+    meter.start()
+    shc = simhash_components(nd_input, "doc_id", max_hamming=3,
+                             n_blocks=6).persist()
+    n_nodes = shc.count()
+    n_comp = shc.select("component").distinct().count()
+    out["simhash_components"] = {
+        **meter.stop(), "docs_clustered": int(n_nodes),
+        "clusters": int(n_comp),
+        "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
+        "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
+    _prog(out, "simhash_components")
+    shc.unpersist()
+    if pairs_input is not nd_input:
+        pairs_input.unpersist()
     nd_input.unpersist()
 
     # ---- phase 4: winnowing containment (lifted paragraphs)
@@ -296,7 +370,9 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     keepers.unpersist()
     print(json.dumps(out))
     spark.stop()
-    ok = (out["minhash_lsh"]["planted_recall_heavy"] >= 0.95
+    ok = (out["minhash_lsh_pairs"]["planted_recall_heavy"] >= 0.95
+          and out["minhash_lsh_components"]["planted_corecall_heavy"] >= 0.95
+          and out["simhash_components"]["planted_corecall_light"] >= 0.95
           and out["contamination"]["planted_recall"] == 1.0
           and (skip_winnow or out["winnow"]["planted_recall"] >= 0.95))
     return 0 if ok else 1
