@@ -126,6 +126,24 @@ def load():
         c_int64, c_int64, c_int64,              # h, w, ch
         POINTER(c_uint8),                       # out
     ]
+    lib.winnow_select.restype = c_int64
+    lib.winnow_select.argtypes = [
+        POINTER(c_uint64), POINTER(c_int64),    # vals, counts
+        c_int64, c_int64,                       # nd, w
+        POINTER(c_int64),                       # out_idx
+    ]
+    lib.slab_word_hashes.restype = c_int64
+    lib.slab_word_hashes.argtypes = [
+        POINTER(c_uint8), c_int64,              # buf, n
+        POINTER(c_int64), c_int64,              # doc_starts, nd
+        POINTER(c_uint64), POINTER(c_int64),    # out_wh, out_wc
+    ]
+    lib.slab_gram_hashes.restype = c_int64
+    lib.slab_gram_hashes.argtypes = [
+        POINTER(c_uint64), POINTER(c_int64),    # wh, wc
+        c_int64, c_int64, c_int64,              # nd, ngram, short_doc_gram
+        POINTER(c_uint64),                      # out_gh
+    ]
     _LIB = lib
     return lib
 
@@ -169,6 +187,74 @@ def fsst_encode(arr, lengths, tables, hash_bits: int, walk_seg: int):
         sym_p, lc_p, hash_bits, walk_seg,
         _u8p(out), enc_lens.ctypes.data_as(p_i64))
     return out[:total].tobytes(), enc_lens[:len(lengths)].copy()
+
+
+def winnow_select(vals, counts, w: int):
+    """C winnowing selection (one monotonic-deque pass, doc-boundary-
+    aware, squeeze folded in); returns int64 global indices of the
+    selected fingerprints, or None when the native library is
+    unavailable. Output indices select the same (doc, fingerprint)
+    multiset the NumPy tournament path selects (tests/test_native.py)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    out = np.empty(max(vals.size, 1), dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    m = lib.winnow_select(
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(p_i64), counts.size, w,
+        out.ctypes.data_as(p_i64))
+    if m < 0:
+        return None
+    return out[:m].copy()
+
+
+def slab_word_hashes(buf, doc_starts):
+    """C word hashing over a document slab; returns (word_hashes uint64,
+    word_counts int64) or None when unavailable. Bit-identical to the
+    NumPy prefix-sum path (functions/similarity.py _slab_word_hashes)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    doc_starts = np.ascontiguousarray(doc_starts, dtype=np.int64)
+    nd = doc_starts.size
+    out_wh = np.empty((buf.size + 1) // 2 + 1, dtype=np.uint64)
+    out_wc = np.empty(max(nd, 1), dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    m = lib.slab_word_hashes(
+        _u8p(buf), buf.size, doc_starts.ctypes.data_as(p_i64), nd,
+        out_wh.ctypes.data_as(p_u64), out_wc.ctypes.data_as(p_i64))
+    return out_wh[:m].copy(), out_wc[:nd].copy()
+
+
+def slab_gram_hashes(wh, wc, ngram: int, short_doc_gram: bool, total: int):
+    """C rolling word-n-gram hashes; returns gram hashes uint64[total] or
+    None when unavailable. ``total`` is the exact gram count the caller
+    derives from ``wc`` (asserted against the kernel's own count)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    wh = np.ascontiguousarray(wh, dtype=np.uint64)
+    wc = np.ascontiguousarray(wc, dtype=np.int64)
+    out = np.empty(max(total, 1), dtype=np.uint64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    m = lib.slab_gram_hashes(
+        wh.ctypes.data_as(p_u64), wc.ctypes.data_as(p_i64), wc.size,
+        ngram, 1 if short_doc_gram else 0, out.ctypes.data_as(p_u64))
+    if m != total:
+        return None  # defensive: count mismatch -> NumPy path decides
+    return out[:total]
 
 
 def png_defilter(data, filters, w: int, ch: int):

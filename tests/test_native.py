@@ -153,3 +153,110 @@ def test_native_disabled_by_env(monkeypatch):
                               (np.zeros(1 << 16, np.uint16),
                                np.zeros(256, np.uint16), None),
                               12, 1024) is None
+
+
+@requires_native
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=6),
+                         max_size=40), max_size=12),
+       st.integers(min_value=1, max_value=6))
+def test_winnow_select_matches_numpy_tournament(docs, w):
+    """Property: the C deque selection and the NumPy tournament path pick
+    the SAME per-doc fingerprint sets for arbitrary doc shapes (empty
+    docs, short docs, heavy value ties — the 0..6 alphabet forces tie
+    runs) and any window length."""
+    vals = np.array([v for d in docs for v in d], dtype=np.uint64)
+    counts = np.array([len(d) for d in docs], dtype=np.int64)
+    sel = native.winnow_select(vals, counts, w)
+    assert sel is not None
+
+    # NumPy reference: per doc, rightmost window minima (or whole-doc
+    # min when < w grams), deduped — brute force
+    doc_of = np.repeat(np.arange(counts.size), counts)
+    want = set()
+    off = 0
+    for d, cnt in enumerate(counts):
+        seg = vals[off:off + cnt]
+        if cnt > 0:
+            if cnt < w:
+                want.add((d, int(seg.min())))
+            else:
+                for s in range(cnt - w + 1):
+                    win = seg[s:s + w]
+                    m = win.min()
+                    want.add((d, int(m)))
+        off += cnt
+    got = {(int(doc_of[i]), int(vals[i])) for i in sel}
+    assert got == want
+
+
+@requires_native
+def test_winnow_batch_native_equals_numpy_path():
+    """Full winnow_fingerprints_batch output must be identical with and
+    without the native kernel, across batch profiles (short docs,
+    uniform long docs, empty/None, tie-heavy)."""
+    from fileconvert_spark.functions import similarity as sim
+
+    docs = (["alpha beta gamma delta epsilon zeta eta theta"] * 3
+            + [" ".join(f"w{i % 9}" for i in range(400))] * 2
+            + ["", None, "one two", "x " * 50]
+            + [" ".join(f"t{i * 13 % 7}" for i in range(60))])
+    for k, w in ((5, 4), (3, 2), (4, 8)):
+        fps_c, n_c = sim.winnow_fingerprints_batch(docs, k=k, w=w)
+        os.environ["FCS_NO_NATIVE"] = "1"
+        try:
+            fps_np, n_np = sim.winnow_fingerprints_batch(docs, k=k, w=w)
+        finally:
+            del os.environ["FCS_NO_NATIVE"]
+        assert np.array_equal(n_c, n_np), (k, w)
+        assert np.array_equal(fps_c, fps_np), (k, w)
+
+
+@requires_native
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(
+    st.none(),
+    st.text(max_size=120),
+    st.text(alphabet=" \t\n\v\f\rabé中", max_size=80)),
+    max_size=15),
+    st.integers(min_value=1, max_value=9))
+def test_slab_hash_kernels_match_numpy(texts, n):
+    """Property: the C word-hash and gram-hash kernels are BIT-identical
+    to the NumPy prefix-sum path over arbitrary unicode (multi-byte
+    UTF-8, every whitespace class, empty/None docs), for both
+    short_doc_gram conventions."""
+    from fileconvert_spark.functions import similarity as sim
+
+    for short in (True, False):
+        gh_c, cnt_c = sim.batch_gram_hashes(
+            list(texts), n, short_doc_gram=short)
+        os.environ["FCS_NO_NATIVE"] = "1"
+        try:
+            gh_np, cnt_np = sim.batch_gram_hashes(
+                list(texts), n, short_doc_gram=short)
+        finally:
+            del os.environ["FCS_NO_NATIVE"]
+        assert np.array_equal(cnt_c, cnt_np), (n, short)
+        assert np.array_equal(gh_c, gh_np), (n, short)
+
+
+@requires_native
+def test_signature_kernels_native_equal_numpy():
+    """End-to-end signatures (MinHash, SimHash) must be identical with
+    and without the native hash kernels."""
+    from fileconvert_spark.functions import similarity as sim
+
+    docs = ["alpha beta gamma delta epsilon", "", None, "  x  ",
+            " ".join(f"w{i % 13}" for i in range(300)),
+            "café naïve 中文 words here",
+            "\tmixed\nwhitespace doc\r\n"]
+    mh_c = sim.minhash_signatures(docs)
+    sh_c = sim.simhash64_batch(docs)
+    os.environ["FCS_NO_NATIVE"] = "1"
+    try:
+        mh_np = sim.minhash_signatures(docs)
+        sh_np = sim.simhash64_batch(docs)
+    finally:
+        del os.environ["FCS_NO_NATIVE"]
+    assert np.array_equal(mh_c, mh_np)
+    assert np.array_equal(sh_c, sh_np)

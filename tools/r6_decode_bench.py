@@ -1,0 +1,136 @@
+"""Round-6 decode measurements (VERDICT r5 "Next" #2/#4/#5) against the
+10 GB encoded dirs the r5 scale runs left behind:
+
+1. OR-disjunction predicate pruning: a two-repo OR on the clustered
+   1024-part dir must prune like two equalities (union of keeps) —
+   target >= 5x vs full decode, EXACT rows vs the raw corpus filter.
+2. Small-part task-group coalescing: decode wall at 8192 tiny parts
+   with driver grouping (auto 64 MiB targets) vs without
+   (task_target_bytes=0, the pre-r6 one-task-per-part shape), and vs
+   the 1024-part dir on the same bytes — target grouped-8192 within
+   ~1.3x of the 1024-part wall.
+3. (--lang-dir=...) secondary-column predicate on a (repo,lang)-
+   clustered dir: measures what multi-column clustering actually buys a
+   NON-leading predicate column at this layout (part-level pruning
+   needs the bucket key; chunk-level pruning rides the within-part
+   sort).
+
+    python tools/r6_decode_bench.py <clustered_1024_dir> <dir_8192> \
+        <corpus_parquet> [--lang-dir=DIR] [--skip-group]
+
+One JSON line on stdout; record in BENCH/SCALE_r6.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    clustered, dir8k, corpus_path = args[0], args[1], args[2]
+    lang_dir = None
+    for a in sys.argv:
+        if a.startswith("--lang-dir="):
+            lang_dir = a.split("=", 1)[1]
+    skip_group = "--skip-group" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.plans.manifest import decode_table
+    from fileconvert_spark.session import get_spark
+
+    spark = get_spark("r6-decode-bench")
+    corpus = spark.read.parquet(corpus_path)
+    out: dict = {}
+
+    def timed(fn):
+        t0 = time.time()
+        v = fn()
+        return v, round(time.time() - t0, 2)
+
+    # two repos from well-separated parts: alphabetic extremes
+    repos = [r["repo"] for r in
+             corpus.select("repo").distinct().orderBy("repo").collect()]
+    r_lo, r_hi = repos[0], repos[-1]
+    want_or = corpus.filter(F.col("repo").isin([r_lo, r_hi])).count()
+    want_lo = corpus.filter(F.col("repo") == r_lo).count()
+
+    full_rows, t_full = timed(lambda: decode_table(spark, clustered).count())
+    eq_rows, t_eq = timed(lambda: decode_table(
+        spark, clustered, predicate=("repo", "=", r_lo)).count())
+    or_rows, t_or = timed(lambda: decode_table(
+        spark, clustered,
+        predicate=("or", [("repo", "=", r_lo),
+                          ("repo", "=", r_hi)])).count())
+    out["or_predicate"] = {
+        "repos": [r_lo, r_hi], "full_wall_s": t_full,
+        "eq_wall_s": t_eq, "eq_rows": int(eq_rows),
+        "eq_exact": bool(eq_rows == want_lo),
+        "or_wall_s": t_or, "or_rows": int(or_rows),
+        "or_exact": bool(or_rows == want_or),
+        "or_speedup_vs_full": round(t_full / max(t_or, 1e-9), 1),
+        "selectivity": round(or_rows / max(full_rows, 1), 6),
+    }
+    print(f"[r6] or_predicate: {json.dumps(out['or_predicate'])}",
+          file=sys.stderr, flush=True)
+
+    if not skip_group:
+        g_rows, t_grouped = timed(
+            lambda: decode_table(spark, dir8k).count())
+        u_rows, t_ungrouped = timed(
+            lambda: decode_table(spark, dir8k, task_target_bytes=0).count())
+        b_rows, t_1024 = timed(
+            lambda: decode_table(spark, clustered).count())
+        out["task_grouping"] = {
+            "rows": int(g_rows),
+            "rows_match": bool(g_rows == u_rows == b_rows),
+            "wall_8192_grouped_s": t_grouped,
+            "wall_8192_ungrouped_s": t_ungrouped,
+            "wall_1024_s": t_1024,
+            "grouped_vs_1024": round(t_grouped / max(t_1024, 1e-9), 2),
+            "grouping_speedup": round(t_ungrouped / max(t_grouped, 1e-9), 2),
+        }
+        print(f"[r6] task_grouping: {json.dumps(out['task_grouping'])}",
+              file=sys.stderr, flush=True)
+
+    if lang_dir:
+        langs = [r["lang"] for r in corpus.groupBy("lang").count()
+                 .orderBy("count").collect()]
+        lval = langs[0]  # rarest lang = most selective secondary predicate
+        want_lang = corpus.filter(F.col("lang") == lval).count()
+        lfull_rows, t_lfull = timed(
+            lambda: decode_table(spark, lang_dir).count())
+        l_rows, t_lang = timed(lambda: decode_table(
+            spark, lang_dir, predicate=("lang", "=", lval)).count())
+        # leading-key predicate on the same dir for comparison
+        l_eq_rows, t_leq = timed(lambda: decode_table(
+            spark, lang_dir, predicate=("repo", "=", r_lo)).count())
+        out["secondary_lang"] = {
+            "lang": lval, "rows": int(l_rows),
+            "exact": bool(l_rows == want_lang),
+            "full_wall_s": t_lfull, "lang_wall_s": t_lang,
+            "lang_speedup": round(t_lfull / max(t_lang, 1e-9), 2),
+            "selectivity": round(l_rows / max(lfull_rows, 1), 6),
+            "leading_repo_wall_s": t_leq,
+            "leading_repo_exact": bool(l_eq_rows == want_lo),
+        }
+        print(f"[r6] secondary_lang: {json.dumps(out['secondary_lang'])}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+    spark.stop()
+    ok = out["or_predicate"]["or_exact"] and out["or_predicate"]["eq_exact"]
+    if "task_grouping" in out:
+        ok = ok and out["task_grouping"]["rows_match"]
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
