@@ -916,6 +916,29 @@ def dedup_simhash_docs(spark, sf_dir):
     return simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("id_a", "id_b")
 
 
+def dedup_components_docs(spark, sf_dir):
+    """Crowd-safe keeper clustering (r6): pair enumeration is Theta(m^2)
+    per near-dup crowd (38M true SimHash pairs measured in 200k templated
+    files), so web-scale dedup emits linear verified chain edges per band
+    bucket + connected components instead. Both clusterers over the
+    documents table: (doc_id, minhash_component, simhash_component) for
+    every doc that joined any cluster. Rows-only: pointer-doubling
+    iteration + window chains are not single-statement ANSI SQL."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import (
+        minhash_lsh_components, simhash_components,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    mc = minhash_lsh_components(d, "doc_id").withColumnRenamed(
+        "component", "minhash_component")
+    sc = simhash_components(d, "doc_id").withColumnRenamed(
+        "component", "simhash_component")
+    return (mc.join(sc, "id", "full_outer")
+            .withColumnRenamed("id", "doc_id")
+            .orderBy("doc_id"))
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
     to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
@@ -1361,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction_docs": pii_redaction_docs,
         "bpe_token_counts": bpe_token_counts,
         "video_frame_stats": video_frame_stats,
+        "dedup_components_docs": dedup_components_docs,   # new in r06
     }
 
 

@@ -152,9 +152,16 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     from fileconvert_spark.session import get_spark
     from scale_run import generate_corpus
 
+    # 256 shuffle partitions (not the session default 32): the band
+    # window sorts push ~136M rows (20 simhash bands x 6.8M keepers)
+    # through one Exchange; at 32 partitions the 32-way-concurrent
+    # per-task sorts exhausted the 16 GB unified pool
+    # (UNABLE_TO_ACQUIRE_MEMORY) — more, smaller sorts spill cleanly
+    # and AQE re-coalesces the phases that don't need them
     spark = get_spark("scale-dedup",
                       extra_conf={"spark.ui.enabled": "true",
-                                  "spark.ui.port": "4040"})
+                                  "spark.ui.port": "4040",
+                                  "spark.sql.shuffle.partitions": "256"})
     out: dict = {"n_rows": n_rows}
     meter = PhaseMeter()
 
@@ -184,13 +191,20 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     _prog(out, "exact")
     groups.unpersist()
 
-    # keepers: one doc per byte-identical group (canonical = min id)
+    # keepers: one doc per byte-identical group (canonical = min id).
+    # MATERIALIZED TO PARQUET, not .persist(): a 10 GB corpus's keeper
+    # texts deserialize to far more than the heap (the r6 first attempt
+    # OOMed 32 concurrent cache-build tasks at 7.6M rows); columnar
+    # disk + re-scan is the shape a real pipeline uses between stages.
+    keep_path = os.path.join(work, "keepers.parquet")
     meter.start()
-    keepers = (docs.withColumn("text_md5", F.md5("text"))
-               .groupBy("text_md5")
-               .agg(F.min("doc_id").alias("doc_id"),
-                    F.first("text").alias("text"))
-               .drop("text_md5").persist())
+    (docs.withColumn("text_md5", F.md5("text"))
+     .groupBy("text_md5")
+     .agg(F.min("doc_id").alias("doc_id"),
+          F.first("text").alias("text"))
+     .drop("text_md5")
+     .write.mode("overwrite").parquet(keep_path))
+    keepers = spark.read.parquet(keep_path)
     n_keep = keepers.count()
     out["keepers"] = {**meter.stop(), "distinct_docs": int(n_keep)}
     _prog(out, "keepers")
@@ -261,8 +275,10 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
                 .filter(F.col("c_a") == F.col("c_b")).count())
         return hits / len(planted)
 
-    nd_input = keepers.unionByName(nd_docs).persist()
-    nd_input.count()
+    # no .persist() on text-bearing frames (see keepers note): keepers
+    # is parquet-backed and nd_docs is a tiny local frame, so each
+    # phase's re-scan is a cheap columnar read
+    nd_input = keepers.unionByName(nd_docs)
 
     # pairs input: PAIR enumeration is Theta(m^2) per near-dup crowd (see
     # module docstring), so the pairs operators run on a deterministic
@@ -274,7 +290,7 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         pairs_base = keepers.filter(
             ((F.abs(F.col("doc_id")) % stride) == 0)
             | F.col("doc_id").isin(src_ids))
-        pairs_input = pairs_base.unionByName(nd_docs).persist()
+        pairs_input = pairs_base.unionByName(nd_docs)
         n_pairs_in = pairs_input.count()
     else:
         pairs_input, n_pairs_in = nd_input, n_keep + len(plant_rows)
@@ -331,9 +347,6 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
     _prog(out, "simhash_components")
     shc.unpersist()
-    if pairs_input is not nd_input:
-        pairs_input.unpersist()
-    nd_input.unpersist()
 
     # ---- phase 4: winnowing containment (lifted paragraphs)
     if not skip_winnow:
@@ -367,7 +380,6 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         "planted_recall": round(hit / len(ct_ids), 4)}
     _prog(out, "contamination")
 
-    keepers.unpersist()
     print(json.dumps(out))
     spark.stop()
     ok = (out["minhash_lsh_pairs"]["planted_recall_heavy"] >= 0.95
