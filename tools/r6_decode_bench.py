@@ -101,9 +101,9 @@ def main() -> int:
               file=sys.stderr, flush=True)
 
     if lang_dir:
-        langs = [r["lang"] for r in corpus.groupBy("lang").count()
-                 .orderBy("count").collect()]
-        lval = langs[0]  # rarest lang = most selective secondary predicate
+        langs = [r["lang"] for r in corpus.filter(F.col("lang").isNotNull())
+                 .groupBy("lang").count().orderBy("count").collect()]
+        lval = langs[0]  # rarest real lang = most selective secondary pred
         want_lang = corpus.filter(F.col("lang") == lval).count()
         lfull_rows, t_lfull = timed(
             lambda: decode_table(spark, lang_dir).count())

@@ -140,11 +140,17 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     skip_winnow = "--skip-winnow" in sys.argv
     winnow_rows = None
     pairs_rows = 200_000
+    phases = None  # None = all
     for a in sys.argv:
         if a.startswith("--winnow-rows="):
             winnow_rows = int(a.split("=", 1)[1])
         if a.startswith("--pairs-rows="):
             pairs_rows = int(a.split("=", 1)[1])
+        if a.startswith("--phases="):
+            phases = set(a.split("=", 1)[1].split(","))
+
+    def want(phase: str) -> bool:
+        return phases is None or phase in phases
 
     import numpy as np
     from pyspark.sql import functions as F
@@ -158,9 +164,16 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     # per-task sorts exhausted the 16 GB unified pool
     # (UNABLE_TO_ACQUIRE_MEMORY) — more, smaller sorts spill cleanly
     # and AQE re-coalesces the phases that don't need them
+    # 48g heap: the simhash components phase pushes ~544M exploded
+    # candidate-edge rows (20 bands x 6.8M keepers x chain_window 4)
+    # through sort/aggregate pipelines on 32 concurrent tasks — the
+    # session-default 16g heap hit UNABLE_TO_ACQUIRE_MEMORY twice even
+    # with spill-friendly partitioning. A real cluster sizes executors
+    # to the task mix; on this single-JVM host that means the driver.
     spark = get_spark("scale-dedup",
                       extra_conf={"spark.ui.enabled": "true",
                                   "spark.ui.port": "4040",
+                                  "spark.driver.memory": "48g",
                                   "spark.sql.shuffle.partitions": "256"})
     out: dict = {"n_rows": n_rows}
     meter = PhaseMeter()
@@ -182,14 +195,15 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         simhash_components, simhash_pairs, winnow_overlap_pairs,
     )
 
-    meter.start()
-    groups = exact_dup_groups(docs, "doc_id").persist()
-    n_groups = groups.count()
-    n_dup_rows = groups.agg(F.sum("n_dups")).first()[0] or 0
-    out["exact"] = {**meter.stop(), "dup_groups": int(n_groups),
-                    "rows_in_dup_groups": int(n_dup_rows)}
-    _prog(out, "exact")
-    groups.unpersist()
+    if want("exact"):
+        meter.start()
+        groups = exact_dup_groups(docs, "doc_id").persist()
+        n_groups = groups.count()
+        n_dup_rows = groups.agg(F.sum("n_dups")).first()[0] or 0
+        out["exact"] = {**meter.stop(), "dup_groups": int(n_groups),
+                        "rows_in_dup_groups": int(n_dup_rows)}
+        _prog(out, "exact")
+        groups.unpersist()
 
     # keepers: one doc per byte-identical group (canonical = min id).
     # MATERIALIZED TO PARQUET, not .persist(): a 10 GB corpus's keeper
@@ -197,17 +211,21 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     # OOMed 32 concurrent cache-build tasks at 7.6M rows); columnar
     # disk + re-scan is the shape a real pipeline uses between stages.
     keep_path = os.path.join(work, "keepers.parquet")
-    meter.start()
-    (docs.withColumn("text_md5", F.md5("text"))
-     .groupBy("text_md5")
-     .agg(F.min("doc_id").alias("doc_id"),
-          F.first("text").alias("text"))
-     .drop("text_md5")
-     .write.mode("overwrite").parquet(keep_path))
-    keepers = spark.read.parquet(keep_path)
-    n_keep = keepers.count()
-    out["keepers"] = {**meter.stop(), "distinct_docs": int(n_keep)}
-    _prog(out, "keepers")
+    if want("keepers") or not os.path.exists(keep_path):
+        meter.start()
+        (docs.withColumn("text_md5", F.md5("text"))
+         .groupBy("text_md5")
+         .agg(F.min("doc_id").alias("doc_id"),
+              F.first("text").alias("text"))
+         .drop("text_md5")
+         .write.mode("overwrite").parquet(keep_path))
+        keepers = spark.read.parquet(keep_path)
+        n_keep = keepers.count()
+        out["keepers"] = {**meter.stop(), "distinct_docs": int(n_keep)}
+        _prog(out, "keepers")
+    else:
+        keepers = spark.read.parquet(keep_path)
+        n_keep = keepers.count()
 
     # ---- deterministic source sample for all plants (tiny, driver-side;
     # drawn from KEEPERS so planted pair ids are canonical)
@@ -297,59 +315,63 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     out["pairs_subsample_rows"] = int(n_pairs_in)
 
     # ---- phase 2: MinHash LSH near-dup pairs (subsample, exact verify)
-    meter.start()
-    mh = minhash_lsh_pairs(pairs_input, "doc_id",
-                           jaccard_threshold=0.5).persist()
-    n_mh = mh.count()
-    out["minhash_lsh_pairs"] = {
-        **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_mh),
-        "planted_recall_heavy": round(recall(mh, ndh_pairs), 4),
-        "planted_recall_light": round(recall(mh, ndl_pairs), 4)}
-    _prog(out, "minhash_lsh_pairs")
-    mh.unpersist()
+    if want("minhash_pairs"):
+        meter.start()
+        mh = minhash_lsh_pairs(pairs_input, "doc_id",
+                               jaccard_threshold=0.5).persist()
+        n_mh = mh.count()
+        out["minhash_lsh_pairs"] = {
+            **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_mh),
+            "planted_recall_heavy": round(recall(mh, ndh_pairs), 4),
+            "planted_recall_light": round(recall(mh, ndl_pairs), 4)}
+        _prog(out, "minhash_lsh_pairs")
+        mh.unpersist()
 
     # ---- phase 2b: MinHash LSH components (FULL corpus, linear edges)
-    meter.start()
-    mhc = minhash_lsh_components(nd_input, "doc_id",
-                                 jaccard_threshold=0.5).persist()
-    n_nodes = mhc.count()
-    n_comp = mhc.select("component").distinct().count()
-    out["minhash_lsh_components"] = {
-        **meter.stop(), "docs_clustered": int(n_nodes),
-        "clusters": int(n_comp),
-        "planted_corecall_heavy": round(corecall(mhc, ndh_pairs), 4),
-        "planted_corecall_light": round(corecall(mhc, ndl_pairs), 4)}
-    _prog(out, "minhash_lsh_components")
-    mhc.unpersist()
+    if want("minhash_components"):
+        meter.start()
+        mhc = minhash_lsh_components(nd_input, "doc_id",
+                                     jaccard_threshold=0.5).persist()
+        n_nodes = mhc.count()
+        n_comp = mhc.select("component").distinct().count()
+        out["minhash_lsh_components"] = {
+            **meter.stop(), "docs_clustered": int(n_nodes),
+            "clusters": int(n_comp),
+            "planted_corecall_heavy": round(corecall(mhc, ndh_pairs), 4),
+            "planted_corecall_light": round(corecall(mhc, ndl_pairs), 4)}
+        _prog(out, "minhash_lsh_components")
+        mhc.unpersist()
 
     # ---- phase 3: SimHash near-dup pairs (subsample, exact verify)
-    meter.start()
-    sh = simhash_pairs(pairs_input, "doc_id", max_hamming=3,
-                       n_blocks=6).persist()
-    n_sh = sh.count()
-    out["simhash_pairs"] = {
-        **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_sh),
-        "planted_recall_light": round(recall(sh, ndl_pairs), 4),
-        "planted_recall_heavy": round(recall(sh, ndh_pairs), 4)}
-    _prog(out, "simhash_pairs")
-    sh.unpersist()
+    if want("simhash_pairs"):
+        meter.start()
+        sh = simhash_pairs(pairs_input, "doc_id", max_hamming=3,
+                           n_blocks=6).persist()
+        n_sh = sh.count()
+        out["simhash_pairs"] = {
+            **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_sh),
+            "planted_recall_light": round(recall(sh, ndl_pairs), 4),
+            "planted_recall_heavy": round(recall(sh, ndh_pairs), 4)}
+        _prog(out, "simhash_pairs")
+        sh.unpersist()
 
     # ---- phase 3b: SimHash components (FULL corpus, linear edges)
-    meter.start()
-    shc = simhash_components(nd_input, "doc_id", max_hamming=3,
-                             n_blocks=6).persist()
-    n_nodes = shc.count()
-    n_comp = shc.select("component").distinct().count()
-    out["simhash_components"] = {
-        **meter.stop(), "docs_clustered": int(n_nodes),
-        "clusters": int(n_comp),
-        "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
-        "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
-    _prog(out, "simhash_components")
-    shc.unpersist()
+    if want("simhash_components"):
+        meter.start()
+        shc = simhash_components(nd_input, "doc_id", max_hamming=3,
+                                 n_blocks=6).persist()
+        n_nodes = shc.count()
+        n_comp = shc.select("component").distinct().count()
+        out["simhash_components"] = {
+            **meter.stop(), "docs_clustered": int(n_nodes),
+            "clusters": int(n_comp),
+            "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
+            "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
+        _prog(out, "simhash_components")
+        shc.unpersist()
 
     # ---- phase 4: winnowing containment (lifted paragraphs)
-    if not skip_winnow:
+    if not skip_winnow and want("winnow"):
         base_docs = keepers if winnow_rows is None else keepers.filter(
             F.abs(F.col("doc_id")) % max(n_keep // winnow_rows, 1) == 0)
         wdocs = base_docs.unionByName(wn_docs)
@@ -367,26 +389,30 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     from fileconvert_spark.operators.contamination import (
         exact_contamination, ngram_contamination)
 
-    meter.start()
-    flagged = ngram_contamination(docs, bench, "doc_id", "text").persist()
-    n_flag = flagged.count()
-    hit = flagged.join(
-        spark.createDataFrame([(i,) for i in ct_ids], "doc_id long"),
-        "doc_id", "left_semi").count()
-    n_exact = exact_contamination(docs, bench, "doc_id", "text").count()
-    out["contamination"] = {
-        **meter.stop(), "docs_flagged": int(n_flag),
-        "exact_flagged": int(n_exact),
-        "planted_recall": round(hit / len(ct_ids), 4)}
-    _prog(out, "contamination")
+    if want("contamination"):
+        meter.start()
+        flagged = ngram_contamination(docs, bench, "doc_id", "text").persist()
+        n_flag = flagged.count()
+        hit = flagged.join(
+            spark.createDataFrame([(i,) for i in ct_ids], "doc_id long"),
+            "doc_id", "left_semi").count()
+        n_exact = exact_contamination(docs, bench, "doc_id", "text").count()
+        out["contamination"] = {
+            **meter.stop(), "docs_flagged": int(n_flag),
+            "exact_flagged": int(n_exact),
+            "planted_recall": round(hit / len(ct_ids), 4)}
+        _prog(out, "contamination")
 
     print(json.dumps(out))
     spark.stop()
-    ok = (out["minhash_lsh_pairs"]["planted_recall_heavy"] >= 0.95
-          and out["minhash_lsh_components"]["planted_corecall_heavy"] >= 0.95
-          and out["simhash_components"]["planted_corecall_light"] >= 0.95
-          and out["contamination"]["planted_recall"] == 1.0
-          and (skip_winnow or out["winnow"]["planted_recall"] >= 0.95))
+    checks = [
+        ("minhash_lsh_pairs", "planted_recall_heavy", 0.95),
+        ("minhash_lsh_components", "planted_corecall_heavy", 0.95),
+        ("simhash_components", "planted_corecall_light", 0.95),
+        ("contamination", "planted_recall", 1.0),
+        ("winnow", "planted_recall", 0.95),
+    ]
+    ok = all(out[ph][key] >= bar for ph, key, bar in checks if ph in out)
     return 0 if ok else 1
 
 
