@@ -144,6 +144,17 @@ def load():
         c_int64, c_int64, c_int64,              # nd, ngram, short_doc_gram
         POINTER(c_uint64),                      # out_gh
     ]
+    from ctypes import POINTER as _P, c_int32
+
+    lib.jpeg_entropy_decode.restype = c_int64
+    lib.jpeg_entropy_decode.argtypes = [
+        POINTER(c_uint8), c_int64,              # data, n
+        c_int64, POINTER(c_int64), c_int64,     # n_mcus, sched, sched_n
+        c_int64,                                # n_comp
+        POINTER(c_int64), POINTER(c_int64),     # minc, maxc
+        POINTER(c_int64), POINTER(c_uint8),     # vptr, vals
+        _P(c_int32), c_int64,                   # out, start_block
+    ]
     _LIB = lib
     return lib
 
@@ -255,6 +266,46 @@ def slab_gram_hashes(wh, wc, ngram: int, short_doc_gram: bool, total: int):
     if m != total:
         return None  # defensive: count mismatch -> NumPy path decides
     return out[:total]
+
+
+def jpeg_entropy_decode(data, n_mcus, sched, dc_sel, ac_sel, coefs,
+                        start_block: int):
+    """C baseline-JPEG entropy decode of one restart segment; returns
+    blocks written or None when unavailable (callers fall back to the
+    Python bit reader with identical output)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, "jpeg_entropy_decode"):
+        return None
+    n_comp = max(sched) + 1
+    # flatten the huffman tables: per component, DC then AC —
+    # mincode/maxcode/valptr are 17 int64 each, vals up to 256 bytes
+    minc = np.zeros((n_comp, 2, 17), dtype=np.int64)
+    maxc = np.zeros((n_comp, 2, 17), dtype=np.int64)
+    vptr = np.zeros((n_comp, 2, 17), dtype=np.int64)
+    vals = np.zeros((n_comp, 2, 256), dtype=np.uint8)
+    for ci in set(sched):
+        for ti, tab in ((0, dc_sel[ci]), (1, ac_sel[ci])):
+            minc[ci, ti] = tab.mincode
+            maxc[ci, ti] = tab.maxcode
+            vptr[ci, ti] = tab.valptr
+            vals[ci, ti, :tab.vals.size] = tab.vals
+    buf = np.frombuffer(data, dtype=np.uint8)
+    sched_a = np.asarray(sched, dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.jpeg_entropy_decode(
+        _u8p(np.ascontiguousarray(buf)), buf.size,
+        n_mcus, sched_a.ctypes.data_as(p_i64), sched_a.size, n_comp,
+        minc.ctypes.data_as(p_i64), maxc.ctypes.data_as(p_i64),
+        vptr.ctypes.data_as(p_i64), _u8p(vals),
+        coefs.ctypes.data_as(p_i32), start_block)
+    if rc < 0:
+        raise ValueError(
+            "JPEG: invalid huffman code or truncated entropy data"
+            f" (native rc {rc})")
+    return int(rc)
 
 
 def png_defilter(data, filters, w: int, ch: int):

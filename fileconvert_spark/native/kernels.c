@@ -319,3 +319,129 @@ int64_t slab_gram_hashes(const uint64_t *wh, const int64_t *wc,
     }
     return m;
 }
+
+/* ------------------------------------------------------------------ *
+ * Baseline JPEG entropy decode (ITU-T T.81 F.2.2) of one restart-
+ * delimited, UNSTUFFED segment — mirrors operators/jpeg.py
+ * _decode_segment_py exactly. Huffman tables arrive flattened per
+ * (component, dc|ac): mincode/maxcode/valptr int64[17] + vals u8[256].
+ * out: int32 (total_blocks, 64), zigzag order, PRE-ZEROED by caller.
+ * Returns blocks written, or -1 (bits exhausted) / -2 (bad code) /
+ * -3 (AC run past block end).
+ * ------------------------------------------------------------------ */
+
+typedef struct {
+    const uint8_t *d;
+    int64_t n, pos;
+    int bit;
+} jbits;
+
+static inline int jbit(jbits *b)
+{
+    if (b->pos >= b->n)
+        return -1;
+    int v = (b->d[b->pos] >> (7 - b->bit)) & 1;
+    if (++b->bit == 8) {
+        b->bit = 0;
+        b->pos++;
+    }
+    return v;
+}
+
+static inline int64_t jbitsn(jbits *b, int n)
+{
+    int64_t v = 0;
+    for (int i = 0; i < n; i++) {
+        int x = jbit(b);
+        if (x < 0)
+            return -1;
+        v = (v << 1) | x;
+    }
+    return v;
+}
+
+static inline int jhuff(jbits *b, const int64_t *minc, const int64_t *maxc,
+                        const int64_t *vptr, const uint8_t *vals)
+{
+    int64_t code = 0;
+    for (int ln = 1; ln <= 16; ln++) {
+        int x = jbit(b);
+        if (x < 0)
+            return -1;
+        code = (code << 1) | x;
+        if (maxc[ln] >= 0 && code <= maxc[ln])
+            return vals[vptr[ln] + code - minc[ln]];
+    }
+    return -2;
+}
+
+static inline int64_t jextend(int64_t v, int t)
+{
+    if (t == 0)
+        return 0;
+    return v >= ((int64_t)1 << (t - 1)) ? v : v - (((int64_t)1 << t) - 1);
+}
+
+int64_t jpeg_entropy_decode(const uint8_t *data, int64_t n,
+                            int64_t n_mcus, const int64_t *sched,
+                            int64_t sched_n, int64_t n_comp,
+                            const int64_t *minc, const int64_t *maxc,
+                            const int64_t *vptr, const uint8_t *vals,
+                            int32_t *out, int64_t start_block)
+{
+    int64_t preds[16];
+    if (n_comp > 16)
+        return -2;
+    for (int64_t c = 0; c < n_comp; c++)
+        preds[c] = 0;
+    jbits b = { data, n, 0, 0 };
+    int64_t bi = start_block;
+    for (int64_t m = 0; m < n_mcus; m++) {
+        for (int64_t s = 0; s < sched_n; s++) {
+            int64_t ci = sched[s];
+            const int64_t *dmin = minc + (ci * 2 + 0) * 17;
+            const int64_t *dmax = maxc + (ci * 2 + 0) * 17;
+            const int64_t *dvp = vptr + (ci * 2 + 0) * 17;
+            const uint8_t *dv = vals + (ci * 2 + 0) * 256;
+            const int64_t *amin = minc + (ci * 2 + 1) * 17;
+            const int64_t *amax = maxc + (ci * 2 + 1) * 17;
+            const int64_t *avp = vptr + (ci * 2 + 1) * 17;
+            const uint8_t *av = vals + (ci * 2 + 1) * 256;
+            int32_t *blk = out + bi * 64;
+            int t = jhuff(&b, dmin, dmax, dvp, dv);
+            if (t < 0)
+                return t == -1 ? -1 : -2;
+            if (t) {
+                int64_t raw = jbitsn(&b, t);
+                if (raw < 0)
+                    return -1;
+                preds[ci] += jextend(raw, t);
+            }
+            blk[0] = (int32_t)preds[ci];
+            int k = 1;
+            while (k < 64) {
+                int rs = jhuff(&b, amin, amax, avp, av);
+                if (rs < 0)
+                    return rs == -1 ? -1 : -2;
+                int rr = rs >> 4, ss = rs & 0xF;
+                if (ss == 0) {
+                    if (rr == 15) {
+                        k += 16;
+                        continue;
+                    }
+                    break;
+                }
+                k += rr;
+                if (k > 63)
+                    return -3;
+                int64_t raw = jbitsn(&b, ss);
+                if (raw < 0)
+                    return -1;
+                blk[k] = (int32_t)jextend(raw, ss);
+                k++;
+            }
+            bi++;
+        }
+    }
+    return bi - start_block;
+}

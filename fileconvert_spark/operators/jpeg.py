@@ -1,0 +1,486 @@
+"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) decoder — from
+scratch, stdlib + NumPy only.
+
+Why it exists: this environment has no PIL/cv2/ffmpeg, and JPEG was the
+last *image* format behind the multimodal env-block (VERDICT r5
+"What's missing" #2). Scope: baseline sequential DCT, 8-bit samples,
+grayscale or YCbCr with any h/v sampling factors (4:4:4 / 4:2:2 /
+4:2:0), interleaved scans, restart markers. The decoder reconstructs
+the LUMA plane (JPEG's Y component IS BT.601 luma, which is exactly
+what the multimodal feature/dHash pipeline consumes); chroma blocks
+are fully entropy-decoded (the bit stream cannot be skipped) and then
+discarded. Progressive (SOF2), arithmetic coding, 12-bit, and
+hierarchical modes raise NotImplementedError with the mode named.
+
+Decode pipeline:
+  marker walk -> (quant tables, huffman tables, frame header, restart
+  interval) -> the scan's entropy bytes split on RSTn markers ->
+  per-segment unstuff (FF 00 -> FF) -> per-MCU huffman decode (T.81
+  F.2.2: DC category + EXTEND, AC run/size with ZRL/EOB) -> dequant +
+  de-zigzag -> one batched 8x8 IDCT (matrix form, all luma blocks at
+  once) -> plane assembly + crop.
+
+The hot loop (per-bit huffman walk) is sequential by nature; the
+compiled kernel in native/kernels.c (jpeg_entropy_decode) runs it at C
+speed with a NumPy/Python fallback of identical output (tests pin
+equality on hand-built streams and on encoder round-trips).
+
+Tests build fixtures two independent ways: BY HAND from the spec
+(flat-DC blocks, single-AC cosine ramps, restart resets — expected
+pixels computed from the textbook IDCT formula, not this module's
+matrices) and through the minimal test-only baseline ENCODER below
+(encode_baseline_gray), whose output any real JPEG decoder also
+accepts.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[i] = natural (row-major) index of the i-th
+# zigzag-ordered coefficient (T.81 figure A.6)
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# 8x8 IDCT basis: M[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# f = M.T @ F @ M
+_IDCT_M = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0
+     * np.cos((2 * x + 1) * u * np.pi / 16.0) for x in range(8)]
+    for u in range(8)
+])
+
+
+class _Huff:
+    """Canonical huffman decode tables (T.81 F.2.2.3: MINCODE/MAXCODE/
+    VALPTR per code length)."""
+
+    def __init__(self, bits: list[int], vals: bytes):
+        self.vals = np.frombuffer(bytes(vals), dtype=np.uint8)
+        self.mincode = np.zeros(17, dtype=np.int64)
+        self.maxcode = np.full(17, -1, dtype=np.int64)
+        self.valptr = np.zeros(17, dtype=np.int64)
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            code += n
+            k += n
+            self.maxcode[ln] = code - 1 if n else -1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first bit reader over UNSTUFFED entropy bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG: entropy data exhausted mid-block")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, t: _Huff) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if t.maxcode[ln] >= 0 and code <= t.maxcode[ln]:
+                return int(t.vals[t.valptr[ln] + code - t.mincode[ln]])
+        raise ValueError("JPEG: invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_segment_py(data: bytes, n_mcus: int, sched, dc_tabs, ac_tabs,
+                       out, start_block: int) -> int:
+    """Decode n_mcus MCUs from one (restart-delimited) unstuffed entropy
+    segment into out[int32 (n_blocks, 64), zigzag order]. ``sched`` is
+    the per-MCU block schedule: a list of component indices, one per
+    block in MCU order. Returns blocks written."""
+    r = _BitReader(data)
+    preds = [0] * (max(sched) + 1 if sched else 1)
+    bi = start_block
+    for _ in range(n_mcus):
+        for comp in sched:
+            dct, act = dc_tabs[comp], ac_tabs[comp]
+            t = r.decode_huff(dct)
+            diff = _extend(r.read_bits(t), t) if t else 0
+            preds[comp] += diff
+            out[bi, 0] = preds[comp]
+            k = 1
+            while k < 64:
+                rs = r.decode_huff(act)
+                rr, ss = rs >> 4, rs & 0xF
+                if ss == 0:
+                    if rr == 15:       # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break              # EOB
+                k += rr
+                if k > 63:
+                    raise ValueError("JPEG: AC run past block end")
+                out[bi, k] = _extend(r.read_bits(ss), ss)
+                k += 1
+            bi += 1
+    return bi - start_block
+
+
+def _unstuff(seg: bytes) -> bytes:
+    """Remove 0x00 stuffing after 0xFF inside an entropy segment."""
+    return seg.replace(b"\xff\x00", b"\xff")
+
+
+def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline JPEG; returns (width, height, luma uint8[h, w]).
+
+    Raises NotImplementedError naming the mode for progressive /
+    arithmetic / 12-bit / hierarchical streams, ValueError for
+    malformed ones.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("JPEG: missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(payload)
+    scan = None
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {i}")
+        m = payload[i + 1]
+        if m == 0xD9:                   # EOI
+            break
+        seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
+        seg = payload[i + 4:i + 2 + seglen]
+        if m == 0xDB:                   # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0xF
+                j += 1
+                if pq:
+                    q = np.frombuffer(seg[j:j + 128], dtype=">u2")
+                    j += 128
+                else:
+                    q = np.frombuffer(seg[j:j + 64], dtype=np.uint8)
+                    j += 64
+                qt[tq] = q.astype(np.int32)
+        elif m == 0xC4:                 # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0xF
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                vals = seg[j + 17:j + 17 + nv]
+                (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
+                j += 17 + nv
+        elif m == 0xC0 or m == 0xC1:    # SOF0 baseline / SOF1 ext seq
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG: {prec}-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (w, h, comps)
+        elif m in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise NotImplementedError("JPEG: progressive mode (SOF2/6/10/14)")
+        elif m in (0xC3, 0xC5, 0xC7, 0xCB, 0xCD, 0xCF):
+            raise NotImplementedError("JPEG: lossless/hierarchical mode")
+        elif m in (0xC9,):
+            raise NotImplementedError("JPEG: arithmetic coding")
+        elif m == 0xDD:                 # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:                 # SOS
+            ns = seg[0]
+            scomps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
+                       seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            # entropy data runs to the next real marker (FF xx, xx not
+            # 00 and not RST)
+            j = i + 2 + seglen
+            k = j
+            while k + 1 < n:
+                if payload[k] == 0xFF and payload[k + 1] != 0x00 \
+                        and not (0xD0 <= payload[k + 1] <= 0xD7):
+                    break
+                k += 1
+            scan = (scomps, payload[j:k])
+            i = k
+            continue
+        i += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG: missing SOF/SOS")
+    w, h, comps = frame
+    scomps, entropy = scan
+    if len(scomps) != len(comps):
+        raise NotImplementedError(
+            "JPEG: non-interleaved multi-scan baseline")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # MCU block schedule: component index per block, in scan order
+    by_id = {c[0]: idx for idx, c in enumerate(comps)}
+    sched: list[int] = []
+    dc_sel: dict[int, _Huff] = {}
+    ac_sel: dict[int, _Huff] = {}
+    for cid, td, ta in scomps:
+        ci = by_id[cid]
+        dc_sel[ci] = huff_dc[td]
+        ac_sel[ci] = huff_ac[ta]
+        sched.extend([ci] * (comps[ci][1] * comps[ci][2]))
+    if len(comps) == 1:
+        # single-component scan: MCU = one block over the comp grid
+        sched = [0]
+        mcux = -(-w // 8)
+        mcuy = -(-h // 8)
+    n_mcus = mcux * mcuy
+    blocks_per_mcu = len(sched)
+    total_blocks = n_mcus * blocks_per_mcu
+    coefs = np.zeros((total_blocks, 64), dtype=np.int32)
+
+    # split on restart markers; each segment decodes restart_interval
+    # MCUs (last may be short) with fresh DC predictors
+    segs: list[bytes] = []
+    j = 0
+    for k in range(len(entropy) - 1):
+        if entropy[k] == 0xFF and 0xD0 <= entropy[k + 1] <= 0xD7:
+            segs.append(entropy[j:k])
+            j = k + 2
+    segs.append(entropy[j:])
+    if restart_interval:
+        per_seg = [restart_interval] * (len(segs) - 1)
+        per_seg.append(n_mcus - restart_interval * (len(segs) - 1))
+    else:
+        if len(segs) != 1:
+            raise ValueError("JPEG: RST markers without DRI")
+        per_seg = [n_mcus]
+
+    from .. import native
+
+    bi = 0
+    for seg, nm in zip(segs, per_seg):
+        if nm <= 0:
+            raise ValueError("JPEG: more restart segments than MCUs")
+        data = _unstuff(seg)
+        done = native.jpeg_entropy_decode(
+            data, nm, sched, dc_sel, ac_sel, coefs, bi)
+        if done is None:
+            done = _decode_segment_py(data, nm, sched, dc_sel, ac_sel,
+                                      coefs, bi)
+        bi += done
+
+    # reconstruct LUMA (component 0 = Y for YCbCr, the only comp for
+    # grayscale); chroma blocks are decoded above (stream order demands
+    # it) and simply not inverse-transformed
+    ci = 0
+    _, ch, cv, ctq = comps[ci]
+    if len(comps) == 1:
+        ch = cv = 1
+    q = np.zeros(64, dtype=np.int32)
+    q[ZIGZAG] = qt[ctq]
+    sel = np.flatnonzero(np.asarray(sched) == ci)
+    idx = (np.arange(n_mcus, dtype=np.int64)[:, None] * blocks_per_mcu
+           + sel[None, :]).ravel()
+    blk = coefs[idx].astype(np.float64)
+    deq = np.zeros_like(blk)
+    deq[:, ZIGZAG] = blk * q[ZIGZAG]
+    mats = deq.reshape(-1, 8, 8)
+    # f = M.T @ F @ M, batched over blocks via matmul broadcasting (BLAS)
+    pix = _IDCT_M.T @ mats @ _IDCT_M
+    pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+
+    # assemble the luma plane: blocks were emitted exactly in
+    # (my, mx, by, bx) order, so one reshape+transpose lays the grid out
+    plane = (pix.reshape(mcuy, mcux, cv, ch, 8, 8)
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(mcuy * cv * 8, mcux * ch * 8))
+    return w, h, np.ascontiguousarray(plane[:h, :w])
+
+
+# --------------------------------------------------------------- encoder
+# Minimal test-only baseline encoder (grayscale, quality via the scale of
+# a caller-supplied quant table, no subsampling): exists so the decoder
+# can be round-trip-tested without PIL. Kept spec-honest — any standard
+# JPEG decoder accepts its output.
+
+_STD_LUM_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)  # T.81 Annex K.1, natural order
+
+# Annex K.3 typical huffman tables (luminance)
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = bytes(range(12))
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = bytes([
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)   # stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _enc_codes(bits: list[int], vals: bytes) -> dict[int, tuple[int, int]]:
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_baseline_gray(img: np.ndarray,
+                         quant: np.ndarray | None = None) -> bytes:
+    """Test-only baseline encoder: 8-bit grayscale, Annex K luminance
+    huffman tables, caller-supplied natural-order quant table (default
+    Annex K luminance). Returns a complete JFIF-less JPEG byte stream."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = (_STD_LUM_Q if quant is None else
+         np.asarray(quant, dtype=np.int32).reshape(64))
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[h - 1:h, :]        # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1:w]
+    blocks = (padded.reshape(ph // 8, 8, pw // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0)
+    # FDCT: M is orthogonal (rows c(u)/2*cos sum to unit norm), so the
+    # exact inverse of f = M.T @ F @ M is F = M @ f @ M.T
+    fwd = _IDCT_M @ blocks @ _IDCT_M.T
+    qn = q.reshape(8, 8)
+    coefs = np.round(fwd / qn).astype(np.int32).reshape(-1, 64)
+    zz = coefs[:, ZIGZAG]
+
+    dc_codes = _enc_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for b in zz:
+        diff = int(b[0]) - pred
+        pred = int(b[0])
+        t = _category(diff)
+        c, ln = dc_codes[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        k = 1
+        run = 0
+        last_nz = max((i for i in range(1, 64) if b[i]), default=0)
+        while k <= last_nz:
+            v = int(b[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]      # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]          # EOB
+            bw.write(c, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))
+    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + _DC_LUM_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + _AC_LUM_VALS)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += entropy + b"\xff\xd9"
+    return out

@@ -20,12 +20,16 @@ dispatch point, ``_decode_media``:
 - **netpbm** (binary P5 grayscale / P6 RGB, maxval <= 255) — REAL
   decode, one frombuffer (TGA is deliberately not sniffed: no magic);
 - FCSM — the deterministic synthetic format used by tests/fixtures;
-- remaining compressed formats (JPEG/MP3/MP4, 16-bit/interlaced PNG...)
-  raise ``NotImplementedError`` naming the env-block: their codecs need
-  PIL/ffmpeg, which this container does not ship. Swapping them in later
-  touches exactly this one function — the Spark-side plumbing (schema,
-  batch shape, partitioning, UDF signatures) is identical for every
-  format.
+- **baseline JPEG** (r6) — REAL decode, from-scratch T.81 huffman +
+  batched IDCT in operators/jpeg.py (C entropy kernel, NumPy
+  fallback); luma-plane reconstruction (JPEG Y IS BT.601 luma, the
+  only thing this pipeline consumes);
+- remaining compressed formats (MP3/MP4, progressive JPEG, 16-bit/
+  interlaced PNG...) raise ``NotImplementedError`` naming the
+  env-block: their codecs need PIL/ffmpeg, which this container does
+  not ship. Swapping them in later touches exactly this one function —
+  the Spark-side plumbing (schema, batch shape, partitioning, UDF
+  signatures) is identical for every format.
 """
 
 from __future__ import annotations
@@ -616,11 +620,19 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload[:2] in (b"P5", b"P6") and len(payload) > 2 \
             and payload[2] in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
         return _decode_pnm(payload)
+    if payload[:2] == b"\xff\xd8":
+        # baseline JPEG (r6, from-scratch huffman + IDCT; see
+        # operators/jpeg.py): the Y component IS BT.601 luma, so the
+        # reconstruction feeds features/dHash directly
+        from .jpeg import decode_baseline
+
+        w, h, luma = decode_baseline(payload)
+        return w, h, 1, luma.ravel()
     raise NotImplementedError(
-        "compressed media decoding (JPEG/MP3/MP4...) needs PIL/ffmpeg, "
-        "which this environment does not provide; decodable here: "
-        "PNG (8-bit), GIF (incl. animated), netpbm P5/P6, uncompressed "
-        "BMP, PCM WAV, FCSM synthetic blobs")
+        "compressed media decoding (MP3/MP4/progressive-JPEG...) needs "
+        "PIL/ffmpeg, which this environment does not provide; decodable "
+        "here: baseline JPEG, PNG (8-bit), GIF (incl. animated), netpbm "
+        "P5/P6, uncompressed BMP, PCM WAV, FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -1,0 +1,226 @@
+"""Baseline JPEG decoder tests (operators/jpeg.py).
+
+Two independent fixture sources:
+- HAND-BUILT streams assembled bit-by-bit from the T.81 spec in this
+  file (Annex K code tables derived below from their BITS/VALS, not
+  imported from the module under test), with expected pixels computed
+  from the textbook IDCT closed form — catches a decoder that is
+  self-consistent but wrong.
+- the test-only encoder (encode_baseline_gray), giving roundtrip
+  bounds (quant-1 noise must round-trip within +-1) and C==NumPy
+  entropy-path equality on realistic streams.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from fileconvert_spark.operators import jpeg
+
+
+# ---- independent canonical-code construction (T.81 C.2) for fixtures
+def _codes(bits, vals):
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = ("{:0" + str(ln) + "b}").format(code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+DC = _codes(jpeg._DC_LUM_BITS, jpeg._DC_LUM_VALS)
+AC = _codes(jpeg._AC_LUM_BITS, jpeg._AC_LUM_VALS)
+EOB = AC[0x00]
+assert EOB == "1010"  # the famous constant — sanity of the derivation
+assert DC[0] == "00"
+
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _tables(q=16):
+    qz = bytes([q] * 64)
+    return (_seg(0xDB, bytes([0x00]) + qz)
+            + _seg(0xC4, bytes([0x00]) + bytes(jpeg._DC_LUM_BITS)
+                   + jpeg._DC_LUM_VALS)
+            + _seg(0xC4, bytes([0x10]) + bytes(jpeg._AC_LUM_BITS)
+                   + jpeg._AC_LUM_VALS))
+
+
+def _pack(bitstr):
+    pad = (-len(bitstr)) % 8
+    bitstr += "1" * pad
+    out = bytearray()
+    for i in range(0, len(bitstr), 8):
+        b = int(bitstr[i:i + 8], 2)
+        out.append(b)
+        if b == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def _dc_bits(diff):
+    t = int(abs(diff)).bit_length()
+    if t == 0:
+        return DC[0]
+    mag = diff if diff >= 0 else diff + (1 << t) - 1
+    return DC[t] + ("{:0" + str(t) + "b}").format(mag)
+
+
+def test_hand_built_flat_block():
+    """Single 8x8 grayscale block, DC diff 0: every pixel must be
+    exactly 128 (level shift of an all-zero block)."""
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+           + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + _pack(DC[0] + EOB) + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (8, 8)
+    assert np.all(luma == 128)
+
+
+def test_hand_built_dc_value():
+    """DC diff +5, quant 16: F(0,0) = 80 -> f = 80/8 = 10 -> pixel 138
+    (textbook: f = (1/4) c0 c0 F(0,0) = F/8 for the flat basis)."""
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+           + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + _pack(_dc_bits(5) + EOB) + b"\xff\xd9")
+    _, _, luma = jpeg.decode_baseline(jpg)
+    assert np.all(luma == 138)
+
+
+def test_hand_built_single_ac_cosine():
+    """One AC coefficient (zigzag index 1 = F(0,1)) produces the
+    closed-form horizontal cosine ramp — computed here from the T.81
+    IDCT formula directly, not via the module's matrices."""
+    # AC run/size (0,2), value +2, quant 16 -> F(0,1) = 32
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+           + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + _pack(DC[0] + AC[0x02] + "10" + EOB) + b"\xff\xd9")
+    _, _, luma = jpeg.decode_baseline(jpg)
+    x = np.arange(8)
+    fx = (0.25 * np.sqrt(0.5) * 32
+          * np.cos((2 * x + 1) * 1 * np.pi / 16.0))  # c(0)c(1)/4 * F * cos
+    want = np.clip(np.round(fx) + 128, 0, 255).astype(np.uint8)
+    assert np.array_equal(luma, np.tile(want, (8, 1)))
+
+
+def test_hand_built_420_interleaved_mcu():
+    """16x16 YCbCr 4:2:0: one MCU = 4 Y blocks + Cb + Cr. Flat chroma,
+    per-Y-block DC diffs +3,+1,-2,+2 walk the predictor chain; the
+    luma plane must show the four flat quadrants 134/136/132/136."""
+    bits = (_dc_bits(3) + EOB + _dc_bits(1) + EOB
+            + _dc_bits(-2) + EOB + _dc_bits(2) + EOB
+            + _dc_bits(0) + EOB      # Cb
+            + _dc_bits(0) + EOB)     # Cr
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+                  + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+           + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+           + _pack(bits) + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (16, 16)
+    assert np.all(luma[:8, :8] == 134)    # DC 3*16=48 -> +6
+    assert np.all(luma[:8, 8:] == 136)    # pred 4 -> 64 -> +8
+    assert np.all(luma[8:, :8] == 132)    # pred 2 -> 32 -> +4
+    assert np.all(luma[8:, 8:] == 136)    # pred 4
+
+
+def test_hand_built_restart_resets_predictor():
+    """16x8 grayscale, DRI=1, RST0 between the two MCUs: both blocks
+    carry DC diff +3; a decoder that fails to reset the predictor at
+    the restart would show 140 in the second block instead of 134."""
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xDD, struct.pack(">H", 1))
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 16)
+                  + bytes([1, 1, 0x11, 0]))
+           + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+           + _pack(_dc_bits(3) + EOB) + b"\xff\xd0"
+           + _pack(_dc_bits(3) + EOB) + b"\xff\xd9")
+    _, _, luma = jpeg.decode_baseline(jpg)
+    assert np.all(luma[:, :8] == 134)
+    assert np.all(luma[:, 8:] == 134)
+
+
+def test_rejections():
+    sof2 = (b"\xff\xd8" + _tables()
+            + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
+                   + bytes([1, 1, 0x11, 0])))
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_baseline(sof2)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_baseline(b"\x00\x11")
+    # truncated entropy data: block demands more bits than exist
+    trunc = (b"\xff\xd8" + _tables()
+             + _seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+                    + bytes([1, 1, 0x11, 0]))
+             + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+             + _pack(DC[0] + EOB) + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        jpeg.decode_baseline(trunc)
+
+
+def test_roundtrip_bounds_and_native_equality():
+    """Encoder->decoder roundtrips: quant-1 noise within +-1 (DCT
+    rounding only), smooth image mean error ~1 grey level at the
+    standard table; the C entropy kernel and the Python bit reader
+    produce identical planes."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    noise = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    q1 = np.ones(64, np.int32)
+    _, _, dec = jpeg.decode_baseline(jpeg.encode_baseline_gray(noise, q1))
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 1
+
+    x = np.linspace(0, 4 * np.pi, 56)
+    smooth = (128 + 90 * np.outer(np.sin(x / 3), np.cos(x / 5))
+              ).clip(0, 255).astype(np.uint8)
+    data = jpeg.encode_baseline_gray(smooth)
+    _, _, dc = jpeg.decode_baseline(data)
+    assert np.abs(dc.astype(int) - smooth.astype(int)).mean() < 2.5
+
+    os.environ["FCS_NO_NATIVE"] = "1"
+    try:
+        _, _, dpy = jpeg.decode_baseline(data)
+    finally:
+        del os.environ["FCS_NO_NATIVE"]
+    assert np.array_equal(dc, dpy)
+
+
+def test_jpeg_through_spark_media_pipeline(spark):
+    """A JPEG flows through extract_features + dHash near-dup alongside
+    a BMP of its own decoded luma: identical features, paired at
+    hamming 0 (the decoded plane IS the pipeline's input)."""
+    from fileconvert_spark.operators.multimodal import (
+        extract_features, image_near_dups,
+    )
+    from tests.test_operators import _make_bmp_24 as mk_bmp
+
+    x = np.linspace(0, 3 * np.pi, 32)
+    img = (128 + 80 * np.outer(np.cos(x / 2), np.sin(x / 3))
+           ).clip(0, 255).astype(np.uint8)
+    data = jpeg.encode_baseline_gray(img)
+    _, _, luma = jpeg.decode_baseline(data)
+    bmp = mk_bmp(32, 32, [[(int(v),) * 3 for v in row] for row in luma])
+
+    df = spark.createDataFrame(
+        [(1, "image", 32, 32, 1, bytearray(data)),
+         (2, "image", 32, 32, 1, bytearray(bmp))],
+        "media_id long, kind string, width int, height int, "
+        "n_frames int, payload binary")
+    feats = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert feats[1]["feat_mean"] == feats[2]["feat_mean"]
+    assert feats[1]["feat_std"] == feats[2]["feat_std"]
+    pairs = image_near_dups(df, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
