@@ -1029,11 +1029,16 @@ def image_near_dup_pairs(spark, sf_dir):
     """Perceptual image dedup (rows-only: binary pipelines are not
     SQL-expressible; dHash math pinned by tests on hand-built BMPs/PNGs):
     plant one slightly-edited copy of a synthetic image among 24 media
-    rows, plus a REAL-PNG pair (stdlib-zlib decode path, new r5) — both
-    found via dHash + the banded Hamming join."""
+    rows, a REAL-PNG pair (stdlib-zlib decode path, r5), and a REAL
+    baseline-JPEG pair (from-scratch T.81 decode, r6: a JPEG and a
+    re-encode of its own decoded luma pair at hamming 0) — all found
+    via dHash + the banded Hamming join."""
     _ensure_workers(spark)
     import numpy as np
 
+    from fileconvert_spark.operators.jpeg import (
+        decode_baseline, encode_baseline_gray,
+    )
     from fileconvert_spark.operators.multimodal import (
         MEDIA_SCHEMA, encode_png_gray, image_near_dups, make_fake_media,
         synth_media_df,
@@ -1045,11 +1050,19 @@ def image_near_dup_pairs(spark, sf_dir):
     img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
     edited = img.copy()
     edited[:2, :2] ^= 3  # light touch-up: dHash stays within hamming 3
+    x = np.linspace(0, 3 * np.pi, 64)
+    photo = (128 + 80 * np.outer(np.cos(x / 2), np.sin(x / 3))
+             ).clip(0, 255).astype(np.uint8)
+    jpg = encode_baseline_gray(photo)
+    jpg_twin = encode_baseline_gray(decode_baseline(jpg)[2],
+                                    quant=np.ones(64, np.int32))
     planted = spark.createDataFrame(
         [(1001, "image", 64, 64, 1, bytearray(base)),
          (1002, "image", 64, 64, 1, bytearray(near)),
          (2001, "image", 64, 64, 1, bytearray(encode_png_gray(img))),
-         (2002, "image", 64, 64, 1, bytearray(encode_png_gray(edited)))],
+         (2002, "image", 64, 64, 1, bytearray(encode_png_gray(edited))),
+         (3001, "image", 64, 64, 1, bytearray(jpg)),
+         (3002, "image", 64, 64, 1, bytearray(jpg_twin))],
         schema=MEDIA_SCHEMA)
     media = synth_media_df(spark, n=24).unionByName(planted)
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")
