@@ -516,42 +516,59 @@ def winnow_fingerprints_batch(texts: list[str], k: int = 5, w: int = 4
     sel_fps: list[np.ndarray] = []
     from .. import native
 
-    nat = native.winnow_select(gh_all, counts, w) if n else None
-    if nat is not None:
-        # compiled single-pass kernel: monotonic deque per doc segment
-        # (rightmost ties, squeeze folded in) — covers the long-doc
-        # window minima AND the short-doc (< w grams) per-doc minimum,
-        # fusing the passes the NumPy path runs separately (VERDICT r5
-        # item 6: the tournament path trailed the old per-doc loop ~5%
-        # on uniform 400-word batches; one pass removes the gap on
-        # every profile)
-        sel_docs.append(doc_of[nat])
-        sel_fps.append(gh_all[nat])
-    else:
-        if n >= w:
-            sel = _rightmost_window_argmin(gh_all, w)
-            # a window is valid only when it lies entirely inside one doc
-            valid = doc_of[: n - w + 1] == doc_of[w - 1:]
-            sel = sel[valid]
-            # winnowing selections are non-decreasing as the window
-            # slides (a selected min is only replaced when it exits the
-            # window or a <= value enters on the right), so squeezing
-            # adjacent repeats leaves a strictly-increasing,
-            # position-distinct list — most of the downstream dedup work
-            # disappears here (density 2/(w+1))
-            if sel.size:
-                sel = sel[np.r_[True, sel[1:] != sel[:-1]]]
-            sel_docs.append(doc_of[sel])
-            sel_fps.append(gh_all[sel])
-        nonempty = counts > 0
-        if nonempty.any():
-            # per-doc min for every nonempty doc in one reduceat
-            # (segments stay contiguous because empty docs contribute
-            # no elements)
-            mins = np.minimum.reduceat(gh_all, off[:-1][nonempty])
-            short = counts[nonempty] < w
-            sel_docs.append(np.flatnonzero(nonempty)[short])
-            sel_fps.append(mins[short])
+    fused = native.winnow_fps(gh_all, counts, w) if n else None
+    if fused is not None:
+        # fully-fused compiled kernel: monotonic-deque selection
+        # (rightmost ties, doc boundaries, squeeze) AND the per-doc
+        # distinct+ascending-sort in one pass — replaces the log2(w)
+        # tournament + global radix argsorts (VERDICT r5 item 6: the
+        # tournament path trailed the old per-doc loop ~5% on uniform
+        # 400-word batches; the fused pass beats it on every profile)
+        fps, n_fp = fused
+        empty = np.flatnonzero(counts == 0)
+        if empty.size:
+            # < k words: hash whatever words exist so tiny docs stay
+            # fingerprintable (same as the NumPy path's fallback)
+            bounds = np.zeros(counts.size + 1, dtype=np.int64)
+            np.cumsum(n_fp, out=bounds[1:])
+            ins_pos: list[int] = []
+            ins_val: list[np.uint64] = []
+            ins_doc: list[int] = []
+            for d in empty:
+                wh = word_hashes(texts[d] or "")
+                if wh.size:
+                    ins_pos.append(int(bounds[d]))
+                    ins_val.append(wh.min())
+                    ins_doc.append(int(d))
+            if ins_val:
+                fps = np.insert(fps, ins_pos,
+                                np.array(ins_val, dtype=np.uint64))
+                n_fp = n_fp.copy()
+                n_fp[ins_doc] += 1
+        return fps, n_fp
+    # ---- pure-NumPy fallback (no toolchain / FCS_NO_NATIVE)
+    if n >= w:
+        sel = _rightmost_window_argmin(gh_all, w)
+        # a window is valid only when it lies entirely inside one doc
+        valid = doc_of[: n - w + 1] == doc_of[w - 1:]
+        sel = sel[valid]
+        # winnowing selections are non-decreasing as the window slides
+        # (a selected min is only replaced when it exits the window or a
+        # <= value enters on the right), so squeezing adjacent repeats
+        # leaves a strictly-increasing, position-distinct list — most of
+        # the downstream dedup work disappears here (density 2/(w+1))
+        if sel.size:
+            sel = sel[np.r_[True, sel[1:] != sel[:-1]]]
+        sel_docs.append(doc_of[sel])
+        sel_fps.append(gh_all[sel])
+    nonempty = counts > 0
+    if nonempty.any():
+        # per-doc min for every nonempty doc in one reduceat (segments
+        # stay contiguous because empty docs contribute no elements)
+        mins = np.minimum.reduceat(gh_all, off[:-1][nonempty])
+        short = counts[nonempty] < w
+        sel_docs.append(np.flatnonzero(nonempty)[short])
+        sel_fps.append(mins[short])
     for d in np.flatnonzero(counts == 0):
         # < k words: fall back to hashing whatever words exist so tiny
         # docs are still fingerprintable

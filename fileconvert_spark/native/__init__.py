@@ -144,6 +144,12 @@ def load():
         c_int64, c_int64, c_int64,              # nd, ngram, short_doc_gram
         POINTER(c_uint64),                      # out_gh
     ]
+    lib.winnow_fps.restype = c_int64
+    lib.winnow_fps.argtypes = [
+        POINTER(c_uint64), POINTER(c_int64),    # vals, counts
+        c_int64, c_int64,                       # nd, w
+        POINTER(c_uint64), POINTER(c_int64),    # out_fps, out_nfp
+    ]
     from ctypes import POINTER as _P, c_int32
 
     lib.jpeg_entropy_decode.restype = c_int64
@@ -266,6 +272,30 @@ def slab_gram_hashes(wh, wc, ngram: int, short_doc_gram: bool, total: int):
     if m != total:
         return None  # defensive: count mismatch -> NumPy path decides
     return out[:total]
+
+
+def winnow_fps(vals, counts, w: int):
+    """Fused C winnowing: selection + per-doc distinct/ascending sort in
+    one pass; returns (fps uint64, n_fp int64[nd]) or None when
+    unavailable. Identical to the NumPy batch path's output."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    out_fps = np.empty(max(vals.size, 1), dtype=np.uint64)
+    out_nfp = np.empty(max(counts.size, 1), dtype=np.int64)
+    p_i64 = ctypes.POINTER(ctypes.c_int64)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
+    m = lib.winnow_fps(
+        vals.ctypes.data_as(p_u64), counts.ctypes.data_as(p_i64),
+        counts.size, w,
+        out_fps.ctypes.data_as(p_u64), out_nfp.ctypes.data_as(p_i64))
+    if m < 0:
+        return None
+    return out_fps[:m].copy(), out_nfp[:counts.size].copy()
 
 
 def jpeg_entropy_decode(data, n_mcus, sched, dc_sel, ac_sel, coefs,
