@@ -3,8 +3,11 @@
 The sequential inner loops NumPy cannot vectorize — the greedy FSST parse
 (each token's start depends on the previous token's length) and PNG row
 defiltering (each pixel depends on its left neighbour) — compile once per
-host from ``kernels.c`` into a content-addressed shared library under the
-system temp dir. Everything degrades gracefully:
+host from ``kernels.c`` into a content-addressed shared library under a
+per-user mode-0700 cache dir (~/.cache/fileconvert_spark, or a
+uid-qualified tempdir subdir), never a world-writable shared path; the
+loader additionally refuses any cache file not owned by the current uid
+or carrying group/other write bits. Everything degrades gracefully:
 
 - no C compiler / compile failure / ``FCS_NO_NATIVE=1``  ->  callers get
   None and fall back to the pure-NumPy implementations, whose output is
@@ -65,6 +68,43 @@ def _compiler() -> str | None:
     return None
 
 
+def _cache_dir() -> str:
+    """Per-user mode-0700 cache directory for compiled kernels.
+
+    A world-writable shared location (e.g. a bare /tmp path) would let
+    another local user pre-plant a .so at the content-addressed name and
+    gain code execution in every Spark worker, so the cache lives under
+    XDG_CACHE_HOME (or ~/.cache) when that resolves, else a
+    uid-qualified tempdir subdirectory — created 0700 either way."""
+    base = os.environ.get("XDG_CACHE_HOME")
+    if not base:
+        home = os.path.expanduser("~")
+        base = os.path.join(home, ".cache") if home != "~" else None
+    if not base:
+        base = os.path.join(tempfile.gettempdir(),
+                            f"fcs-native-uid{os.getuid()}")
+        d = base
+    else:
+        d = os.path.join(base, "fileconvert_spark")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _safe_to_load(path: str) -> bool:
+    """True only if ``path`` exists, is a regular file owned by the
+    current uid, and carries no group/other write bits — anything else
+    is treated as absent (recompiled over) or refused."""
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return bool(_stat.S_ISREG(st.st_mode)
+                and st.st_uid == os.getuid()
+                and not (st.st_mode & 0o022))
+
+
 def load():
     """The compiled library, or None (no toolchain / disabled / failed)."""
     global _LIB
@@ -78,8 +118,14 @@ def load():
         _LIB = False
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
-    lib_path = os.path.join(tempfile.gettempdir(), f"fcs_native_{tag}.so")
-    if not os.path.exists(lib_path):
+    try:
+        lib_path = os.path.join(_cache_dir(), f"fcs_native_{tag}.so")
+    except OSError as e:
+        print(f"fcs.native: no writable cache dir ({e}); using NumPy "
+              "paths", file=sys.stderr)
+        _LIB = False
+        return None
+    if not _safe_to_load(lib_path):
         tmp_c = lib_path + f".{os.getpid()}.c"
         tmp_so = lib_path + f".{os.getpid()}.so"
         try:
@@ -89,6 +135,7 @@ def load():
                 [cc, "-O3", "-fPIC", "-shared", "-std=c99", tmp_c,
                  "-o", tmp_so],
                 check=True, capture_output=True, timeout=120)
+            os.chmod(tmp_so, 0o700)
             os.replace(tmp_so, lib_path)    # atomic vs racing workers
         except (OSError, subprocess.SubprocessError) as e:
             print(f"fcs.native: compile failed ({e}); using NumPy paths",
@@ -101,6 +148,11 @@ def load():
                     os.unlink(p)
                 except OSError:
                     pass
+    if not _safe_to_load(lib_path):
+        print("fcs.native: refusing unsafe kernel cache file "
+              f"{lib_path}; using NumPy paths", file=sys.stderr)
+        _LIB = False
+        return None
     try:
         lib = ctypes.CDLL(lib_path)
     except OSError as e:

@@ -60,10 +60,16 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       n_bands: int = N_BANDS,
                       jaccard_threshold: float = 0.5,
-                      max_band_bucket: int | None = 4096,
-                      sig_est_margin: float | None = 0.2) -> DataFrame:
+                      max_band_bucket: int | None = None,
+                      sig_est_margin: float | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
     exact n-gram jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    The default contract is EXACT-JACCARD-DECIDES: every banded
+    candidate is verified against the text and nothing true is dropped.
+    The two scale guards below are opt-in (tools/scale_dedup.py enables
+    both) because each is deliberately lossy; enabling them changes
+    recall, never precision.
 
     Scale shape: the band explode and self-join carry ONLY (id, band,
     band_key) — 24 bytes/row — never the documents. Texts are joined back
@@ -71,10 +77,11 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     candidate-pair set, so the corpus is shuffled at most once per side of
     that join instead of 8x through the band explode.
 
-    Two guards keep the candidate set bounded at corpus scale (measured
-    r6, 200k templated code files: without them the text-verify join
-    shuffled 3.8 GB for 260 MB of content — and the candidate count
-    grows quadratically with corpus size inside hot buckets):
+    Two opt-in guards keep the candidate set bounded at corpus scale
+    (measured r6, 200k templated code files: without them the
+    text-verify join shuffled 3.8 GB for 260 MB of content — and the
+    candidate count grows quadratically with corpus size inside hot
+    buckets). Both default to None = off:
 
     - ``max_band_bucket``: band buckets with more members than this are
       dropped via a broadcast anti-join on (band, band_key) — the hot
@@ -87,10 +94,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
       join back only the 32-value SIGNATURES (~256 B vs whole
       documents) and keep pairs whose signature-estimated jaccard
       (matching components / n) >= threshold - margin. The estimate is
-      Binomial(32, J)/32, so at the default margin 0.2 a true-J=0.5
-      pair is lost with p~1.2% and a true-J>=0.6 pair with p<4e-4 —
-      the exact-jaccard filter after the text join is unchanged and
-      still decides. None disables either guard.
+      Binomial(32, J)/32, so at margin 0.2 a true-J=0.5 pair is lost
+      with p~1.2% and a true-J>=0.6 pair with p<4e-4 — the
+      exact-jaccard filter after the text join is unchanged and still
+      decides.
     """
     rows_per_band = N_MINHASH // n_bands
     sigs = with_minhash(df.select(id_col, text_col), text_col) \

@@ -174,12 +174,20 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
     i = 2
     n = len(payload)
     scan = None
-    while i + 4 <= n:
+    while i + 2 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {i}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so the marker byte is never 0xFF
+        while i + 2 <= n and payload[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            break
         m = payload[i + 1]
         if m == 0xD9:                   # EOI
             break
+        if i + 4 > n:
+            raise ValueError("JPEG: truncated marker segment")
         seglen = struct.unpack(">H", payload[i + 2:i + 4])[0]
         seg = payload[i + 4:i + 2 + seglen]
         if m == 0xDB:                   # DQT
@@ -200,6 +208,11 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
                 tc, th = seg[j] >> 4, seg[j] & 0xF
                 bits = list(seg[j + 1:j + 17])
                 nv = sum(bits)
+                # T.81 B.2.4.2: at most 256 values, and they must fit
+                # inside the segment — fail cleanly, not with a NumPy
+                # broadcast error downstream
+                if nv > 256 or j + 17 + nv > len(seg):
+                    raise ValueError("JPEG: malformed DHT")
                 vals = seg[j + 17:j + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
                 j += 17 + nv
@@ -225,11 +238,12 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
             scomps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
                        seg[2 + 2 * c] & 0xF) for c in range(ns)]
             # entropy data runs to the next real marker (FF xx, xx not
-            # 00 and not RST)
+            # 00-stuffing, not RST, and not another 0xFF — FF FF is
+            # legal fill before a marker, not a scan terminator)
             j = i + 2 + seglen
             k = j
             while k + 1 < n:
-                if payload[k] == 0xFF and payload[k + 1] != 0x00 \
+                if payload[k] == 0xFF and payload[k + 1] not in (0x00, 0xFF) \
                         and not (0xD0 <= payload[k + 1] <= 0xD7):
                     break
                 k += 1

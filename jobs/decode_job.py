@@ -75,7 +75,8 @@ def _schema_caster(enc_dir: str):
         try:
             if t in ("byte", "short", "integer", "long"):
                 return int(v)
-            if t in ("float", "double", "decimal"):
+            if t in ("float", "double") or (t or "").startswith("decimal"):
+                # Spark schema JSON spells decimals 'decimal(p,s)'
                 return float(v)
             if t == "boolean":
                 return v.lower() in ("1", "true", "t", "yes")
@@ -97,20 +98,45 @@ def _schema_caster(enc_dir: str):
     return cast
 
 
+def _split_unquoted(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` only outside '...'/\"...\" quoting, so a quoted
+    predicate value may contain the ';' OR-separator or the '|'
+    in-list separator literally."""
+    out, buf, q = [], [], None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+        elif ch in ("'", '"'):
+            q = ch
+            buf.append(ch)
+        elif ch == sep:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    out.append("".join(buf))
+    return out
+
+
 def _parse_predicates(raw_flags: list[str], cast) -> list | None:
-    """Each flag is an OR of ;-separated triples; flags AND together."""
+    """Each flag is an OR of ;-separated triples; flags AND together.
+    Quote a value ('x' or \"x\") to force string typing AND to protect
+    ';'/'|' inside it; the ',' before the value never needs protection
+    (the triple split stops after col,op)."""
     conj = []
     for raw in raw_flags:
         branches = []
-        for triple in raw.split(";"):
+        for triple in _split_unquoted(raw, ";"):
             parts = triple.split(",", 2)
             if len(parts) != 3:
                 raise SystemExit(
                     "decode_job: --predicate wants col,op,value "
                     "(;-separate triples for OR)")
             pcol, pop, pval = parts
-            pv = ([cast(pcol, v) for v in pval.split("|")] if pop == "in"
-                  else cast(pcol, pval))
+            pv = ([cast(pcol, v) for v in _split_unquoted(pval, "|")]
+                  if pop == "in" else cast(pcol, pval))
             branches.append((pcol, pop, pv))
         conj.append(branches[0] if len(branches) == 1
                     else ("or", branches))

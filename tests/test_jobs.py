@@ -142,3 +142,41 @@ def test_encode_job_validates_columns(tmp_path, spark):
         .write.parquet(src)
     rc = encode_job.main(["encode_job", src, str(tmp_path / "out")])
     assert rc == 2  # default repo/path/commit/content columns absent
+
+
+def test_predicate_split_respects_quotes_and_decimal_types():
+    """ADVICE r6: quoted predicate values may contain ';' and '|'
+    literally, and decimal(p,s)-typed columns cast numerically instead
+    of falling through to the legacy guess."""
+    import decode_job
+
+    # quote-aware splitting
+    assert decode_job._split_unquoted("a,=,'x;y';b,=,2", ";") == \
+        ["a,=,'x;y'", "b,=,2"]
+    assert decode_job._split_unquoted("'a|b'|c", "|") == ["'a|b'", "c"]
+    assert decode_job._split_unquoted('k,=,";"', ";") == ['k,=,";"']
+
+    # end-to-end through _parse_predicates with a quote-stripping cast
+    # (the real _schema_caster strips explicit string quoting)
+    def strip(c, v):
+        return (v[1:-1] if len(v) >= 2 and v[0] == v[-1]
+                and v[0] in ("'", '"') else v)
+
+    conj = decode_job._parse_predicates(
+        ["name,=,'semi;colon'", "tag,in,'a|b'|c"], strip)
+    assert conj[0] == ("name", "=", "semi;colon")
+    assert conj[1] == ("tag", "in", ["a|b", "c"])
+
+    # decimal(p,s) casts as float via the schema-typed caster
+    import json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "_schema.json"), "w") as f:
+            json.dump({"fields": [
+                {"name": "amt", "type": "decimal(12,2)"},
+                {"name": "k", "type": "string"}]}, f)
+        cast = decode_job._schema_caster(d)
+        assert cast("amt", "3.50") == 3.5
+        assert isinstance(cast("amt", "3.50"), float)
+        assert cast("k", "007") == "007"

@@ -224,3 +224,58 @@ def test_jpeg_through_spark_media_pipeline(spark):
     assert feats[1]["feat_std"] == feats[2]["feat_std"]
     pairs = image_near_dups(df, max_hamming=0).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_fill_bytes_before_markers():
+    """ADVICE r6: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker — in the header walk AND before the
+    entropy-terminating marker (FF FF is fill, not a scan end)."""
+    base = (b"\xff\xd8" + _tables()
+            + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                   + bytes([1, 1, 0x11, 0]))
+            + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            + _pack(_dc_bits(5) + EOB) + b"\xff\xd9")
+    _, _, want = jpeg.decode_baseline(base)
+
+    # fill before header markers (after SOI, between DQT/DHT/SOF)
+    filled = (b"\xff\xd8" + b"\xff\xff" + _tables()
+              + b"\xff\xff\xff" +
+              _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                   + bytes([1, 1, 0x11, 0]))
+              + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+              + _pack(_dc_bits(5) + EOB) + b"\xff\xff\xff\xd9")
+    _, _, got = jpeg.decode_baseline(filled)
+    assert np.array_equal(got, want)
+
+
+def test_fill_bytes_before_restart_marker():
+    """FF fill directly before an RSTn must not terminate the scan."""
+    sof = _seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 8)
+               + bytes([1, 1, 0x11, 0]))
+    dri = _seg(0xDD, struct.pack(">H", 1))
+    sos = _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    ent1 = _pack(_dc_bits(10) + EOB)
+    ent2 = _pack(_dc_bits(7) + EOB)  # predictor reset: diff from 0
+    base = (b"\xff\xd8" + _tables() + sof + dri + sos
+            + ent1 + b"\xff\xd0" + ent2 + b"\xff\xd9")
+    _, _, want = jpeg.decode_baseline(base)
+    filled = (b"\xff\xd8" + _tables() + sof + dri + sos
+              + ent1 + b"\xff\xff\xd0" + ent2 + b"\xff\xd9")
+    _, _, got = jpeg.decode_baseline(filled)
+    assert np.array_equal(got, want)
+    assert want[0, 0] != want[8, 0]  # the two blocks really differ
+
+
+def test_malformed_dht_raises_cleanly():
+    """ADVICE r6: DHT whose BITS sum > 256 or whose values run past the
+    segment must raise ValueError, not a NumPy broadcast error."""
+    # sum(bits) > 256
+    bad_bits = bytes([255] * 16)
+    seg = _seg(0xC4, bytes([0x00]) + bad_bits + bytes(256))
+    with pytest.raises(ValueError, match="DHT"):
+        jpeg.decode_baseline(b"\xff\xd8" + seg + b"\xff\xd9")
+    # values truncated: bits say 4 values, segment carries 2
+    seg2 = (bytes([0xFF, 0xC4]) + struct.pack(">H", 2 + 1 + 16 + 2)
+            + bytes([0x00]) + bytes([4] + [0] * 15) + bytes([1, 2]))
+    with pytest.raises(ValueError, match="DHT"):
+        jpeg.decode_baseline(b"\xff\xd8" + seg2 + b"\xff\xd9")

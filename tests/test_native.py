@@ -260,3 +260,34 @@ def test_signature_kernels_native_equal_numpy():
         del os.environ["FCS_NO_NATIVE"]
     assert np.array_equal(mh_c, mh_np)
     assert np.array_equal(sh_c, sh_np)
+
+
+def test_cache_dir_is_private_and_unsafe_files_refused(monkeypatch,
+                                                       tmp_path):
+    """ADVICE r6 (medium): the kernel cache must never live at a
+    predictable world-writable path, and a pre-planted cache file with
+    loose permissions is replaced/refused, not CDLL'd."""
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    monkeypatch.setattr(native, "_LIB", None)
+    d = native._cache_dir()
+    assert d.startswith(str(tmp_path))
+    assert (os.stat(d).st_mode & 0o077) == 0  # no group/other access
+
+    # plant garbage with group/other write bits at the exact cache name
+    src = native._read_source()
+    import hashlib as _h
+    tag = _h.sha256(src).hexdigest()[:16]
+    planted = os.path.join(d, f"fcs_native_{tag}.so")
+    with open(planted, "wb") as f:
+        f.write(b"\x7fELF not a real library")
+    os.chmod(planted, 0o777)
+    assert not native._safe_to_load(planted)
+
+    # load() must NOT dlopen the planted file: it recompiles over it
+    # (owner-only) or bails to NumPy — either way no unsafe load
+    lib = native.load()
+    st = os.stat(planted)
+    if lib is not None:  # toolchain present: recompiled, now private
+        assert (st.st_mode & 0o022) == 0
+        assert native._safe_to_load(planted)
+    monkeypatch.setattr(native, "_LIB", None)  # leave clean state

@@ -318,7 +318,9 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     if want("minhash_pairs"):
         meter.start()
         mh = minhash_lsh_pairs(pairs_input, "doc_id",
-                               jaccard_threshold=0.5).persist()
+                               jaccard_threshold=0.5,
+                               max_band_bucket=4096,
+                               sig_est_margin=0.2).persist()
         n_mh = mh.count()
         out["minhash_lsh_pairs"] = {
             **meter.stop(), "rows_in": int(n_pairs_in), "pairs": int(n_mh),
