@@ -939,6 +939,30 @@ def dedup_components_docs(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def knn_ivf_indexed(spark, sf_dir):
+    """Materialized IVF (r7): the standing-index form of ANN — the base
+    table is scanned ONCE into a cell-partitioned parquet index
+    (write_ivf_index), and each probe prunes the scan to its n_probe
+    cells at the source (PartitionFilters on the partition column;
+    unprobed cells cost zero I/O). At full probe the result is exactly
+    brute-force (tested); the registered surface probes half the cells.
+    Rows-only: the index materialization step is not a SQL statement."""
+    _ensure_workers(spark)
+    import tempfile
+
+    from fileconvert_spark.operators.knn import (
+        ivf_probe_indexed, write_ivf_index)
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 3)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    path = tempfile.mkdtemp(prefix="fcs_ivf_q_") + "/index"
+    write_ivf_index(e, path, n_centroids=8, multi_assign=2)
+    return (ivf_probe_indexed(spark, path, q, k=5, n_probe=4)
+            .select("q_id", "rank", "vec_id").orderBy("q_id", "rank"))
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
     to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
@@ -1398,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": bpe_token_counts,
         "video_frame_stats": video_frame_stats,
         "dedup_components_docs": dedup_components_docs,   # new in r06
+        "knn_ivf_indexed": knn_ivf_indexed,               # new in r07
     }
 
 

@@ -1523,3 +1523,75 @@ def test_pnm_decode_p5_p6():
     # raster ever arrives) fails loudly instead of reading garbage
     with pytest.raises(ValueError, match="whitespace after maxval"):
         _decode_media(b"P5 9 5 255# comment only")
+
+
+def test_blocked_bruteforce_matches_zipwith_exact(spark):
+    """brute_force_topk_blocked (per-batch matmul + candidate window)
+    must equal brute_force_topk exactly, including tie ordering."""
+    from fileconvert_spark.operators.knn import (
+        brute_force_topk, brute_force_topk_blocked)
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")) \
+        .repartition(7)  # force multi-batch candidate union
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    a = {(r["q_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+         for r in brute_force_topk(emb, q, k=7).collect()}
+    b = {(r["q_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+         for r in brute_force_topk_blocked(emb, q, k=7).collect()}
+    assert a == b
+
+
+def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
+    """write_ivf_index + ivf_probe_indexed: full probe equals exact
+    (single- AND multi-assign), the scan carries a PartitionFilters
+    cell IN (...) so unprobed cells cost zero I/O, and a partial probe
+    reads a strict subset of partitions."""
+    import numpy as np
+
+    from fileconvert_spark.operators.knn import (
+        brute_force_topk, ivf_probe_indexed, write_ivf_index)
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    centers = rng.standard_normal((6, 12))
+    pts = centers[rng.choice(6, 2000)] + 0.3 * rng.standard_normal((2000, 12))
+    emb = spark.createDataFrame(
+        [(int(i), pts[i].tolist()) for i in range(2000)],
+        "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(int(j), pts[j * 31].tolist()) for j in range(5)],
+        "q_id long, q_vec array<double>")
+    exact = {(r["q_id"], r["rank"], r["vec_id"])
+             for r in brute_force_topk(emb, q, k=5).collect()}
+
+    p = str(tmp_path / "ivf")
+    meta = write_ivf_index(emb, p, n_centroids=6)
+    assert meta["n_centroids"] == 6
+    full = ivf_probe_indexed(spark, p, q, k=5, n_probe=6)
+    assert {(r["q_id"], r["rank"], r["vec_id"])
+            for r in full.collect()} == exact
+
+    # one query, one probe: the scan must name exactly ONE cell
+    part = ivf_probe_indexed(spark, p, q.filter(F.col("q_id") == 0),
+                             k=5, n_probe=1)
+    import re
+
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+
+    def n_cells(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"cell#\d+ IN \(([^)]*)\)", s)
+        return len(m.group(1).split(",")) if m else \
+            (1 if re.search(r"\(cell#\d+ = \d+\)", s) else 0)
+
+    assert n_cells(part) == 1
+    assert n_cells(full) == 6
+    part.collect()  # and it runs
+
+    # multi-assign index: still exact under full probe (dedup path)
+    p2 = str(tmp_path / "ivf2")
+    write_ivf_index(emb, p2, n_centroids=6, multi_assign=2)
+    assert {(r["q_id"], r["rank"], r["vec_id"])
+            for r in ivf_probe_indexed(spark, p2, q, k=5,
+                                       n_probe=6).collect()} == exact
