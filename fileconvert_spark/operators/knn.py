@@ -93,33 +93,46 @@ def train_centroids(df: DataFrame, n_centroids: int = 16,
 def refine_centroids(df: DataFrame, cent: np.ndarray,
                      vec_col: str = "embedding", iters: int = 2) -> np.ndarray:
     """Distributed Lloyd refinement of an IVF quantizer over the FULL
-    table: assign every vector to its nearest centroid (broadcast matmul
-    pandas UDF), then recompute means with posexplode -> groupBy(cell,
-    dim) — the shuffle carries (cell, dim, partial sums), and the driver
-    only ever sees n_centroids x dim aggregate rows. Use after
-    train_centroids when the bounded driver sample shouldn't have the
-    last word at 10^12 rows."""
+    table: each task assigns its vectors to their nearest centroid (one
+    broadcast matmul per Arrow batch) and accumulates the per-cell sum
+    matrix LOCALLY, emitting only its non-empty (cell, dim, partial_sum,
+    count) rows — so the shuffle carries at most
+    partitions x n_centroids x dim tiny rows (never rows x dim: the r6
+    posexplode shape materialized a billion exploded values at 8M x 128),
+    and the driver only ever sees n_centroids x dim aggregates. Use
+    after train_centroids when the bounded driver sample shouldn't have
+    the last word at 10^12 rows."""
     spark = df.sparkSession
+    n_cent, dim = cent.shape
     for _ in range(max(iters, 0)):
         bc = spark.sparkContext.broadcast(cent)
 
-        @F.pandas_udf("int")
-        def cell_of(vecs: pd.Series) -> pd.Series:
-            m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-            return pd.Series((m @ bc.value.T).argmax(axis=1).astype(np.int32))
+        def part_sums(batches):
+            acc = np.zeros((n_cent, dim))
+            cnt = np.zeros(n_cent, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                m = _as_matrix(pdf[vec_col])
+                assign = (m @ bc.value.T).argmax(axis=1)
+                np.add.at(acc, assign, m)
+                cnt += np.bincount(assign, minlength=n_cent)
+            if seen:
+                nz = np.flatnonzero(cnt)
+                yield pd.DataFrame({
+                    "cell": np.repeat(nz, dim).astype(np.int32),
+                    "dim": np.tile(np.arange(dim, dtype=np.int32),
+                                   len(nz)),
+                    "s": acc[nz].ravel(),
+                    "n": np.repeat(cnt[nz], dim)})
 
-        norm = _norm_expr(F.col(vec_col))
         rows = (
-            df.select(
-                cell_of(F.col(vec_col)).alias("cell"),
-                F.posexplode(
-                    F.transform(vec_col,
-                                lambda x: x.cast("double") / norm)
-                ).alias("dim", "v"),
-            )
+            df.select(vec_col)
+            .mapInPandas(part_sums, "cell int, dim int, s double, n long")
             .groupBy("cell", "dim")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         new = cent.copy()
@@ -317,7 +330,8 @@ def write_ivf_index(df: DataFrame, path: str, n_centroids: int = 256,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     multi_assign: int = 1, refine_iters: int = 0,
                     sample_rows: int | None = None,
-                    seed: int = 42) -> dict:
+                    seed: int = 42,
+                    centroids: np.ndarray | None = None) -> dict:
     """Materialize an IVF index: train the coarse quantizer (bounded
     driver sample + optional distributed Lloyd refinement), assign every
     vector to its ``multi_assign`` nearest cells, and write the table
@@ -335,10 +349,14 @@ def write_ivf_index(df: DataFrame, path: str, n_centroids: int = 256,
 
     fsio.check_output_path_allowed(path)
     n_sample = sample_rows or max(2048, 32 * n_centroids)
-    cent = train_centroids(df, n_centroids, vec_col,
-                           sample_rows=n_sample, seed=seed, id_col=id_col)
-    if refine_iters:
-        cent = refine_centroids(df, cent, vec_col, iters=refine_iters)
+    if centroids is not None:  # pre-trained quantizer (scale drivers
+        cent = centroids       # time train/refine/write separately)
+    else:
+        cent = train_centroids(df, n_centroids, vec_col,
+                               sample_rows=n_sample, seed=seed,
+                               id_col=id_col)
+        if refine_iters:
+            cent = refine_centroids(df, cent, vec_col, iters=refine_iters)
     bc = df.sparkSession.sparkContext.broadcast(cent)
     ma = max(1, min(multi_assign, len(cent)))
 
