@@ -1053,15 +1053,17 @@ def image_near_dup_pairs(spark, sf_dir):
     """Perceptual image dedup (rows-only: binary pipelines are not
     SQL-expressible; dHash math pinned by tests on hand-built BMPs/PNGs):
     plant one slightly-edited copy of a synthetic image among 24 media
-    rows, a REAL-PNG pair (stdlib-zlib decode path, r5), and a REAL
+    rows, a REAL-PNG pair (stdlib-zlib decode path, r5), a REAL
     baseline-JPEG pair (from-scratch T.81 decode, r6: a JPEG and a
-    re-encode of its own decoded luma pair at hamming 0) — all found
-    via dHash + the banded Hamming join."""
+    re-encode of its own decoded luma pair at hamming 0), and a
+    baseline/PROGRESSIVE pair (r7: the same image coded as SOF0 and as
+    SOF2 successive-approximation scans decodes to the same plane) —
+    all found via dHash + the banded Hamming join."""
     _ensure_workers(spark)
     import numpy as np
 
     from fileconvert_spark.operators.jpeg import (
-        decode_baseline, encode_baseline_gray,
+        decode_baseline, encode_baseline_gray, encode_progressive_gray,
     )
     from fileconvert_spark.operators.multimodal import (
         MEDIA_SCHEMA, encode_png_gray, image_near_dups, make_fake_media,
@@ -1080,13 +1082,20 @@ def image_near_dup_pairs(spark, sf_dir):
     jpg = encode_baseline_gray(photo)
     jpg_twin = encode_baseline_gray(decode_baseline(jpg)[2],
                                     quant=np.ones(64, np.int32))
+    y = np.linspace(0, 5 * np.pi, 64)
+    photo2 = (128 + 70 * np.outer(np.sin(y / 3), np.cos(y / 2))
+              ).clip(0, 255).astype(np.uint8)
     planted = spark.createDataFrame(
         [(1001, "image", 64, 64, 1, bytearray(base)),
          (1002, "image", 64, 64, 1, bytearray(near)),
          (2001, "image", 64, 64, 1, bytearray(encode_png_gray(img))),
          (2002, "image", 64, 64, 1, bytearray(encode_png_gray(edited))),
          (3001, "image", 64, 64, 1, bytearray(jpg)),
-         (3002, "image", 64, 64, 1, bytearray(jpg_twin))],
+         (3002, "image", 64, 64, 1, bytearray(jpg_twin)),
+         (4001, "image", 64, 64, 1,
+          bytearray(encode_baseline_gray(photo2))),
+         (4002, "image", 64, 64, 1,
+          bytearray(encode_progressive_gray(photo2)))],
         schema=MEDIA_SCHEMA)
     media = synth_media_df(spark, n=24).unionByName(planted)
     return image_near_dups(media, max_hamming=3).orderBy("id_a", "id_b")

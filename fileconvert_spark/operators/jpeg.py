@@ -1,16 +1,19 @@
-"""Baseline JPEG (ITU-T T.81 / ISO 10918-1, SOF0) decoder — from
-scratch, stdlib + NumPy only.
+"""JPEG (ITU-T T.81 / ISO 10918-1) decoder — from scratch, stdlib +
+NumPy only. Baseline sequential (SOF0/SOF1) and progressive (SOF2).
 
 Why it exists: this environment has no PIL/cv2/ffmpeg, and JPEG was the
 last *image* format behind the multimodal env-block (VERDICT r5
-"What's missing" #2). Scope: baseline sequential DCT, 8-bit samples,
-grayscale or YCbCr with any h/v sampling factors (4:4:4 / 4:2:2 /
-4:2:0), interleaved scans, restart markers. The decoder reconstructs
-the LUMA plane (JPEG's Y component IS BT.601 luma, which is exactly
-what the multimodal feature/dHash pipeline consumes); chroma blocks
-are fully entropy-decoded (the bit stream cannot be skipped) and then
-discarded. Progressive (SOF2), arithmetic coding, 12-bit, and
-hierarchical modes raise NotImplementedError with the mode named.
+"What's missing" #2; progressive added r7 per VERDICT r6 item 4).
+Scope: DCT modes, 8-bit samples, grayscale or YCbCr with any h/v
+sampling factors (4:4:4 / 4:2:2 / 4:2:0), interleaved and
+non-interleaved scans, multi-scan baseline frames, progressive
+spectral selection + successive approximation (T.81 G.1.2), restart
+markers. The decoder reconstructs the LUMA plane (JPEG's Y component
+IS BT.601 luma, which is exactly what the multimodal feature/dHash
+pipeline consumes); chroma blocks interleaved with luma are fully
+entropy-decoded (the bit stream cannot be skipped) and discarded,
+while chroma-only scans are skipped whole. Arithmetic coding, 12-bit,
+and hierarchical modes raise NotImplementedError with the mode named.
 
 Decode pipeline:
   marker walk -> (quant tables, huffman tables, frame header, restart
@@ -157,12 +160,325 @@ def _unstuff(seg: bytes) -> bytes:
     return seg.replace(b"\xff\x00", b"\xff")
 
 
-def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline JPEG; returns (width, height, luma uint8[h, w]).
+def _split_rst(entropy: bytes) -> list[bytes]:
+    """Split entropy bytes on RSTn markers (unstuffed per segment by the
+    caller)."""
+    segs: list[bytes] = []
+    j = 0
+    for k in range(len(entropy) - 1):
+        if entropy[k] == 0xFF and 0xD0 <= entropy[k + 1] <= 0xD7:
+            segs.append(entropy[j:k])
+            j = k + 2
+    segs.append(entropy[j:])
+    return segs
 
-    Raises NotImplementedError naming the mode for progressive /
-    arithmetic / 12-bit / hierarchical streams, ValueError for
-    malformed ones.
+
+def _comp_dims(frame, ci: int) -> tuple[int, int]:
+    """(blocks_x, blocks_y) of component ci's own block grid for
+    NON-interleaved scans (T.81 A.1.1: ceil of the scaled dimensions,
+    not padded to the frame MCU grid)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    _, hi, vi, _ = comps[ci]
+    cw = -(-(w * hi) // hmax)
+    chh = -(-(h * vi) // vmax)
+    return -(-cw // 8), -(-chh // 8)
+
+
+def _luma_plane(frame, qt, blocks: np.ndarray) -> np.ndarray:
+    """Dequantize + IDCT + assemble the luma plane from a
+    (pad_by, pad_bx, 64) zigzag-order coefficient array, cropped to the
+    frame dimensions."""
+    w, h, comps = frame
+    q = np.zeros(64, dtype=np.int32)
+    q[ZIGZAG] = qt[comps[0][3]]
+    pad_by, pad_bx = blocks.shape[:2]
+    blk = blocks.reshape(-1, 64).astype(np.float64)
+    deq = np.zeros_like(blk)
+    deq[:, ZIGZAG] = blk * q[ZIGZAG]
+    pix = _IDCT_M.T @ deq.reshape(-1, 8, 8) @ _IDCT_M
+    pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+    plane = (pix.reshape(pad_by, pad_bx, 8, 8)
+             .transpose(0, 2, 1, 3)
+             .reshape(pad_by * 8, pad_bx * 8))
+    return np.ascontiguousarray(plane[:h, :w])
+
+
+def _luma_pad_grid(frame) -> tuple[int, int]:
+    """Comp-0 block grid padded to the frame MCU grid (interleaved scans
+    address this grid; non-interleaved scans write its top-left
+    sub-grid)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        return -(-w // 8), -(-h // 8)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return mcux * comps[0][1], mcuy * comps[0][2]
+
+
+def _decode_baseline_scans(frame, scans, qt) -> tuple[int, int, np.ndarray]:
+    """Multi-scan / non-interleaved BASELINE frames: each scan fully
+    codes (DC+AC) the blocks of its component subset, so scans that
+    don't touch component 0 are skipped whole. Interleaved sub-scans
+    walk the frame MCU grid over their own components; single-component
+    scans walk that component's raster block grid."""
+    w, h, comps = frame
+    by_id = {c[0]: idx for idx, c in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    pad_bx, pad_by = _luma_pad_grid(frame)
+    luma = np.zeros((pad_by, pad_bx, 64), dtype=np.int32)
+    seen_luma = False
+    for scan in scans:
+        cis = [by_id[cid] for cid, _, _ in scan["scomps"]]
+        if 0 not in cis:
+            continue
+        seen_luma = True
+        dc_sel = {}
+        ac_sel = {}
+        for (cid, td, ta) in scan["scomps"]:
+            ci = by_id[cid]
+            dc_sel[ci] = scan["dc"][td]
+            ac_sel[ci] = scan["ac"][ta]
+        if len(cis) > 1:
+            sched = []
+            for ci in cis:
+                sched.extend([ci] * (comps[ci][1] * comps[ci][2]))
+            n_units = mcux * mcuy
+        else:
+            sched = [0]
+            bx0, by0 = _comp_dims(frame, 0)
+            n_units = bx0 * by0
+        flat = np.zeros((n_units * len(sched), 64), dtype=np.int32)
+        segs = _split_rst(scan["entropy"])
+        dri = scan["dri"]
+        if dri:
+            per_seg = [dri] * (len(segs) - 1)
+            per_seg.append(n_units - dri * (len(segs) - 1))
+        else:
+            if len(segs) != 1:
+                raise ValueError("JPEG: RST markers without DRI")
+            per_seg = [n_units]
+        bi = 0
+        for seg, nm in zip(segs, per_seg):
+            if nm <= 0:
+                raise ValueError("JPEG: more restart segments than MCUs")
+            bi += _decode_segment_py(_unstuff(seg), nm, sched, dc_sel,
+                                     ac_sel, flat, bi)
+        if len(cis) > 1:
+            h0, v0 = comps[0][1], comps[0][2]
+            sel = np.flatnonzero(np.asarray(sched) == 0)
+            idx = (np.arange(mcux * mcuy)[:, None] * len(sched)
+                   + sel[None, :]).ravel()
+            luma[:, :, :] = (flat[idx]
+                             .reshape(mcuy, mcux, v0, h0, 64)
+                             .transpose(0, 2, 1, 3, 4)
+                             .reshape(mcuy * v0, mcux * h0, 64))
+        else:
+            luma[:by0, :bx0] = flat.reshape(by0, bx0, 64)
+    if not seen_luma:
+        raise ValueError("JPEG: no scan covers the luma component")
+    return w, h, _luma_plane(frame, qt, luma)
+
+
+def _decode_progressive(frame, scans, qt) -> tuple[int, int, np.ndarray]:
+    """Progressive (SOF2) decode of the luma plane, T.81 G.1.2:
+    spectral-selection scans deliver coefficient bands, successive-
+    approximation scans deliver them a bit-plane at a time (first scan
+    at Al, refinements appending one bit). DC scans may interleave all
+    components (their bits must be consumed even for chroma); AC scans
+    are single-component by construction, so chroma AC scans are
+    skipped without decoding."""
+    w, h, comps = frame
+    by_id = {c[0]: idx for idx, c in enumerate(comps)}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    pad_bx, pad_by = _luma_pad_grid(frame)
+    luma = np.zeros((pad_by, pad_bx, 64), dtype=np.int32)
+    bx0, by0 = _comp_dims(frame, 0)
+    seen_luma = False
+
+    for scan in scans:
+        cis = [by_id[cid] for cid, _, _ in scan["scomps"]]
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        if ss == 0 and se != 0:
+            raise ValueError("JPEG: progressive scan mixes DC and AC")
+        if ss > se or se > 63:
+            raise ValueError("JPEG: bad spectral selection")
+        if ss > 0 and len(cis) != 1:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        if 0 not in cis:
+            continue   # chroma-only scan: its entropy segment is ours
+            # to skip — nothing interleaves with it
+        seen_luma = True
+        dri = scan["dri"]
+        segs = _split_rst(scan["entropy"])
+
+        if ss == 0:                       # ---- DC scan
+            if len(cis) > 1:
+                sched = []
+                for ci in cis:
+                    sched.extend([ci] * (comps[ci][1] * comps[ci][2]))
+                n_units = mcux * mcuy
+            else:
+                sched = [cis[0]]
+                n_units = bx0 * by0
+            dc_sel = {by_id[cid]: scan["dc"][td]
+                      for cid, td, _ in scan["scomps"]} if ah == 0 else {}
+
+            def luma_pos(unit, blk_i):
+                """(row, col) of the blk_i-th comp-0 block of this unit,
+                or None for chroma blocks."""
+                if len(cis) == 1:
+                    return divmod(unit, bx0) if sched[0] == 0 else None
+                if sched[blk_i] != 0:
+                    return None
+                h0, v0 = comps[0][1], comps[0][2]
+                my, mx = divmod(unit, mcux)
+                k = sum(1 for s in sched[:blk_i] if s == 0)
+                byi, bxi = divmod(k, h0)
+                return my * v0 + byi, mx * h0 + bxi
+
+            per_seg = _per_seg(len(segs), dri, n_units)
+            unit = 0
+            for seg, nm in zip(segs, per_seg):
+                r = _BitReader(_unstuff(seg))
+                preds = dict.fromkeys(cis, 0)
+                for u in range(unit, unit + nm):
+                    for blk_i, ci in enumerate(sched):
+                        if ah == 0:
+                            t = r.decode_huff(dc_sel[ci])
+                            diff = _extend(r.read_bits(t), t) if t else 0
+                            preds[ci] += diff
+                            pos = luma_pos(u, blk_i)
+                            if pos is not None:
+                                luma[pos[0], pos[1], 0] = preds[ci] << al
+                        else:
+                            bit = r.read_bit()
+                            pos = luma_pos(u, blk_i)
+                            if pos is not None and bit:
+                                luma[pos[0], pos[1], 0] |= bit << al
+                unit += nm
+        else:                             # ---- AC scan (single comp 0)
+            ac = scan["ac"][scan["scomps"][0][2]]
+            n_units = bx0 * by0
+            per_seg = _per_seg(len(segs), dri, n_units)
+            unit = 0
+            for seg, nm in zip(segs, per_seg):
+                r = _BitReader(_unstuff(seg))
+                eobrun = 0
+                for u in range(unit, unit + nm):
+                    pos = divmod(u, bx0)
+                    blk = luma[pos[0], pos[1]]
+                    if ah == 0:
+                        eobrun = _ac_first(r, blk, ss, se, al, eobrun, ac)
+                    else:
+                        eobrun = _ac_refine(r, blk, ss, se, al, eobrun, ac)
+                unit += nm
+    if not seen_luma:
+        raise ValueError("JPEG: no scan covers the luma component")
+    return w, h, _luma_plane(frame, qt, luma)
+
+
+def _per_seg(n_segs: int, dri: int, n_units: int) -> list[int]:
+    if dri:
+        out = [dri] * (n_segs - 1)
+        out.append(n_units - dri * (n_segs - 1))
+        if out[-1] <= 0:
+            raise ValueError("JPEG: more restart segments than MCUs")
+        return out
+    if n_segs != 1:
+        raise ValueError("JPEG: RST markers without DRI")
+    return [n_units]
+
+
+def _ac_first(r: "_BitReader", blk: np.ndarray, ss: int, se: int, al: int,
+              eobrun: int, ac: _Huff) -> int:
+    """T.81 G.1.2.2: first AC scan of a band — run/size coding with
+    EOBn end-of-band runs; values arrive shifted left by Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.decode_huff(ac)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr == 15:
+                k += 16
+                continue
+            return (1 << rr) - 1 + (r.read_bits(rr) if rr else 0)
+        k += rr
+        if k > se:
+            raise ValueError("JPEG: AC run past band end")
+        blk[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r: "_BitReader", blk: np.ndarray, ss: int, se: int, al: int,
+               eobrun: int, ac: _Huff) -> int:
+    """T.81 G.1.2.3: AC refinement — each already-nonzero coefficient in
+    the band receives a correction bit; newly significant coefficients
+    arrive as +-(1<<Al) after their zero-run."""
+    def correct(k_):
+        if r.read_bit():
+            blk[k_] += (1 << al) if blk[k_] > 0 else -(1 << al)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode_huff(ac)
+            rr, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if rr != 15:
+                    eobrun = (1 << rr) + (r.read_bits(rr) if rr else 0)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: AC refinement size != 1")
+                newval = (1 << al) if r.read_bit() else -(1 << al)
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG;
+    returns (width, height, luma uint8[h, w]).
+
+    Baseline: interleaved single-scan frames take the fast path (native
+    entropy kernel); multi-scan / non-interleaved baseline frames and
+    progressive frames (spectral selection + successive approximation,
+    T.81 G.1.2) decode scan-by-scan into per-component coefficient
+    planes — scans that touch only chroma components are skipped
+    outright (each scan owns its entropy segment, and this decoder's
+    product is the luma plane). Raises NotImplementedError naming the
+    mode for arithmetic / 12-bit / lossless / hierarchical streams,
+    ValueError for malformed ones.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("JPEG: missing SOI")
@@ -170,10 +486,11 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     frame = None
+    mode = None
     restart_interval = 0
     i = 2
     n = len(payload)
-    scan = None
+    scans: list[dict] = []
     while i + 2 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {i}")
@@ -216,7 +533,7 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
                 vals = seg[j + 17:j + 17 + nv]
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0 or m == 0xC1:    # SOF0 baseline / SOF1 ext seq
+        elif m in (0xC0, 0xC1, 0xC2):   # SOF0 / SOF1 / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"JPEG: {prec}-bit precision")
@@ -225,11 +542,11 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (w, h, comps)
-        elif m in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise NotImplementedError("JPEG: progressive mode (SOF2/6/10/14)")
-        elif m in (0xC3, 0xC5, 0xC7, 0xCB, 0xCD, 0xCF):
-            raise NotImplementedError("JPEG: lossless/hierarchical mode")
-        elif m in (0xC9,):
+            mode = "progressive" if m == 0xC2 else "baseline"
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: lossless/differential/hierarchical mode")
+        elif m in (0xC9, 0xCA):
             raise NotImplementedError("JPEG: arithmetic coding")
         elif m == 0xDD:                 # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -237,6 +554,8 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
             ns = seg[0]
             scomps = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4,
                        seg[2 + 2 * c] & 0xF) for c in range(ns)]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             # entropy data runs to the next real marker (FF xx, xx not
             # 00-stuffing, not RST, and not another 0xFF — FF FF is
             # legal fill before a marker, not a scan terminator)
@@ -247,17 +566,25 @@ def decode_baseline(payload: bytes) -> tuple[int, int, np.ndarray]:
                         and not (0xD0 <= payload[k + 1] <= 0xD7):
                     break
                 k += 1
-            scan = (scomps, payload[j:k])
+            scans.append({
+                "scomps": scomps, "ss": ss, "se": se,
+                "ah": ahal >> 4, "al": ahal & 0xF,
+                "entropy": payload[j:k], "dri": restart_interval,
+                "dc": dict(huff_dc), "ac": dict(huff_ac)})
             i = k
             continue
         i += 2 + seglen
-    if frame is None or scan is None:
+    if frame is None or not scans:
         raise ValueError("JPEG: missing SOF/SOS")
     w, h, comps = frame
-    scomps, entropy = scan
-    if len(scomps) != len(comps):
-        raise NotImplementedError(
-            "JPEG: non-interleaved multi-scan baseline")
+
+    if mode == "progressive":
+        return _decode_progressive(frame, scans, qt)
+    if len(scans) > 1 or len(scans[0]["scomps"]) != len(comps):
+        return _decode_baseline_scans(frame, scans, qt)
+    scomps, entropy = scans[0]["scomps"], scans[0]["entropy"]
+    huff_dc, huff_ac = scans[0]["dc"], scans[0]["ac"]
+    restart_interval = scans[0]["dri"]
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -427,15 +754,11 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_baseline_gray(img: np.ndarray,
-                         quant: np.ndarray | None = None) -> bytes:
-    """Test-only baseline encoder: 8-bit grayscale, Annex K luminance
-    huffman tables, caller-supplied natural-order quant table (default
-    Annex K luminance). Returns a complete JFIF-less JPEG byte stream."""
-    img = np.asarray(img, dtype=np.uint8)
+def _gray_zigzag_coefs(img: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """FDCT + quantize an 8-bit grayscale image into (n_blocks, 64)
+    zigzag-order coefficients (blocks in raster order, edge-replicate
+    padded to the 8x8 grid)."""
     h, w = img.shape
-    q = (_STD_LUM_Q if quant is None else
-         np.asarray(quant, dtype=np.int32).reshape(64))
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.empty((ph, pw), dtype=np.float64)
     padded[:h, :w] = img
@@ -446,9 +769,101 @@ def encode_baseline_gray(img: np.ndarray,
     # FDCT: M is orthogonal (rows c(u)/2*cos sum to unit norm), so the
     # exact inverse of f = M.T @ F @ M is F = M @ f @ M.T
     fwd = _IDCT_M @ blocks @ _IDCT_M.T
-    qn = q.reshape(8, 8)
+    qn = np.asarray(q).reshape(8, 8)
     coefs = np.round(fwd / qn).astype(np.int32).reshape(-1, 64)
-    zz = coefs[:, ZIGZAG]
+    return coefs[:, ZIGZAG]
+
+
+def encode_progressive_gray(img: np.ndarray,
+                            quant: np.ndarray | None = None) -> bytes:
+    """Test-only PROGRESSIVE (SOF2) encoder: 8-bit grayscale, three
+    scans — DC first at Al=1 (successive approximation), DC refinement
+    delivering the low bit, then one AC spectral-selection scan for the
+    full 1..63 band. Same coefficients as encode_baseline_gray, so a
+    baseline and a progressive encode of one image decode identically.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = (_STD_LUM_Q if quant is None else
+         np.asarray(quant, dtype=np.int32).reshape(64))
+    zz = _gray_zigzag_coefs(img, q)
+    dc_codes = _enc_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_codes = _enc_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+
+    # scan 1: DC first, Ah=0 Al=1 — diffs of (dc >> 1), floor shift
+    # (the decoder reconstructs pred << 1, then ORs in the low bit)
+    bw = _BitWriter()
+    pred = 0
+    for b in zz:
+        v = int(b[0]) >> 1
+        diff = v - pred
+        pred = v
+        t = _category(diff)
+        c, ln = dc_codes[t]
+        bw.write(c, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    dc_first = bw.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw low bit per block
+    bw = _BitWriter()
+    for b in zz:
+        bw.write(int(b[0]) & 1, 1)
+    dc_refine = bw.flush()
+
+    # scan 3: AC band 1..63, Ah=0 Al=0 — baseline run/size coding where
+    # EOB (0x00) is the EOB0 end-of-band run
+    bw = _BitWriter()
+    for b in zz:
+        k = 1
+        run = 0
+        last_nz = max((i for i in range(1, 64) if b[i]), default=0)
+        while k <= last_nz:
+            v = int(b[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]      # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s = _category(v)
+            c, ln = ac_codes[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]          # EOB0
+            bw.write(c, ln)
+    ac_scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q[ZIGZAG]))
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([1, 1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_LUM_BITS) + _DC_LUM_VALS)
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_LUM_BITS) + _AC_LUM_VALS)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + dc_first
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + dc_refine
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + ac_scan
+    return out + b"\xff\xd9"
+
+
+def encode_baseline_gray(img: np.ndarray,
+                         quant: np.ndarray | None = None) -> bytes:
+    """Test-only baseline encoder: 8-bit grayscale, Annex K luminance
+    huffman tables, caller-supplied natural-order quant table (default
+    Annex K luminance). Returns a complete JFIF-less JPEG byte stream."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+    q = (_STD_LUM_Q if quant is None else
+         np.asarray(quant, dtype=np.int32).reshape(64))
+    zz = _gray_zigzag_coefs(img, q)
 
     dc_codes = _enc_codes(_DC_LUM_BITS, _DC_LUM_VALS)
     ac_codes = _enc_codes(_AC_LUM_BITS, _AC_LUM_VALS)

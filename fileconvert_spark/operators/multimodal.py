@@ -621,18 +621,18 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             and payload[2] in (0x20, 0x09, 0x0A, 0x0D, 0x0B, 0x0C, 0x23):
         return _decode_pnm(payload)
     if payload[:2] == b"\xff\xd8":
-        # baseline JPEG (r6, from-scratch huffman + IDCT; see
-        # operators/jpeg.py): the Y component IS BT.601 luma, so the
-        # reconstruction feeds features/dHash directly
+        # JPEG (r6 baseline, r7 progressive — from-scratch huffman +
+        # IDCT; see operators/jpeg.py): the Y component IS BT.601 luma,
+        # so the reconstruction feeds features/dHash directly
         from .jpeg import decode_baseline
 
         w, h, luma = decode_baseline(payload)
         return w, h, 1, luma.ravel()
     raise NotImplementedError(
-        "compressed media decoding (MP3/MP4/progressive-JPEG...) needs "
-        "PIL/ffmpeg, which this environment does not provide; decodable "
-        "here: baseline JPEG, PNG (8-bit), GIF (incl. animated), netpbm "
-        "P5/P6, uncompressed BMP, PCM WAV, FCSM synthetic blobs")
+        "compressed media decoding (MP3/MP4) needs ffmpeg, which this "
+        "environment does not provide; decodable here: JPEG (baseline + "
+        "progressive), PNG (8-bit), GIF (incl. animated), netpbm P5/P6, "
+        "uncompressed BMP, PCM WAV, FCSM synthetic blobs")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

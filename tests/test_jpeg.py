@@ -155,11 +155,19 @@ def test_hand_built_restart_resets_predictor():
 
 
 def test_rejections():
+    # SOF2 alone (progressive) is no longer rejected — but with no SOS
+    # it is a malformed stream, not an unsupported mode
     sof2 = (b"\xff\xd8" + _tables()
             + _seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 8)
                    + bytes([1, 1, 0x11, 0])))
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="SOF/SOS"):
         jpeg.decode_baseline(sof2)
+    # arithmetic coding (SOF9 sequential, SOF10 progressive) stays out
+    sof10 = (b"\xff\xd8" + _tables()
+             + _seg(0xCA, bytes([8]) + struct.pack(">HH", 8, 8)
+                    + bytes([1, 1, 0x11, 0])))
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg.decode_baseline(sof10)
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_baseline(b"\x00\x11")
     # truncated entropy data: block demands more bits than exist
@@ -279,3 +287,149 @@ def test_malformed_dht_raises_cleanly():
             + bytes([0x00]) + bytes([4] + [0] * 15) + bytes([1, 2]))
     with pytest.raises(ValueError, match="DHT"):
         jpeg.decode_baseline(b"\xff\xd8" + seg2 + b"\xff\xd9")
+
+
+# ---- progressive (SOF2) hand-built fixtures ------------------------
+def _sof2(w, h, comps=bytes([1, 0x11, 0])):
+    nc = len(comps) // 3
+    return _seg(0xC2, bytes([8]) + struct.pack(">HH", h, w)
+                + bytes([nc]) + comps)
+
+
+def _sos(scomps, ss, se, ah, al):
+    body = bytes([len(scomps)])
+    for cid, td, ta in scomps:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def test_progressive_dc_successive_approximation():
+    """DC-first scan at Al=1 (diff +2 -> coeff 4), then a DC refinement
+    appending bit 1 -> coeff 5, F(0,0)=80 -> every pixel 138 (the same
+    closed form as the baseline DC test)."""
+    jpg = (b"\xff\xd8" + _tables() + _sof2(8, 8)
+           + _sos([(1, 0, 0)], 0, 0, 0, 1) + _pack(_dc_bits(2))
+           + _sos([(1, 0, 0)], 0, 0, 1, 0) + _pack("1")
+           + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (8, 8)
+    assert np.all(luma == 138)
+    # first scan alone: coeff 4 -> F=64 -> 128 + 64/8 = 136
+    jpg1 = (b"\xff\xd8" + _tables() + _sof2(8, 8)
+            + _sos([(1, 0, 0)], 0, 0, 0, 1) + _pack(_dc_bits(2))
+            + b"\xff\xd9")
+    _, _, luma1 = jpeg.decode_baseline(jpg1)
+    assert np.all(luma1 == 136)
+
+
+def test_progressive_spectral_selection_ac_band():
+    """Two blocks (8x16): DC scan flat, then an AC band scan (ss=1) that
+    codes F(0,1)=+2 in block 0 and EOB in block 1 — block 0 must show
+    the closed-form cosine ramp, block 1 stays flat 128."""
+    jpg = (b"\xff\xd8" + _tables() + _sof2(16, 8)
+           + _sos([(1, 0, 0)], 0, 0, 0, 0)
+           + _pack(_dc_bits(0) + _dc_bits(0))
+           + _sos([(1, 0, 0)], 1, 63, 0, 0)
+           + _pack(AC[0x02] + "10" + EOB + EOB)
+           + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (16, 8)
+    x = np.arange(8)
+    fx = (0.25 * np.sqrt(0.5) * 32
+          * np.cos((2 * x + 1) * 1 * np.pi / 16.0))
+    want = np.clip(np.round(fx) + 128, 0, 255).astype(np.uint8)
+    assert np.array_equal(luma[:, :8], np.tile(want, (8, 1)))
+    assert np.all(luma[:, 8:] == 128)
+
+
+def test_progressive_ac_refinement():
+    """AC-first at Al=1 codes +1 at k=1 (coeff 2 -> F=32); the AC
+    refinement scan's correction bit 1 raises it to 3 (F=48). Pixel rows
+    must match the closed-form ramp for F(0,1)=48."""
+    jpg = (b"\xff\xd8" + _tables() + _sof2(8, 8)
+           + _sos([(1, 0, 0)], 0, 0, 0, 0) + _pack(_dc_bits(0))
+           + _sos([(1, 0, 0)], 1, 63, 0, 1)
+           + _pack(AC[0x01] + "1" + EOB)
+           + _sos([(1, 0, 0)], 1, 63, 1, 0)
+           + _pack(EOB + "1")      # EOB run, then 1 correction bit
+           + b"\xff\xd9")
+    _, _, luma = jpeg.decode_baseline(jpg)
+    x = np.arange(8)
+    fx = (0.25 * np.sqrt(0.5) * 48
+          * np.cos((2 * x + 1) * 1 * np.pi / 16.0))
+    want = np.clip(np.round(fx) + 128, 0, 255).astype(np.uint8)
+    assert np.array_equal(luma, np.tile(want, (8, 1)))
+
+
+def test_progressive_interleaved_dc_420():
+    """16x16 4:2:0 progressive: the interleaved DC scan carries
+    4 Y + Cb + Cr diffs per MCU — chroma bits must be consumed (not
+    skipped) for the luma predictors to land on 134/136/132/136, the
+    same quadrants as the baseline interleaved fixture."""
+    comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    bits = (_dc_bits(3) + _dc_bits(1) + _dc_bits(-2) + _dc_bits(2)
+            + _dc_bits(7)     # Cb: nonzero so a skipping decoder derails
+            + _dc_bits(-7))   # Cr
+    jpg = (b"\xff\xd8" + _tables() + _sof2(16, 16, comps)
+           + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 0)
+           + _pack(bits) + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (16, 16)
+    assert np.all(luma[:8, :8] == 134)
+    assert np.all(luma[:8, 8:] == 136)
+    assert np.all(luma[8:, :8] == 132)
+    assert np.all(luma[8:, 8:] == 136)
+
+
+def test_progressive_chroma_ac_scan_skipped():
+    """A chroma-only AC scan between two luma scans must be skipped
+    without disturbing the luma state."""
+    comps = bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    jpg = (b"\xff\xd8" + _tables() + _sof2(8, 8, comps)
+           + _sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, 0)
+           + _pack(_dc_bits(5) + _dc_bits(0) + _dc_bits(0))
+           + _sos([(2, 0, 0)], 1, 63, 0, 0)
+           + _pack(AC[0x01] + "1" + EOB)     # chroma AC junk
+           + _sos([(1, 0, 0)], 1, 63, 0, 0)
+           + _pack(EOB)
+           + b"\xff\xd9")
+    _, _, luma = jpeg.decode_baseline(jpg)
+    assert np.all(luma == 138)
+
+
+def test_multiscan_baseline_noninterleaved():
+    """SOF0 with three single-component scans (Y, Cb, Cr): previously
+    rejected as 'non-interleaved multi-scan baseline'. The Y scan walks
+    comp 0's own 2x2 block grid; quadrants as in the interleaved test."""
+    comps = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    ybits = (_dc_bits(3) + EOB + _dc_bits(1) + EOB
+             + _dc_bits(-2) + EOB + _dc_bits(2) + EOB)
+    cbits = _dc_bits(0) + EOB
+    jpg = (b"\xff\xd8" + _tables()
+           + _seg(0xC0, bytes([8]) + struct.pack(">HH", 16, 16)
+                  + bytes([3]) + comps)
+           + _sos([(1, 0, 0)], 0, 63, 0, 0) + _pack(ybits)
+           + _sos([(2, 0, 0)], 0, 63, 0, 0) + _pack(cbits)
+           + _sos([(3, 0, 0)], 0, 63, 0, 0) + _pack(cbits)
+           + b"\xff\xd9")
+    w, h, luma = jpeg.decode_baseline(jpg)
+    assert (w, h) == (16, 16)
+    assert np.all(luma[:8, :8] == 134)
+    assert np.all(luma[:8, 8:] == 136)
+    assert np.all(luma[8:, :8] == 132)
+    assert np.all(luma[8:, 8:] == 136)
+
+
+def test_progressive_encoder_matches_baseline():
+    """encode_progressive_gray codes the same coefficients as
+    encode_baseline_gray in three scans (DC Al=1, DC refine, AC band);
+    both must decode to the SAME plane — successive approximation loses
+    nothing once all scans arrive."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    for shape in [(8, 8), (24, 40), (17, 9)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        wb, hb, pb = jpeg.decode_baseline(jpeg.encode_baseline_gray(img))
+        wp, hp, pp = jpeg.decode_baseline(jpeg.encode_progressive_gray(img))
+        assert (wb, hb) == (wp, hp) == (shape[1], shape[0])
+        assert np.array_equal(pb, pp)

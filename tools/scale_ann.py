@@ -12,7 +12,16 @@ recall@10 against the exact blocked brute-force baseline, and the
 index build cost split into train / distributed-refine / assign+write.
 
     python tools/scale_ann.py [n_rows=8000000] [dim=128] \
-        [work=/tmp/fcs_ann] [--skip-ma2] [--keep]
+        [work=/tmp/fcs_ann] [n_centroids=1024] [--skip-ma2] [--keep]
+
+Metric caveat, measured r7: Spark's REST inputBytes is NOT proportional
+to parquet bytes actually decoded (column pruning, metadata-only
+counts, vectorized-reader accounting), so pruning is evidenced
+logically: rows_scanned (exact, from cell sizes) as the query-BATCH
+union, and per_query_scan_fraction mean/max (what one query's probe
+costs — the number that matters for serving). shuffle_read_b IS
+trustworthy and proves the no-vector-shuffle claim: probes shuffle
+only (q_id, vec_id, cosine) candidates.
 
 Everything is deterministic (PCG64 streams keyed by row-id blocks); no
 external data. One JSON line on stdout; recorded in BENCH/SCALE_r7.md.
@@ -40,7 +49,6 @@ N_CLUSTERS = 2000
 SIGMA_TOTAL = 0.6
 N_QUERIES = 100
 K = 10
-N_CENTROIDS = 1024
 SAMPLE_ROWS = 32768
 SEED = 3
 
@@ -150,6 +158,7 @@ def main() -> int:
     n_rows = int(args[0]) if len(args) > 0 else 8_000_000
     dim = int(args[1]) if len(args) > 1 else 128
     work = args[2] if len(args) > 2 else "/tmp/fcs_ann"
+    n_centroids = int(args[3]) if len(args) > 3 else 1024
 
     from pyspark.sql import functions as F
 
@@ -167,7 +176,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     meter = PhaseMeter()
     out: dict = {"n_rows": n_rows, "dim": dim, "k": K,
-                 "n_centroids": N_CENTROIDS, "n_queries": N_QUERIES}
+                 "n_centroids": n_centroids, "n_queries": N_QUERIES}
 
     def prog(key):
         print(f"[scale_ann] {key}: {json.dumps(out[key])}",
@@ -209,7 +218,7 @@ def main() -> int:
 
     # ---- phase 2: index build, costs split train / refine / write
     meter.start()
-    cent = train_centroids(emb, N_CENTROIDS, sample_rows=SAMPLE_ROWS,
+    cent = train_centroids(emb, n_centroids, sample_rows=SAMPLE_ROWS,
                            id_col="vec_id", seed=42)
     t_train = meter.stop()
     meter.start()
@@ -217,7 +226,7 @@ def main() -> int:
     t_refine = meter.stop()
     idx_path = os.path.join(work, "ivf_ma1")
     meter.start()
-    write_ivf_index(emb, idx_path, N_CENTROIDS, centroids=cent)
+    write_ivf_index(emb, idx_path, n_centroids, centroids=cent)
     t_write = meter.stop()
     out["build_ma1"] = {"train": t_train, "refine_1iter": t_refine,
                         "assign_write": t_write,
@@ -230,10 +239,14 @@ def main() -> int:
     # between scans of one table is meaningful), and rows-in-probed-
     # cells vs n_rows (logical, exact)
     idx_df = spark.read.parquet(idx_path)
-    meter.start()
     n_idx_rows = idx_df.count()
-    out["full_index_scan"] = {**meter.stop(), "rows": int(n_idx_rows)}
-    prog("full_index_scan")
+    cell_sizes = np.zeros(n_centroids, dtype=np.int64)
+    for r in idx_df.groupBy("cell").count().collect():
+        cell_sizes[r["cell"]] = r["count"]
+    out["index_rows"] = int(n_idx_rows)
+    out["cell_size_p50_p99_max"] = [
+        int(np.percentile(cell_sizes, 50)),
+        int(np.percentile(cell_sizes, 99)), int(cell_sizes.max())]
 
     qpd = queries.toPandas()
     Qn = np.array(qpd["q_vec"].tolist(), dtype=np.float64)
@@ -250,18 +263,21 @@ def main() -> int:
         # counted AFTER the metered probe so it can't pre-warm the cache
         rows_scanned = idx_df.filter(
             F.col("cell").isin(cells)).count()
+        per_q = cell_sizes[probe_order[:, :n_probe]].sum(axis=1) / n_rows
         out[f"probe_ma1_p{n_probe}"] = {
             **m, "recall_at_10": round(recall(rows), 4),
             "distinct_cells": len(cells),
-            "rows_scanned": int(rows_scanned),
-            "scan_fraction": round(rows_scanned / n_idx_rows, 4)}
+            "batch_union_rows": int(rows_scanned),
+            "batch_union_fraction": round(rows_scanned / n_idx_rows, 4),
+            "per_query_scan_fraction_mean": round(float(per_q.mean()), 5),
+            "per_query_scan_fraction_max": round(float(per_q.max()), 5)}
         prog(f"probe_ma1_p{n_probe}")
 
     # ---- phase 4: multi-assign=2 index (cell-boundary recall cliff)
     if "--skip-ma2" not in flags:
         idx2 = os.path.join(work, "ivf_ma2")
         meter.start()
-        write_ivf_index(emb, idx2, N_CENTROIDS, multi_assign=2,
+        write_ivf_index(emb, idx2, n_centroids, multi_assign=2,
                         centroids=cent)
         out["build_ma2"] = {**meter.stop(), "index_bytes": du(idx2)}
         prog("build_ma2")
