@@ -213,6 +213,18 @@ def load():
         POINTER(c_int64), POINTER(c_uint8),     # vptr, vals
         _P(c_int32), c_int64,                   # out, start_block
     ]
+    lib.oph_minhash.restype = c_int64
+    lib.oph_minhash.argtypes = [
+        POINTER(c_uint64), POINTER(c_int64),    # gh, counts
+        c_int64, c_int64, c_uint64,             # nd, n_hashes, densify_c
+        POINTER(c_uint64),                      # out_sig (nd, n_hashes)
+    ]
+    lib.simhash_batch.restype = c_int64
+    lib.simhash_batch.argtypes = [
+        POINTER(c_uint64), POINTER(c_int64),    # wh, wc
+        c_int64,                                # nd
+        POINTER(c_uint64),                      # out_sig
+    ]
     _LIB = lib
     return lib
 
@@ -407,3 +419,44 @@ def png_defilter(data, filters, w: int, ch: int):
     if rc != 0:
         raise ValueError(f"PNG: unknown row filter at row {-rc - 1}")
     return out
+
+
+def oph_minhash(gh, counts, n_hashes: int, densify_c):
+    """C one-permutation MinHash (bucket-min + rotation densify);
+    returns uint64 (nd, n_hashes) or None when unavailable.
+    Bit-identical to similarity._oph_signatures (property-tested)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    gh = np.ascontiguousarray(gh, dtype=np.uint64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    nd = counts.size
+    out = np.empty((max(nd, 1), n_hashes), dtype=np.uint64)
+    lib.oph_minhash(
+        gh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nd, n_hashes, ctypes.c_uint64(int(densify_c)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:nd]
+
+
+def simhash_batch(wh, wc):
+    """C 64-bit SimHash (per-bit majority over word hashes); returns
+    uint64[nd] or None when unavailable. Bit-identical to
+    similarity.simhash64_batch's histogram path (property-tested)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    wh = np.ascontiguousarray(wh, dtype=np.uint64)
+    wc = np.ascontiguousarray(wc, dtype=np.int64)
+    nd = wc.size
+    out = np.empty(max(nd, 1), dtype=np.uint64)
+    lib.simhash_batch(
+        wh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        wc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nd, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    return out[:nd]

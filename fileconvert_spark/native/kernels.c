@@ -514,3 +514,94 @@ int64_t winnow_fps(const uint64_t *vals, const int64_t *counts,
     free(deq);
     return m;
 }
+
+/* ------------------------------------------------------------------ *
+ * One-permutation MinHash (bucket-min + rotation densification,
+ * Shrivastava & Li ICML'14) — mirrors similarity._oph_signatures /
+ * _oph_densify exactly. gh: concatenated gram hashes; counts: grams
+ * per doc. out_sig: uint64 (nd, n_hashes), written fully (EMPTY fill,
+ * min-update, densify in one pass per row). densify_c is the rotation
+ * constant; EMPTY is all-ones. The NumPy path allocates ~6 transient
+ * (nd, 2k) matrices per batch — on 30-word docs that overhead, not the
+ * hashing, is the floor; here it is three tight loops.
+ * ------------------------------------------------------------------ */
+#define OPH_EMPTY 0xFFFFFFFFFFFFFFFFULL
+
+int64_t oph_minhash(const uint64_t *gh, const int64_t *counts, int64_t nd,
+                    int64_t n_hashes, uint64_t densify_c, uint64_t *out_sig)
+{
+    int64_t lg = 0;
+    while (((int64_t)1 << lg) < n_hashes)
+        lg++;
+    const int64_t shift = 64 - lg;
+    int64_t off = 0;
+    for (int64_t d = 0; d < nd; d++) {
+        uint64_t *row = out_sig + d * n_hashes;
+        for (int64_t j = 0; j < n_hashes; j++)
+            row[j] = OPH_EMPTY;
+        const int64_t cnt = counts[d];
+        for (int64_t i = 0; i < cnt; i++) {
+            const uint64_t h = gh[off + i];
+            const int64_t b = (int64_t)(h >> shift);
+            if (h < row[b])
+                row[b] = h;
+        }
+        off += cnt;
+        /* rotation densification: nearest non-empty at-or-left on the
+         * doubled circular axis, + distance * C */
+        int64_t last = -1;
+        uint64_t lastv = 0;
+        for (int64_t j = 0; j < n_hashes; j++)
+            if (row[j] != OPH_EMPTY) {
+                last = j;
+                lastv = row[j];
+            }
+        if (last < 0) {
+            for (int64_t j = 0; j < n_hashes; j++)
+                row[j] = 0;
+            continue;
+        }
+        for (int64_t j = 0; j < n_hashes; j++) {
+            if (row[j] != OPH_EMPTY) {
+                last = n_hashes + j;
+                lastv = row[j];
+            } else {
+                row[j] = lastv
+                    + (uint64_t)(n_hashes + j - last) * densify_c;
+            }
+        }
+    }
+    return nd;
+}
+
+/* ------------------------------------------------------------------ *
+ * 64-bit SimHash over word hashes — mirrors similarity.simhash64_batch
+ * (majority vote per bit; empty docs -> 0). The NumPy path builds a
+ * (nd << 8) histogram per byte lane, which on 30-word docs touches
+ * 2048 mostly-empty bins per doc; here it is cnt[64] in registers/L1.
+ * ------------------------------------------------------------------ */
+int64_t simhash_batch(const uint64_t *wh, const int64_t *wc, int64_t nd,
+                      uint64_t *out_sig)
+{
+    int64_t off = 0;
+    for (int64_t d = 0; d < nd; d++) {
+        const int64_t cnt = wc[d];
+        if (cnt <= 0) {
+            out_sig[d] = 0;
+            continue;
+        }
+        int32_t ones[64] = {0};
+        for (int64_t i = 0; i < cnt; i++) {
+            const uint64_t h = wh[off + i];
+            for (int64_t b = 0; b < 64; b++)
+                ones[b] += (int32_t)((h >> b) & 1u);
+        }
+        uint64_t sig = 0;
+        for (int64_t b = 0; b < 64; b++)
+            if (2 * (int64_t)ones[b] > cnt)
+                sig |= 1ULL << b;
+        out_sig[d] = sig;
+        off += cnt;
+    }
+    return nd;
+}

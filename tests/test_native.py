@@ -262,6 +262,67 @@ def test_signature_kernels_native_equal_numpy():
     assert np.array_equal(sh_c, sh_np)
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=0,
+                max_size=60),
+       st.sampled_from([8, 16, 32, 64]),
+       st.integers(min_value=0, max_value=2**32))
+def test_oph_minhash_kernel_matches_numpy(counts, n_hashes, seed):
+    """r7 kernel: C bucket-min + rotation densification must be
+    bit-identical to the NumPy _oph_signatures/_oph_densify pair over
+    arbitrary per-doc gram counts (incl. empty docs and docs whose
+    grams all land in one bucket)."""
+    if native.load() is None:
+        pytest.skip("no toolchain")
+    from fileconvert_spark.functions import similarity as sim
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    counts = np.asarray(counts, dtype=np.int64)
+    gh = rng.integers(0, 2**64, size=int(counts.sum()), dtype=np.uint64)
+    # sprinkle single-bucket crowding: clamp some hashes' top bits
+    if gh.size > 3:
+        gh[::3] &= np.uint64(2**58 - 1)
+    got = native.oph_minhash(gh, counts, n_hashes, sim._DENSIFY_C)
+    lg = int(n_hashes).bit_length() - 1
+    sig = np.full((counts.size, n_hashes), sim._EMPTY, dtype=np.uint64)
+    if gh.size:
+        ddoc = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        bucket = (gh >> np.uint64(64 - lg)).astype(np.int64)
+        np.minimum.at(sig, (ddoc, bucket), gh)
+    want = sim._oph_densify(sig)
+    assert np.array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=50), min_size=0,
+                max_size=50),
+       st.integers(min_value=0, max_value=2**32))
+def test_simhash_kernel_matches_numpy(counts, seed):
+    """r7 kernel: C per-doc bit majorities == the byte-lane histogram
+    path, including empty docs and exact-tie majorities (2*ones == n
+    must NOT set the bit)."""
+    if native.load() is None:
+        pytest.skip("no toolchain")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    counts = np.asarray(counts, dtype=np.int64)
+    wh = rng.integers(0, 2**64, size=int(counts.sum()), dtype=np.uint64)
+    got = native.simhash_batch(wh, counts)
+    # independent NumPy majority (not the module's histogram, the
+    # textbook definition): bit b set iff strictly more than half of
+    # the doc's word hashes carry it
+    want = np.zeros(counts.size, dtype=np.uint64)
+    off = 0
+    for d, c in enumerate(counts):
+        if c == 0:
+            continue
+        bits = ((wh[off:off + c, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).sum(axis=0)
+        want[d] = np.sum((2 * bits > c).astype(np.uint64)
+                         << np.arange(64, dtype=np.uint64))
+        off += int(c)
+    assert np.array_equal(got, want)
+
+
 def test_cache_dir_is_private_and_unsafe_files_refused(monkeypatch,
                                                        tmp_path):
     """ADVICE r6 (medium): the kernel cache must never live at a
