@@ -714,6 +714,44 @@ def _pred_may_match(zs, op: str, value) -> bool:
     return True
 
 
+def _warn_non_pruning_predicates(out_dir: str, pcols: list) -> None:
+    """One-line runtime warning (VERDICT r6 item 6) when a predicate
+    column structurally cannot prune at PART level, so the user learns
+    the sort-order guidance where it matters instead of from BENCH
+    docs. Parts are bucketed by ``key_col``: only that column's
+    part-level bounds are tight; other zone columns carry bounds but —
+    the measured §4 case (BENCH/SCALE_r6.md, honest 0.93x) — their
+    per-part ranges span the space, so pruning degrades to CHUNK level
+    at best, and a column with no zone stats at all only gets the
+    exact row filter. Purely advisory — behavior is unchanged."""
+    import warnings
+
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not fsio.exists(meta_path):
+        return
+    meta = json.loads(fsio.read_bytes(meta_path))
+    key_col = meta.get("key_col")
+    zone_cols = meta.get("zone_cols")
+    for pcol in pcols:
+        if pcol == key_col:
+            continue
+        if zone_cols != "all" and pcol not in (zone_cols or []):
+            warnings.warn(
+                f"decode_table: predicate column {pcol!r} has no zone "
+                f"stats in this layout (zone_cols={zone_cols}) — no "
+                "part- or chunk-level pruning, rows are filtered after "
+                "decode; for selective scans re-encode with "
+                f"cluster_by including {pcol!r}", stacklevel=3)
+        else:
+            warnings.warn(
+                f"decode_table: predicate column {pcol!r} is not the "
+                f"bucketing key ({key_col!r}) — parts are laid out by "
+                f"{key_col!r}, so part-level pruning on {pcol!r} is "
+                "structurally weak (chunk-level zone pruning inside "
+                "surviving parts at best); for part-level pruning "
+                f"re-encode with key_col={pcol!r}", stacklevel=3)
+
+
 def decode_table(spark, out_dir: str, narrow: bool = True,
                  columns: list[str] | None = None,
                  predicate: tuple | list | None = None,
@@ -820,6 +858,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         if f.endswith(".parquet")
     ]
     if pred:
+        _warn_non_pruning_predicates(out_dir, pcols_all)
         # manifest pruning (Iceberg pattern, r5): every part manifest
         # carries part-level zone bounds per zone column; one driver-side
         # read of the (consolidated) manifest list drops excluded parts

@@ -202,3 +202,39 @@ def test_winnow_prune_broadcasts_frequent_set_only(spark):
     for line in p.splitlines():
         if "hashpartitioning" in line:
             assert "text" not in line, line
+
+
+def test_non_pruning_predicate_warns(spark, tmp_path):
+    """VERDICT r6 item 6: a predicate on a column that cannot prune at
+    part level (not the bucketing key / no zone stats) must emit a
+    one-line advisory warning naming the layout guidance — with NO
+    behavior change (results identical)."""
+    import warnings
+
+    import pytest
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = str(tmp_path / "enc")
+    encode_table(spark, docs, out, n_buckets=2, key_col="source",
+                 salt_cols=("doc_id",), weight_col="text",
+                 cluster_by=("lang",))
+
+    # key_col predicate: prunes at part level, NO warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        df = decode_table(spark, out, predicate=("source", "=", "wiki"))
+    n_key = df.count()
+
+    # secondary zone column: part-level structurally weak -> warn
+    with pytest.warns(UserWarning, match="not the bucketing key"):
+        df2 = decode_table(spark, out, predicate=("lang", "=", "en"))
+    # unzoned column: no pruning at all -> warn with cluster_by guidance
+    with pytest.warns(UserWarning, match="no zone stats"):
+        df3 = decode_table(spark, out, predicate=("n_chars", ">", 100))
+
+    # no behavior change: results match a plain filter of the source
+    assert n_key == docs.filter("source = 'wiki'").count()
+    assert df2.count() == docs.filter("lang = 'en'").count()
+    assert df3.count() == docs.filter("n_chars > 100").count()
