@@ -132,8 +132,12 @@ def main() -> None:
     extras["pii_redact_worst_mb_s"] = round(wb / (time.time() - t0) / 1e6, 1)
     wdf.unpersist()
 
+    # two passes, report the second (warm): single cold runs on this host
+    # encode 3-8x page-fault/cache noise as engine regressions
+    # (BENCH/BASELINE.md; r6 verdict stretch item). Pass-1 totals kept in
+    # extras so the warm-up cost stays visible.
     qmap = E.queries()
-    for name in [
+    qnames = [
         "q1_pricing_summary",
         "q3_top_revenue_orders",
         "q5_revenue_by_nation",
@@ -147,11 +151,19 @@ def main() -> None:
         "stream_window_counts",
         "enc_roundtrip_documents",
         "enc_roundtrip_embeddings",
-    ]:
-        t0 = time.time()
-        df = qmap[name](spark, sf_dir)
-        df.collect() if name != "dedup_minhash_docs" else df.count()
-        queries[name] = round(time.time() - t0, 3)
+    ]
+    cold_total = 0.0
+    for pass_no in range(2):
+        for name in qnames:
+            t0 = time.time()
+            df = qmap[name](spark, sf_dir)
+            df.collect() if name != "dedup_minhash_docs" else df.count()
+            dt = round(time.time() - t0, 3)
+            if pass_no == 0:
+                cold_total += dt
+            else:
+                queries[name] = dt
+    extras["queries_cold_pass_s"] = round(cold_total, 3)
 
     total = round(sum(queries.values()), 3)
     out = {

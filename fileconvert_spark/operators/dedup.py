@@ -501,6 +501,69 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def audit_components(comp: DataFrame, docs: DataFrame, id_col: str,
+                     text_col: str = "text",
+                     sample_per_component: int = 3,
+                     seed: int = 0) -> DataFrame:
+    """Exact-jaccard spot audit of a components result — cheap confidence
+    for estimator-only dedup without the Theta(m^2) pairs path
+    (r6 verdict stretch item).
+
+    Samples up to ``sample_per_component`` non-keeper members per
+    component (deterministic hash order keyed by ``seed``, so reruns
+    audit the same members), pairs each with the component's keeper
+    (``component`` == min member id by construction), fetches ONLY the
+    sampled texts (broadcast-semi-join filter — the corpus text never
+    shuffles), and scores exact word-3-gram jaccard with the batched
+    hash-set kernel. Returns (component, id_a, id_b, jaccard); id_a is
+    the keeper.
+
+    Reading the numbers: components merge by VERIFIED chain edges, so a
+    sampled member can sit several hops from the keeper — transitive
+    members legitimately score below the per-edge threshold (that is
+    what near-dup CLUSTERS mean; unlike bucket-transitive dedup every
+    hop was individually verified). The audit distribution is a
+    cluster-tightness measure: median near the edge threshold means
+    short, tight chains; a long low tail means crowds merge through
+    drift and chain_window / threshold deserve a look. Cost: one
+    16-byte-row shuffle of the label frame for sampling, <=
+    (sample_per_component + 1) * n_components text fetches, one linear
+    jaccard batch — no quadratic term at any crowd size.
+    """
+    from pyspark.sql.window import Window
+
+    members = comp.filter(F.col("id") != F.col("component"))
+    w = Window.partitionBy("component").orderBy(
+        F.xxhash64(F.col("id"), F.lit(seed)), "id")
+    edges = (members.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") <= sample_per_component)
+             .select("component", F.col("component").alias("id_a"),
+                     F.col("id").alias("id_b")))
+
+    ids = (edges.select(F.col("id_a").alias(id_col))
+           .union(edges.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    texts = (docs.select(F.col(id_col), F.col(text_col))
+             .join(F.broadcast(ids), id_col, "left_semi"))
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            sim.jaccard_batch(ta.fillna("").tolist(), tb.fillna("").tolist()),
+            dtype="float64",
+        )
+
+    return (
+        edges
+        .join(texts.select(F.col(id_col).alias("id_a"),
+                           F.col(text_col).alias("_ta")), "id_a")
+        .join(texts.select(F.col(id_col).alias("id_b"),
+                           F.col(text_col).alias("_tb")), "id_b")
+        .select("component", "id_a", "id_b",
+                jac("_ta", "_tb").alias("jaccard"))
+    )
+
+
 def _pairs_within_groups(grouped: DataFrame, threshold: float) -> DataFrame:
     """Exact cosine pairs >= threshold within (ki, kj) comparison groups.
 

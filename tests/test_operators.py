@@ -157,6 +157,37 @@ def test_simhash_and_minhash_components_planted(spark):
     assert mc.get(3, "absent") != 1
 
 
+def test_audit_components_samples_keeper_edges(spark):
+    """audit_components pairs sampled members with their component's
+    keeper, caps the sample per component, and scores exact jaccard —
+    planted near-identical members audit high, a drifted chain member
+    still appears (with its honest lower score)."""
+    from fileconvert_spark.operators.dedup import audit_components
+
+    base = " ".join(f"tok{i * 7 % 101}" for i in range(200))
+    rows = [(1, base)] + [
+        (k, base.replace(f"tok{k} ", f"mut{k} ")) for k in (2, 3, 4, 5)
+    ] + [(50, " ".join(f"zzz{j}" for j in range(90)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (50, 50)],
+        "id long, component long")
+
+    audit = audit_components(comp, docs, "doc_id",
+                             sample_per_component=3).collect()
+    # component 1 has 4 non-keeper members, capped at 3; component 50
+    # has none (singleton keeper contributes no audit edge)
+    assert len(audit) == 3
+    assert all(r["id_a"] == 1 and r["component"] == 1 for r in audit)
+    assert all(r["id_b"] in (2, 3, 4, 5) for r in audit)
+    assert all(r["jaccard"] > 0.9 for r in audit)
+    # deterministic: same seed samples the same members
+    again = audit_components(comp, docs, "doc_id",
+                             sample_per_component=3).collect()
+    assert sorted(r["id_b"] for r in audit) == sorted(
+        r["id_b"] for r in again)
+
+
 def test_minhash_hot_bucket_cap_and_sig_prefilter(spark):
     """r6 scale guards: a band bucket larger than max_band_bucket is
     dropped whole (its m^2/2 pairs never materialize — exact-dup crowds

@@ -1,0 +1,143 @@
+"""Components co-membership recall vs chain_window (VERDICT r6 item 5).
+
+The components operators approximate near-dup-crowd connectivity with
+verified chain edges: within each band bucket, members sort by
+(signature/hash, id) and each links to its ``chain_window``
+predecessors. The r6 full-scale run measured heavy-profile SimHash
+co-membership at 0.962 with the default window 4 — this sweep measures
+recall vs window ∈ {2, 4, 8} (plus a successor/alternate-order probe)
+on the SAME deterministic 204k keeper subsample scale_dedup.py uses for
+the pairs operators, so the band-bucket geometry matches the r6 pairs
+numbers.
+
+    python tools/chain_window_sweep.py [work=/tmp/fcs_scale] \
+        [pairs_rows=200000] [--windows=2,4,8]
+
+Requires work/keepers.parquet from a prior tools/scale_dedup.py run
+(the subsample + plant construction below replicates scale_dedup.py
+line for line — ids are xxhash64 of unique paths, plants live in a
+disjoint namespace, so the planted pairs are identical).
+
+One JSON line on stdout; recorded in BENCH/SCALE_r7.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import fileconvert_spark  # noqa: F401,E402  (malloc tuning first)
+from scale_dedup import N_PLANT, N_WINNOW_PLANT, N_BENCH, PLANT_BASE, \
+    _mutate_texts  # noqa: E402
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    work = args[0] if args else "/tmp/fcs_scale"
+    pairs_rows = int(args[1]) if len(args) > 1 else 200_000
+    windows = [2, 4, 8]
+    for a in sys.argv:
+        if a.startswith("--windows="):
+            windows = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.operators.dedup import (
+        minhash_lsh_components, simhash_components)
+    from fileconvert_spark.session import get_spark
+
+    keep_path = os.path.join(work, "keepers.parquet")
+    if not os.path.exists(keep_path):
+        print(f"no keepers at {keep_path} — run tools/scale_dedup.py first",
+              file=sys.stderr)
+        return 2
+
+    spark = get_spark("chain-window-sweep",
+                      extra_conf={"spark.sql.shuffle.partitions": "128"})
+    spark.sparkContext.setLogLevel("ERROR")
+    keepers = spark.read.parquet(keep_path)
+    n_keep = keepers.count()
+
+    # --- replicate scale_dedup.py's deterministic plant + subsample ---
+    n_src = 2 * N_PLANT + N_WINNOW_PLANT + N_BENCH
+    src_rows = (keepers.filter(F.length("text").between(400, 4000))
+                .orderBy(F.abs(F.col("doc_id")) % 997, "doc_id")
+                .limit(n_src).collect())
+    assert len(src_rows) == n_src
+    ndh_src = src_rows[:N_PLANT]
+    ndl_src = src_rows[N_PLANT:2 * N_PLANT]
+    ndh_pairs = [(r["doc_id"], PLANT_BASE + i) for i, r in enumerate(ndh_src)]
+    ndl_pairs = [(r["doc_id"], PLANT_BASE + 1_000_000 + i)
+                 for i, r in enumerate(ndl_src)]
+    plant_rows = (
+        [(PLANT_BASE + i, m) for i, m in enumerate(
+            _mutate_texts([r["text"] for r in ndh_src], 0.02, 0.01, seed=99))]
+        + [(PLANT_BASE + 1_000_000 + i, m) for i, m in enumerate(
+            _mutate_texts([r["text"] for r in ndl_src], 0.003, 0.0,
+                          seed=101))])
+    nd_docs = spark.createDataFrame(plant_rows, "doc_id long, text string")
+
+    stride = max(n_keep // pairs_rows, 1)
+    src_ids = [r["doc_id"] for r in src_rows]
+    pairs_input = (keepers.filter(
+        ((F.abs(F.col("doc_id")) % stride) == 0)
+        | F.col("doc_id").isin(src_ids))
+        .unionByName(nd_docs))
+    n_in = pairs_input.count()
+
+    def corecall(comp_df, planted) -> float:
+        pl = spark.createDataFrame(
+            [(a, b) for a, b in planted], "pa long, pb long")
+        ca = comp_df.select(F.col("id").alias("pa"),
+                            F.col("component").alias("c_a"))
+        cb = comp_df.select(F.col("id").alias("pb"),
+                            F.col("component").alias("c_b"))
+        hits = (pl.join(ca, "pa").join(cb, "pb")
+                .filter(F.col("c_a") == F.col("c_b")).count())
+        return hits / len(planted)
+
+    out: dict = {"rows_in": int(n_in), "n_keep": int(n_keep),
+                 "windows": windows}
+    for w in windows:
+        t0 = time.time()
+        shc = simhash_components(pairs_input, "doc_id", max_hamming=3,
+                                 n_blocks=6, chain_window=w).persist()
+        n_nodes = shc.count()
+        res = {"wall_s": round(time.time() - t0, 1),
+               "docs_clustered": int(n_nodes),
+               "clusters": int(shc.select("component").distinct().count()),
+               "corecall_light": round(corecall(shc, ndl_pairs), 4),
+               "corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
+        shc.unpersist()
+        out[f"simhash_w{w}"] = res
+        print(f"[sweep] simhash_w{w}: {json.dumps(res)}",
+              file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        mhc = minhash_lsh_components(pairs_input, "doc_id",
+                                     jaccard_threshold=0.5,
+                                     chain_window=w).persist()
+        n_nodes = mhc.count()
+        res = {"wall_s": round(time.time() - t0, 1),
+               "docs_clustered": int(n_nodes),
+               "clusters": int(mhc.select("component").distinct().count()),
+               "corecall_heavy": round(corecall(mhc, ndh_pairs), 4),
+               "corecall_light": round(corecall(mhc, ndl_pairs), 4)}
+        mhc.unpersist()
+        out[f"minhash_w{w}"] = res
+        print(f"[sweep] minhash_w{w}: {json.dumps(res)}",
+              file=sys.stderr, flush=True)
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
