@@ -963,6 +963,28 @@ def knn_ivf_indexed(spark, sf_dir):
             .select("q_id", "rank", "vec_id").orderBy("q_id", "rank"))
 
 
+def dedup_audit_components(spark, sf_dir):
+    """Exact-jaccard spot audit of estimator-only dedup clusters (r7):
+    minhash_lsh_components never text-verifies (web-scale MinHash
+    practice — the corpus text never shuffles), so audit_components
+    samples <= 2 members per component, pairs each with its keeper, and
+    scores exact word-3-gram jaccard — linear cost, broadcast-semi-join
+    text fetch. Returns the per-component audit floor (worst sampled
+    keeper-edge jaccard). Rows-only: chain components + deterministic
+    hash-order sampling are not single-statement ANSI SQL."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import (
+        audit_components, minhash_lsh_components)
+
+    d = _t(spark, sf_dir, "documents")
+    comp = minhash_lsh_components(d, "doc_id")
+    aud = audit_components(comp, d, "doc_id", sample_per_component=2)
+    return (aud.groupBy("component")
+            .agg(F.count("*").alias("edges_audited"),
+                 F.round(F.min("jaccard"), 4).alias("min_jaccard"))
+            .orderBy("component"))
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
     to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
@@ -1432,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": video_frame_stats,
         "dedup_components_docs": dedup_components_docs,   # new in r06
         "knn_ivf_indexed": knn_ivf_indexed,               # new in r07
+        "dedup_audit_components": dedup_audit_components,  # new in r07
     }
 
 

@@ -330,10 +330,15 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         mh.unpersist()
 
     # ---- phase 2b: MinHash LSH components (FULL corpus, linear edges)
+    est_margin = 0.2  # operator default
+    for a in sys.argv:
+        if a.startswith("--est-margin="):
+            est_margin = float(a.split("=", 1)[1])
     if want("minhash_components"):
         meter.start()
         mhc = minhash_lsh_components(nd_input, "doc_id",
-                                     jaccard_threshold=0.5).persist()
+                                     jaccard_threshold=0.5,
+                                     est_margin=est_margin).persist()
         n_nodes = mhc.count()
         n_comp = mhc.select("component").distinct().count()
         out["minhash_lsh_components"] = {
@@ -342,6 +347,27 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
             "planted_corecall_heavy": round(corecall(mhc, ndh_pairs), 4),
             "planted_corecall_light": round(corecall(mhc, ndl_pairs), 4)}
         _prog(out, "minhash_lsh_components")
+        # exact-jaccard spot audit of the estimator-only clusters
+        # (r6 verdict stretch): k keeper edges per component, corpus
+        # text never shuffles — confidence at linear cost
+        if "--audit" in sys.argv:
+            from fileconvert_spark.operators.dedup import audit_components
+
+            meter.start()
+            aud = audit_components(mhc, nd_input, "doc_id",
+                                   sample_per_component=3)
+            qs = (aud.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("jaccard") >= 0.3).cast("long")).alias("ok"),
+                F.expr("percentile_approx(jaccard, array(0.01, 0.05, 0.5),"
+                       " 10000)").alias("q"))
+                .first())
+            out["minhash_components_audit"] = {
+                **meter.stop(), "edges": int(qs["n"]),
+                "frac_ge_threshold_minus_margin":
+                    round((qs["ok"] or 0) / max(qs["n"], 1), 4),
+                "jaccard_p01_p05_p50": [round(v, 4) for v in qs["q"]]}
+            _prog(out, "minhash_components_audit")
         mhc.unpersist()
 
     # ---- phase 3: SimHash near-dup pairs (subsample, exact verify)
