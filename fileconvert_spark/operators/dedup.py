@@ -462,6 +462,41 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     sym = sym.localCheckpoint()
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
+    # Constraint propagation OFF for the iteration (restored after):
+    # each localCheckpoint rewrites the frame's constraints, and the
+    # three-way self-referencing join multiplies the inherited
+    # constraint set ~3x per iteration — measured on a 6.8M-node
+    # sparse-chain graph (r7): checkpoint-to-checkpoint driver planning
+    # grew 54 s -> 2m18 -> 6m42 -> 15+ min by iteration 25, one core
+    # spinning in rewriteStatsAndConstraints. Constraints only feed
+    # optimizer inference; the loop's joins gain nothing from them.
+    sess = pairs.sparkSession
+    _cp_key = "spark.sql.constraintPropagation.enabled"
+    try:
+        _cp_prev = sess.conf.get(_cp_key)
+    except Exception:  # noqa: BLE001 - conf key absent => leave unset
+        _cp_prev = None
+    sess.conf.set(_cp_key, "false")
+    try:
+        labels, changed = _cc_iterate(sym, labels, max_iter)
+    finally:
+        if _cp_prev is None:
+            sess.conf.unset(_cp_key)
+        else:
+            sess.conf.set(_cp_key, _cp_prev)
+    if changed != 0:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — components may be split; "
+            "raise max_iter for graphs with very long chains", RuntimeWarning)
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def _cc_iterate(sym: DataFrame, labels: DataFrame,
+                max_iter: int):
+    """min-label + pointer-doubling loop of connected_components (split
+    out so the constraint-propagation toggle wraps exactly the part
+    whose plans it affects)."""
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
@@ -493,12 +528,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.select("id", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    if changed != 0:
-        warnings.warn(
-            f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing) — components may be split; "
-            "raise max_iter for graphs with very long chains", RuntimeWarning)
-    return labels.select(F.col("id"), F.col("label").alias("component"))
+    return labels, changed
 
 
 def audit_components(comp: DataFrame, docs: DataFrame, id_col: str,

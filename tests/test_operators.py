@@ -157,6 +157,23 @@ def test_simhash_and_minhash_components_planted(spark):
     assert mc.get(3, "absent") != 1
 
 
+def test_connected_components_path_graph_and_conf_restore(spark):
+    """Long-chain topology (band-bucket sort chains): a 3000-node path
+    converges via pointer doubling, and the constraint-propagation
+    toggle (r7: each iteration's localCheckpoint otherwise rewrites a
+    ~3x-per-iteration constraint set — measured 15+ min driver spins at
+    6.8M nodes) is restored afterwards."""
+    from fileconvert_spark.operators.dedup import connected_components
+
+    key = "spark.sql.constraintPropagation.enabled"
+    before = spark.conf.get(key)
+    pairs = spark.range(2999).selectExpr("id as id_a", "id + 1 as id_b")
+    comp = connected_components(pairs, max_iter=25)
+    sizes = [r["count"] for r in comp.groupBy("component").count().collect()]
+    assert sizes == [3000]
+    assert spark.conf.get(key) == before
+
+
 def test_audit_components_samples_keeper_edges(spark):
     """audit_components pairs sampled members with their component's
     keeper, caps the sample per component, and scores exact jaccard —
