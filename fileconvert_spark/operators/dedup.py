@@ -493,41 +493,75 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 
 
 def _cc_iterate(sym: DataFrame, labels: DataFrame,
-                max_iter: int):
+                max_iter: int, checkpoint_interval: int = 2):
     """min-label + pointer-doubling loop of connected_components (split
     out so the constraint-propagation toggle wraps exactly the part
-    whose plans it affects)."""
+    whose plans it affects).
+
+    Every ``checkpoint_interval``-th iteration materializes the label
+    frame to parquet instead of localCheckpoint — NOT for fault
+    tolerance but to reset Catalyst's size statistics. A checkpointed
+    LogicalRDD inherits its origin plan's sizeInBytes, which for a join
+    is the PRODUCT of the child sizes; composed across iterations the
+    estimate's BIT LENGTH grows ~3x per iteration, and by iteration ~20
+    the driver spends minutes per plan multiplying gigabit-long
+    BigIntegers inside SizeInBytesOnlyStatsPlanVisitor (measured r7 on a
+    6.8M-node sparse-chain graph: 54 s -> 15+ min between iterations,
+    one core pinned in BigInteger.multiplyToomCook3). A parquet scan's
+    sizeInBytes is the actual file size, so the growth resets every
+    interval; between barriers localCheckpoint keeps the loop cheap.
+    The same barrier discipline GraphFrames uses (checkpointInterval)
+    for exactly this pathology, here with the measured why."""
+    import os
+    import shutil
+    import tempfile
+
+    spark = sym.sparkSession
+    ckpt_dir = tempfile.mkdtemp(prefix="fcs_cc_")
     changed = -1
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # pointer doubling: my label's current label (labels is a function,
-        # so the left join yields at most one row per id)
-        hop = labels.select(F.col("id").alias("label"),
-                            F.col("label").alias("hlabel"))
-        new_labels = (
-            labels.join(neighbor_min, "id", "left")
-            .join(hop, "label", "left")
-            .select(
-                "id",
-                F.least(
-                    "label",
-                    F.coalesce("nlabel", "label"),
-                    F.coalesce("hlabel", "label"),
-                ).alias("new_label"),
-                (F.least("label", F.coalesce("nlabel", "label"),
-                         F.coalesce("hlabel", "label"))
-                 < F.col("label")).alias("changed"),
+    try:
+        for _it in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym.src == labels.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("label").alias("nlabel"))
             )
-        ).localCheckpoint()
-        changed = new_labels.agg(
-            F.sum(F.col("changed").cast("long")).alias("c")).first()["c"] or 0
-        labels = new_labels.select("id", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+            # pointer doubling: my label's current label (labels is a
+            # function, so the left join yields at most one row per id)
+            hop = labels.select(F.col("id").alias("label"),
+                                F.col("label").alias("hlabel"))
+            new_labels = (
+                labels.join(neighbor_min, "id", "left")
+                .join(hop, "label", "left")
+                .select(
+                    "id",
+                    F.least(
+                        "label",
+                        F.coalesce("nlabel", "label"),
+                        F.coalesce("hlabel", "label"),
+                    ).alias("new_label"),
+                    (F.least("label", F.coalesce("nlabel", "label"),
+                             F.coalesce("hlabel", "label"))
+                     < F.col("label")).alias("changed"),
+                )
+            )
+            if (_it + 1) % checkpoint_interval == 0:
+                # parquet barrier: actual file-size stats, estimate reset
+                path = os.path.join(ckpt_dir, f"it_{_it}")
+                new_labels.write.mode("overwrite").parquet(path)
+                new_labels = spark.read.parquet(path)
+            else:
+                new_labels = new_labels.localCheckpoint()
+            changed = new_labels.agg(
+                F.sum(F.col("changed").cast("long")).alias("c")
+            ).first()["c"] or 0
+            labels = new_labels.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+        # the returned frame must not reference ckpt_dir after cleanup
+        labels = labels.localCheckpoint()
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
     return labels, changed
 
 
