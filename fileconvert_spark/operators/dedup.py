@@ -292,7 +292,7 @@ def minhash_lsh_components(df: DataFrame, id_col: str,
                            text_col: str = "text",
                            n_bands: int = N_BANDS,
                            jaccard_threshold: float = 0.5,
-                           est_margin: float = 0.2,
+                           est_margin: float = 0.0,
                            chain_window: int = 2,
                            max_iter: int = 25) -> DataFrame:
     """MinHash near-dup CLUSTERS -> (id, component), component = min
@@ -312,14 +312,28 @@ def minhash_lsh_components(df: DataFrame, id_col: str,
     chain_window * corpus — linear, no bucket cap, mega-crowds cost
     O(m log m). Unlike minhash_lsh_pairs there is NO exact-jaccard text
     verification: estimator-only dedup is the standard web-scale
-    MinHash practice, and the corpus text never shuffles at all. The
-    one wide shuffle carries (id, band, band_key, 256 B signature) —
-    ~n_bands * 280 B per doc, a fixed ~1.7x of a 10 GB corpus rather
-    than a quadratic pair stream.
+    MinHash practice (Spark MLlib's MinHashLSH approxSimilarityJoin
+    decides on the estimate the same way), and the corpus text never
+    shuffles at all. The one wide shuffle carries (id, band, band_key,
+    256 B signature) — ~n_bands * 280 B per doc, a fixed ~1.7x of a
+    10 GB corpus rather than a quadratic pair stream.
+
+    ``est_margin`` is an EFFECTIVE-THRESHOLD dial, not a loss guard:
+    with no downstream exact verify, margin m makes the real edge cut
+    ``threshold - m``. Measured at 6.8M templated docs (exact-jaccard
+    keeper-edge audit, BENCH/SCALE_r7.md section audit): margin 0.2
+    clustered 87% of the corpus (avg 111 docs/cluster, member-keeper
+    exact-J median 0.149) on a corpus whose true J>=0.5 pair graph is
+    SPARSE (13.8k verified pairs per 204k docs) — a 3.6x over-merge vs
+    the declared threshold; margin 0 clustered 24% (median 0.252,
+    planted 2%-mutation co-membership 0.941 vs 0.987). Default is 0
+    (honor ``jaccard_threshold``); raise it only to trade cluster
+    precision for chain recall, and run ``audit_components`` to see
+    where you landed.
 
     Chain-connectivity approximation: see hamming_components — planted
-    2%-mutation pairs measure >= 0.98 co-membership recall in
-    tools/scale_dedup.py."""
+    2%-mutation pairs measure >= 0.94 co-membership recall at margin 0
+    (1.00 at 0.3% mutation) in tools/scale_dedup.py."""
     from pyspark.sql.window import Window
 
     rows_per_band = N_MINHASH // n_bands

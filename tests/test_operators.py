@@ -131,6 +131,21 @@ def test_hamming_components_clusters_and_rejects_chance_collisions(spark):
         assert full.get(i) is not None and full[i] == full[c]
 
 
+def test_minhash_components_margin_contract():
+    """est_margin defaults to 0: with no downstream exact verify the
+    margin IS an effective-threshold drop, and the 6.8M audit
+    (BENCH/SCALE_r7.md section audit) measured margin 0.2 over-merging
+    3.6x vs the declared jaccard_threshold on a templated corpus. Pins
+    the default so the documented contract cannot silently regress."""
+    import inspect
+
+    from fileconvert_spark.operators.dedup import minhash_lsh_components
+
+    sig = inspect.signature(minhash_lsh_components)
+    assert sig.parameters["est_margin"].default == 0.0
+    assert sig.parameters["jaccard_threshold"].default == 0.5
+
+
 def test_simhash_and_minhash_components_planted(spark):
     """The keeper-oriented components forms find planted near-dup pairs
     (co-membership) without merging unrelated documents."""

@@ -330,7 +330,7 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
         mh.unpersist()
 
     # ---- phase 2b: MinHash LSH components (FULL corpus, linear edges)
-    est_margin = 0.2  # operator default
+    est_margin = 0.0  # operator default (r7: honor the declared threshold)
     for a in sys.argv:
         if a.startswith("--est-margin="):
             est_margin = float(a.split("=", 1)[1])
