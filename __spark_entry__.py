@@ -985,6 +985,44 @@ def dedup_audit_components(spark, sf_dir):
             .orderBy("component"))
 
 
+def mp4_container_stats(spark, sf_dir):
+    """MP4/ISO-BMFF container parsing (r7, from scratch per ISO/IEC
+    14496-12): per-track codec/dimensions/duration metadata plus
+    keyframe-sampled frame bytes over deterministic hand-built MP4s
+    covering chunked stsc runs, co64 offsets, v1 timestamps, and stss
+    keyframes. Codec payload decode stays env-blocked (ffmpeg absent);
+    the container layer — box walk, full stsd x stts x stsc x stsz x
+    stco sample-table join, frame slicing — is real and test-pinned
+    against closed-form offsets. Rows-only: binary parsing is not
+    SQL-expressible."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.mp4 import (
+        encode_mp4_stub, mp4_frame_sample, mp4_track_metadata,
+    )
+
+    rows = []
+    for i in range(6):
+        frames = [bytes([65 + i + j]) * (3 + (i + j) % 5)
+                  for j in range(2 + i)]
+        rows.append((i, bytearray(encode_mp4_stub(
+            frames, fps=2 + i % 3, width=16 * (1 + i % 3),
+            height=9 * (1 + i % 3), samples_per_chunk=1 + i % 3,
+            keyframe_every=1 + i % 2, use_co64=(i % 3 == 2),
+            fixed_size=False, version1=(i % 2 == 1)))))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = mp4_track_metadata(df)
+    sync_frames = (mp4_frame_sample(df, every_n=1, sync_only=True)
+                   .groupBy("media_id")
+                   .agg(F.count("*").alias("sampled_keyframes"),
+                        F.sum(F.length("frame_bytes"))
+                        .alias("sampled_bytes")))
+    return (meta.join(sync_frames, "media_id")
+            .select("media_id", "codec", "width", "height", "timescale",
+                    "duration_s", "n_samples", "n_keyframes",
+                    "media_bytes", "sampled_keyframes", "sampled_bytes")
+            .orderBy("media_id"))
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
     to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
@@ -1455,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_docs": dedup_components_docs,   # new in r06
         "knn_ivf_indexed": knn_ivf_indexed,               # new in r07
         "dedup_audit_components": dedup_audit_components,  # new in r07
+        "mp4_container_stats": mp4_container_stats,        # new in r07
     }
 
 

@@ -1,0 +1,485 @@
+"""MP4 / ISO base media file format container parsing — from scratch.
+
+Implements the ISO/IEC 14496-12 box model: the length-prefixed box walk
+(compact + 64-bit largesize + to-end-of-file sizes), the moov/trak/mdia/
+minf/stbl container hierarchy, and the full sample-table join
+(stsd × stts × stsc × stsz × stco/co64 × stss) that turns a track into a
+per-sample (offset, size, dts, keyframe) table. That table is what a
+training-data pipeline needs from video blobs — codec ids, dimensions,
+durations, frame boundaries for frame SAMPLING — and none of it requires
+decoding the codec payload. Actual pixel/audio decode of the contained
+codecs (H.264/HEVC/AAC…) genuinely needs ffmpeg and stays env-blocked
+(operators/multimodal.py); the container layer here is complete and
+real, proven against hand-built fixtures with closed-form offsets
+(tests/test_mp4.py), the same discipline as the from-scratch JPEG/PNG/
+GIF decoders.
+
+Scale shape: parsing is a per-blob Python loop over header bytes only
+(moov is KB-sized; mdat is never materialized per-sample — frame
+extraction slices the one payload buffer), Arrow-batched via
+mapInPandas. At 100 TB the payload column stays in parquet binary
+chunks; only requested frame bytes leave the scan task.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf",
+    b"udta", b"mvex", b"moof", b"traf",
+}
+
+
+def walk_boxes(buf: bytes, start: int = 0,
+               end: int | None = None) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_start, body_end) for each box in buf[start:end].
+
+    Handles compact 32-bit sizes, size==1 (64-bit largesize follows the
+    type), and size==0 (box extends to the end of the enclosing scope).
+    Raises ValueError on truncated or impossible sizes — a malformed
+    container must fail loudly, not parse garbage.
+    """
+    end = len(buf) if end is None else end
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError(f"MP4: truncated box header at {pos}")
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        btype = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if end - pos < 16:
+                raise ValueError(f"MP4: truncated largesize at {pos}")
+            size = int.from_bytes(buf[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(
+                f"MP4: box {btype!r} at {pos} size {size} overruns scope")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find(buf: bytes, start: int, end: int, btype: bytes) -> tuple[int, int]:
+    for t, b, e in walk_boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    raise ValueError(f"MP4: required box {btype!r} missing")
+
+
+def _full(buf: bytes, body: int) -> tuple[int, int]:
+    """FullBox header -> (version, first-content-offset)."""
+    return buf[body], body + 4
+
+
+@dataclass
+class Mp4Track:
+    track_id: int
+    handler: str            # 'vide' / 'soun' / other 4cc
+    codec: str              # stsd entry format 4cc, e.g. avc1 / mp4a
+    width: int              # visual tracks; 0 otherwise
+    height: int
+    channels: int           # audio tracks; 0 otherwise
+    sample_rate: int
+    timescale: int
+    duration_s: float
+    n_samples: int
+    sizes: np.ndarray = field(repr=False)       # int64 per sample
+    offsets: np.ndarray = field(repr=False)     # int64 absolute file offset
+    dts: np.ndarray = field(repr=False)         # int64 in timescale units
+    sync: np.ndarray = field(repr=False)        # bool per sample
+
+
+@dataclass
+class Mp4Info:
+    major_brand: str
+    movie_timescale: int
+    movie_duration_s: float
+    tracks: list[Mp4Track]
+
+
+def _parse_stbl(buf: bytes, b: int, e: int):
+    """The sample-table join. Returns (codec, width, height, channels,
+    sample_rate, sizes, offsets_rel_chunks, dts, sync) where offsets are
+    absolute file offsets computed from stco/co64 × stsc × stsz."""
+    codec, width, height, channels, rate = "", 0, 0, 0, 0
+    stts_body = stsc_body = stsz_body = stco_body = None
+    stss_body = None
+    co64 = False
+    for t, bb, ee in walk_boxes(buf, b, e):
+        if t == b"stsd":
+            _, p = _full(buf, bb)
+            n_entries = int.from_bytes(buf[p:p + 4], "big")
+            if n_entries < 1:
+                raise ValueError("MP4: empty stsd")
+            ep = p + 4
+            esize = int.from_bytes(buf[ep:ep + 4], "big")
+            if esize < 16 or ep + esize > ee:
+                raise ValueError("MP4: malformed stsd entry")
+            codec = buf[ep + 4:ep + 8].decode("latin-1")
+            # VisualSampleEntry: 6 reserved + 2 dref, 16 predefined/
+            # reserved, then width/height uint16 at entry+32/34.
+            # AudioSampleEntry: 6+2, 8 reserved, channelcount@entry+24,
+            # samplesize, 4 predefined/reserved, samplerate 16.16@entry+32.
+            if esize >= 36:
+                width = int.from_bytes(buf[ep + 32:ep + 34], "big")
+                height = int.from_bytes(buf[ep + 34:ep + 36], "big")
+                channels = int.from_bytes(buf[ep + 24:ep + 26], "big")
+                rate = int.from_bytes(buf[ep + 32:ep + 36], "big") >> 16
+        elif t == b"stts":
+            stts_body = (bb, ee)
+        elif t == b"stsc":
+            stsc_body = (bb, ee)
+        elif t == b"stsz":
+            stsz_body = (bb, ee)
+        elif t in (b"stco", b"co64"):
+            stco_body = (bb, ee)
+            co64 = t == b"co64"
+        elif t == b"stss":
+            stss_body = (bb, ee)
+    for name, got in (("stts", stts_body), ("stsc", stsc_body),
+                      ("stsz", stsz_body), ("stco/co64", stco_body)):
+        if got is None:
+            raise ValueError(f"MP4: required sample-table box {name} missing")
+
+    # stsz -> per-sample sizes
+    bb, ee = stsz_body
+    _, p = _full(buf, bb)
+    fixed = int.from_bytes(buf[p:p + 4], "big")
+    n_samples = int.from_bytes(buf[p + 4:p + 8], "big")
+    if fixed:
+        sizes = np.full(n_samples, fixed, dtype=np.int64)
+    else:
+        sizes = np.frombuffer(
+            buf, dtype=">u4", count=n_samples, offset=p + 8).astype(np.int64)
+
+    # stts -> per-sample dts (cumulative deltas)
+    bb, ee = stts_body
+    _, p = _full(buf, bb)
+    n_ent = int.from_bytes(buf[p:p + 4], "big")
+    ent = np.frombuffer(buf, dtype=">u4", count=2 * n_ent,
+                        offset=p + 4).astype(np.int64).reshape(n_ent, 2)
+    if int(ent[:, 0].sum()) != n_samples:
+        raise ValueError("MP4: stts sample count != stsz sample count")
+    deltas = np.repeat(ent[:, 1], ent[:, 0])
+    dts = np.concatenate(([0], np.cumsum(deltas[:-1])))
+
+    # stco/co64 chunk offsets
+    bb, ee = stco_body
+    _, p = _full(buf, bb)
+    n_chunks = int.from_bytes(buf[p:p + 4], "big")
+    if co64:
+        chunk_off = np.frombuffer(buf, dtype=">u8", count=n_chunks,
+                                  offset=p + 4).astype(np.int64)
+    else:
+        chunk_off = np.frombuffer(buf, dtype=">u4", count=n_chunks,
+                                  offset=p + 4).astype(np.int64)
+
+    # stsc runs -> samples-per-chunk for every chunk
+    bb, ee = stsc_body
+    _, p = _full(buf, bb)
+    n_runs = int.from_bytes(buf[p:p + 4], "big")
+    runs = np.frombuffer(buf, dtype=">u4", count=3 * n_runs,
+                         offset=p + 4).astype(np.int64).reshape(n_runs, 3)
+    spc = np.empty(n_chunks, dtype=np.int64)
+    for i in range(n_runs):
+        first = runs[i, 0] - 1              # 1-based first_chunk
+        last = runs[i + 1, 0] - 1 if i + 1 < n_runs else n_chunks
+        spc[first:last] = runs[i, 1]
+    if int(spc.sum()) != n_samples:
+        raise ValueError("MP4: stsc chunk layout != sample count")
+
+    # absolute per-sample offsets: chunk base + within-chunk size prefix
+    chunk_of_sample = np.repeat(np.arange(n_chunks), spc)
+    csum = np.concatenate(([0], np.cumsum(sizes[:-1])))
+    chunk_first = np.concatenate(([0], np.cumsum(spc[:-1])))
+    within = csum - csum[chunk_first[chunk_of_sample]]
+    offsets = chunk_off[chunk_of_sample] + within
+
+    sync = np.ones(n_samples, dtype=bool)
+    if stss_body is not None:
+        bb, ee = stss_body
+        _, p = _full(buf, bb)
+        n_sync = int.from_bytes(buf[p:p + 4], "big")
+        snums = np.frombuffer(buf, dtype=">u4", count=n_sync, offset=p + 4)
+        sync = np.zeros(n_samples, dtype=bool)
+        sync[snums.astype(np.int64) - 1] = True  # 1-based sample numbers
+
+    return codec, width, height, channels, rate, sizes, offsets, dts, sync
+
+
+def parse_mp4(payload: bytes) -> Mp4Info:
+    """Parse an ISO-BMFF container into movie + per-track sample tables.
+
+    Requires an ftyp box (the MP4 signature) and a moov; fragmented
+    files (moof-based, no top-level sample tables) raise
+    NotImplementedError naming the gap.
+    """
+    buf = bytes(payload)
+    major = ""
+    moov = None
+    has_moof = False
+    for t, b, e in walk_boxes(buf):
+        if t == b"ftyp":
+            major = buf[b:b + 4].decode("latin-1")
+        elif t == b"moov":
+            moov = (b, e)
+        elif t == b"moof":
+            has_moof = True
+    if not major:
+        raise ValueError("MP4: no ftyp box — not an ISO-BMFF file")
+    if moov is None:
+        if has_moof:
+            raise NotImplementedError(
+                "MP4: fragmented (moof) files unsupported")
+        raise ValueError("MP4: no moov box")
+
+    mb, me = moov
+    vb, ve = _find(buf, mb, me, b"mvhd")
+    ver, p = _full(buf, vb)
+    if ver == 1:
+        mts = int.from_bytes(buf[p + 16:p + 20], "big")
+        mdur = int.from_bytes(buf[p + 20:p + 28], "big")
+    else:
+        mts = int.from_bytes(buf[p + 8:p + 12], "big")
+        mdur = int.from_bytes(buf[p + 12:p + 16], "big")
+
+    tracks = []
+    for t, b, e in walk_boxes(buf, mb, me):
+        if t != b"trak":
+            continue
+        kb, ke = _find(buf, b, e, b"tkhd")
+        ver, p = _full(buf, kb)
+        track_id = int.from_bytes(
+            buf[p + (16 if ver == 1 else 8):][:4], "big")
+        db, de = _find(buf, b, e, b"mdia")
+        hb, he = _find(buf, db, de, b"mdhd")
+        ver, p = _full(buf, hb)
+        if ver == 1:
+            ts = int.from_bytes(buf[p + 16:p + 20], "big")
+            dur = int.from_bytes(buf[p + 20:p + 28], "big")
+        else:
+            ts = int.from_bytes(buf[p + 8:p + 12], "big")
+            dur = int.from_bytes(buf[p + 12:p + 16], "big")
+        lb, le = _find(buf, db, de, b"hdlr")
+        _, p = _full(buf, lb)
+        handler = buf[p + 4:p + 8].decode("latin-1")
+        nb, ne = _find(buf, db, de, b"minf")
+        sb, se = _find(buf, nb, ne, b"stbl")
+        codec, w, h, ch, rate, sizes, offs, dts, sync = \
+            _parse_stbl(buf, sb, se)
+        is_video = handler == "vide"
+        tracks.append(Mp4Track(
+            track_id=track_id, handler=handler, codec=codec,
+            width=w if is_video else 0, height=h if is_video else 0,
+            channels=0 if is_video else ch,
+            sample_rate=0 if is_video else rate,
+            timescale=ts, duration_s=dur / ts if ts else 0.0,
+            n_samples=int(sizes.size), sizes=sizes, offsets=offs,
+            dts=dts, sync=sync))
+    if not tracks:
+        raise ValueError("MP4: moov holds no trak")
+    return Mp4Info(major_brand=major, movie_timescale=mts,
+                   movie_duration_s=mdur / mts if mts else 0.0,
+                   tracks=tracks)
+
+
+def extract_frames(payload: bytes, every_n: int = 1,
+                   sync_only: bool = False) -> list[tuple[int, float, bool, bytes]]:
+    """(sample_idx, dts_seconds, is_sync, frame_bytes) for every
+    ``every_n``-th sample of the FIRST video track. The codec payload is
+    returned as-is (no decode); slicing uses the sample table's absolute
+    offsets against the one payload buffer."""
+    info = parse_mp4(payload)
+    vid = next((t for t in info.tracks if t.handler == "vide"), None)
+    if vid is None:
+        raise ValueError("MP4: no video track")
+    buf = bytes(payload)
+    out = []
+    idx = np.flatnonzero(vid.sync) if sync_only else np.arange(vid.n_samples)
+    for i in idx[::max(every_n, 1)]:
+        o, s = int(vid.offsets[i]), int(vid.sizes[i])
+        if o + s > len(buf):
+            raise ValueError(f"MP4: sample {i} overruns file")
+        out.append((int(i), float(vid.dts[i] / vid.timescale),
+                    bool(vid.sync[i]), buf[o:o + s]))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+
+MP4_TRACK_SCHEMA = ("media_id long, track_id int, handler string, "
+                    "codec string, width int, height int, channels int, "
+                    "sample_rate int, timescale int, duration_s double, "
+                    "n_samples int, n_keyframes int, "
+                    "media_bytes long, mean_frame_bytes double")
+
+MP4_FRAME_SCHEMA = ("media_id long, frame_idx int, dts_s double, "
+                    "is_sync boolean, frame_bytes binary")
+
+
+def mp4_track_metadata(df, id_col: str = "media_id",
+                       payload_col: str = "payload"):
+    """One row per (blob, track): codec ids, dimensions, durations,
+    sample counts — the container metadata a 100-TB video corpus scan
+    extracts without touching a codec. Arrow-batched mapInPandas;
+    headers only (moov is KB-scale), mdat bytes never leave the task."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].to_numpy(),
+                                    pdf[payload_col].to_numpy()):
+                info = parse_mp4(bytes(payload))
+                for t in info.tracks:
+                    rows.append((
+                        int(mid), t.track_id, t.handler, t.codec,
+                        t.width, t.height, t.channels, t.sample_rate,
+                        t.timescale, round(t.duration_s, 6), t.n_samples,
+                        int(t.sync.sum()), int(t.sizes.sum()),
+                        round(float(t.sizes.mean()), 3) if t.n_samples else 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "track_id", "handler", "codec", "width",
+                "height", "channels", "sample_rate", "timescale",
+                "duration_s", "n_samples", "n_keyframes", "media_bytes",
+                "mean_frame_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=MP4_TRACK_SCHEMA.replace("media_id", id_col))
+
+
+def mp4_frame_sample(df, every_n: int = 2, sync_only: bool = False,
+                     id_col: str = "media_id",
+                     payload_col: str = "payload"):
+    """Frame sampling over MP4 blobs: every ``every_n``-th sample (or
+    keyframes only) of each blob's first video track as raw codec bytes
+    + timing. The downstream decode step is the env-blocked codec — the
+    Spark-side plumbing (schema, batching, offsets) is real and tested."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col].to_numpy(),
+                                    pdf[payload_col].to_numpy()):
+                for i, dts_s, is_sync, fb in extract_frames(
+                        bytes(payload), every_n, sync_only):
+                    rows.append((int(mid), i, round(dts_s, 6),
+                                 is_sync, fb))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "frame_idx", "dts_s", "is_sync",
+                "frame_bytes"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, schema=MP4_FRAME_SCHEMA.replace("media_id", id_col))
+
+
+# ---------------------------------------------------------------------------
+# Test encoder — hand-built fixtures with closed-form offsets, the same
+# discipline as encode_png_gray / encode_gif_gray / the JPEG test
+# encoders: tests know exactly which byte every sample must start at.
+
+def encode_mp4_stub(frames: list[bytes], fps: int = 4, width: int = 32,
+                    height: int = 24, codec: bytes = b"fcsv",
+                    samples_per_chunk: int = 2, keyframe_every: int = 2,
+                    use_co64: bool = False, fixed_size: bool = False,
+                    version1: bool = False) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + mdat(frames) + moov with one
+    video track whose sample table spreads frames over ceil(n/spc)
+    chunks. ``fixed_size`` emits stsz with a constant size (requires all
+    frames equal length); ``use_co64`` exercises 64-bit chunk offsets;
+    ``version1`` emits v1 mvhd/mdhd (64-bit times)."""
+    if fixed_size and len({len(f) for f in frames}) > 1:
+        raise ValueError("fixed_size needs equal-length frames")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mdat_payload = b"".join(frames)
+    mdat = box(b"mdat", mdat_payload)
+    mdat_body_off = len(ftyp) + 8
+
+    n = len(frames)
+    timescale = fps * 1000
+    delta = 1000
+    duration = n * delta
+
+    spc = max(samples_per_chunk, 1)
+    n_chunks = (n + spc - 1) // spc
+    sizes = [len(f) for f in frames]
+    # actual samples per chunk (tail chunk may be short) -> stsc runs
+    spc_list = [min(spc, n - c * spc) for c in range(n_chunks)]
+    stsc_runs = []
+    for c, v in enumerate(spc_list):
+        if not stsc_runs or stsc_runs[-1][1] != v:
+            stsc_runs.append((c + 1, v))  # (first_chunk 1-based, spc)
+    chunk_offsets = []
+    pos = mdat_body_off
+    for c in range(n_chunks):
+        chunk_offsets.append(pos)
+        pos += sum(sizes[c * spc:(c + 1) * spc])
+
+    def fullbox(btype: bytes, version: int, body: bytes) -> bytes:
+        return box(btype, bytes([version, 0, 0, 0]) + body)
+
+    if version1:
+        mvhd = fullbox(b"mvhd", 1, struct.pack(
+            ">QQIQ", 0, 0, timescale, duration) + b"\x00" * 80)
+        mdhd = fullbox(b"mdhd", 1, struct.pack(
+            ">QQIQHH", 0, 0, timescale, duration, 0x55C4, 0))
+    else:
+        mvhd = fullbox(b"mvhd", 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+        mdhd = fullbox(b"mdhd", 0, struct.pack(
+            ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))
+    tkhd = fullbox(b"tkhd", 0, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16))
+    hdlr = fullbox(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                   + b"fcs\x00")
+
+    entry = (struct.pack(">I", 86) + codec + b"\x00" * 6
+             + struct.pack(">H", 1)
+             + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x480000, 0x480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stsd = fullbox(b"stsd", 0, struct.pack(">I", 1) + entry)
+    stts = fullbox(b"stts", 0, struct.pack(">III", 1, n, delta))
+    stsc = fullbox(b"stsc", 0, struct.pack(">I", len(stsc_runs))
+                   + b"".join(struct.pack(">III", fc, v, 1)
+                              for fc, v in stsc_runs))
+    if fixed_size:
+        stsz = fullbox(b"stsz", 0, struct.pack(">II", sizes[0], n))
+    else:
+        stsz = fullbox(b"stsz", 0, struct.pack(">II", 0, n)
+                       + b"".join(struct.pack(">I", s) for s in sizes))
+    if use_co64:
+        stco = fullbox(b"co64", 0, struct.pack(">I", n_chunks)
+                       + b"".join(struct.pack(">Q", o)
+                                  for o in chunk_offsets))
+    else:
+        stco = fullbox(b"stco", 0, struct.pack(">I", n_chunks)
+                       + b"".join(struct.pack(">I", o)
+                                  for o in chunk_offsets))
+    boxes = [stsd, stts, stsc, stsz, stco]
+    if keyframe_every > 1:
+        syncs = list(range(1, n + 1, keyframe_every))  # 1-based
+        boxes.append(fullbox(b"stss", 0, struct.pack(">I", len(syncs))
+                             + b"".join(struct.pack(">I", s)
+                                        for s in syncs)))
+    stbl = box(b"stbl", b"".join(boxes))
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

@@ -20,11 +20,14 @@ dispatch point, ``_decode_media``:
 - **netpbm** (binary P5 grayscale / P6 RGB, maxval <= 255) — REAL
   decode, one frombuffer (TGA is deliberately not sniffed: no magic);
 - FCSM — the deterministic synthetic format used by tests/fixtures;
-- **baseline JPEG** (r6) — REAL decode, from-scratch T.81 huffman +
-  batched IDCT in operators/jpeg.py (C entropy kernel, NumPy
-  fallback); luma-plane reconstruction (JPEG Y IS BT.601 luma, the
-  only thing this pipeline consumes);
-- remaining compressed formats (MP3/MP4, progressive JPEG, 16-bit/
+- **JPEG** (baseline r6, progressive r7) — REAL decode, from-scratch
+  T.81 huffman + batched IDCT in operators/jpeg.py (C entropy kernel,
+  NumPy fallback); luma-plane reconstruction (JPEG Y IS BT.601 luma,
+  the only thing this pipeline consumes);
+- **MP4/ISO-BMFF** (r7) — the CONTAINER layer is real
+  (operators/mp4.py: box walk, sample tables, frame-byte sampling);
+  only the contained codec payloads (H.264/HEVC/AAC) stay blocked;
+- remaining compressed formats (MP3; MP4 codec payloads; 16-bit/
   interlaced PNG...) raise ``NotImplementedError`` naming the
   env-block: their codecs need PIL/ffmpeg, which this container does
   not ship. Swapping them in later touches exactly this one function —
@@ -628,11 +631,21 @@ def _decode_media(payload: bytes) -> tuple[int, int, int, np.ndarray]:
 
         w, h, luma = decode_baseline(payload)
         return w, h, 1, luma.ravel()
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        # ISO-BMFF container: the CONTAINER layer (codec ids, sample
+        # tables, frame offsets/timing, frame-byte sampling) is fully
+        # parsed from scratch in operators/mp4.py — only the contained
+        # codec's pixel decode (H.264/HEVC/...) needs ffmpeg.
+        raise NotImplementedError(
+            "MP4: codec payload decode (H.264/HEVC/AAC) needs ffmpeg; "
+            "container metadata + frame sampling are available via "
+            "operators.mp4.mp4_track_metadata / mp4_frame_sample")
     raise NotImplementedError(
-        "compressed media decoding (MP3/MP4) needs ffmpeg, which this "
-        "environment does not provide; decodable here: JPEG (baseline + "
-        "progressive), PNG (8-bit), GIF (incl. animated), netpbm P5/P6, "
-        "uncompressed BMP, PCM WAV, FCSM synthetic blobs")
+        "compressed media decoding (MP3; MP4 codec payloads) needs "
+        "ffmpeg, which this environment does not provide; decodable "
+        "here: JPEG (baseline + progressive), PNG (8-bit), GIF (incl. "
+        "animated), netpbm P5/P6, uncompressed BMP, PCM WAV, FCSM "
+        "synthetic blobs; MP4 container parsing: operators/mp4.py")
 
 
 def synth_media_df(spark: SparkSession, n: int = 64) -> DataFrame:

@@ -1,0 +1,140 @@
+"""MP4 / ISO-BMFF container parsing (operators/mp4.py).
+
+Fixtures are hand-built by encode_mp4_stub with closed-form layouts:
+tests compute the byte offset every sample MUST start at (ftyp is
+8 + 16 body = 24 bytes, mdat body starts at 32) and assert the parsed
+sample table matches exactly — the same spec-fixture discipline as the
+JPEG/PNG/GIF decoders."""
+
+import numpy as np
+import pytest
+
+from fileconvert_spark.operators.mp4 import (
+    Mp4Info, encode_mp4_stub, extract_frames, mp4_frame_sample,
+    mp4_track_metadata, parse_mp4, walk_boxes,
+)
+
+FRAMES = [b"A" * 5, b"B" * 7, b"C" * 9, b"D" * 4, b"E" * 6]
+
+
+def _expected_offsets(frames, spc, mdat_body=32):
+    sizes = [len(f) for f in frames]
+    offs, pos = [], mdat_body
+    chunk_start = 0
+    for i, s in enumerate(sizes):
+        if i % spc == 0:
+            chunk_start = mdat_body + sum(sizes[:i])
+            pos = chunk_start
+        offs.append(pos)
+        pos += s
+    return offs
+
+
+def test_box_walk_and_brand():
+    blob = encode_mp4_stub(FRAMES)
+    types = [t for t, _, _ in walk_boxes(blob)]
+    assert types == [b"ftyp", b"mdat", b"moov"]
+    info = parse_mp4(blob)
+    assert isinstance(info, Mp4Info)
+    assert info.major_brand == "isom"
+    assert info.movie_timescale == 4000
+    assert info.movie_duration_s == pytest.approx(5 / 4)
+
+
+@pytest.mark.parametrize("spc", [1, 2, 3, 5, 7])
+def test_sample_offsets_closed_form(spc):
+    """Every chunking geometry (incl. short tail chunks and one giant
+    chunk) reproduces the hand-computed absolute sample offsets."""
+    blob = encode_mp4_stub(FRAMES, samples_per_chunk=spc)
+    t = parse_mp4(blob).tracks[0]
+    assert t.sizes.tolist() == [5, 7, 9, 4, 6]
+    assert t.offsets.tolist() == _expected_offsets(FRAMES, spc)
+    # offsets really index the frame bytes
+    for i, (o, s) in enumerate(zip(t.offsets, t.sizes)):
+        assert blob[o:o + s] == FRAMES[i]
+
+
+def test_track_metadata_and_timing():
+    blob = encode_mp4_stub(FRAMES, fps=4, width=32, height=24,
+                           keyframe_every=2)
+    t = parse_mp4(blob).tracks[0]
+    assert (t.handler, t.codec) == ("vide", "fcsv")
+    assert (t.width, t.height) == (32, 24)
+    assert t.timescale == 4000
+    assert t.duration_s == pytest.approx(1.25)
+    assert (t.dts / t.timescale).tolist() == [0.0, 0.25, 0.5, 0.75, 1.0]
+    assert t.sync.tolist() == [True, False, True, False, True]
+
+
+@pytest.mark.parametrize("use_co64,fixed,v1", [
+    (True, False, False), (False, True, False), (False, False, True),
+    (True, True, True)])
+def test_variant_boxes(use_co64, fixed, v1):
+    frames = [bytes([i]) * 6 for i in range(4)] if fixed else FRAMES
+    blob = encode_mp4_stub(frames, use_co64=use_co64, fixed_size=fixed,
+                           version1=v1)
+    t = parse_mp4(blob).tracks[0]
+    assert t.sizes.tolist() == [len(f) for f in frames]
+    for i, (o, s) in enumerate(zip(t.offsets, t.sizes)):
+        assert blob[o:o + s] == frames[i]
+
+
+def test_extract_frames_every_n_and_sync():
+    blob = encode_mp4_stub(FRAMES, keyframe_every=2)
+    got = extract_frames(blob, every_n=2)
+    assert [(i, fb) for i, _, _, fb in got] == [
+        (0, FRAMES[0]), (2, FRAMES[2]), (4, FRAMES[4])]
+    assert [d for _, d, _, _ in got] == [0.0, 0.5, 1.0]
+    sync = extract_frames(blob, sync_only=True)
+    assert [i for i, _, _, _ in sync] == [0, 2, 4]
+    assert all(s for _, _, s, _ in sync)
+
+
+def test_malformed_inputs_fail_loudly():
+    blob = encode_mp4_stub(FRAMES)
+    with pytest.raises(ValueError, match="ftyp"):
+        parse_mp4(b"\x00" * 40)
+    with pytest.raises(ValueError, match="truncated|overruns"):
+        parse_mp4(blob[:-30])  # moov cut mid-box
+    # box size overrunning its scope
+    bad = bytearray(blob)
+    bad[0:4] = (len(blob) + 50).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4(bytes(bad))
+
+
+def test_multimodal_dispatch_names_container_path():
+    from fileconvert_spark.operators.multimodal import _decode_media
+
+    blob = encode_mp4_stub(FRAMES)
+    with pytest.raises(NotImplementedError, match="mp4_track_metadata"):
+        _decode_media(blob)
+
+
+def test_spark_metadata_and_frame_sample(spark):
+    blobs = [(i, encode_mp4_stub(
+        [bytes([i]) * (3 + j) for j in range(2 + i)], fps=2 + i,
+        width=16 * (i + 1), height=9 * (i + 1),
+        use_co64=(i == 2), version1=(i == 1)))
+        for i in range(4)]
+    df = spark.createDataFrame(blobs, "media_id long, payload binary")
+
+    meta = {r["media_id"]: r for r in mp4_track_metadata(df).collect()}
+    assert len(meta) == 4
+    for i in range(4):
+        r = meta[i]
+        assert r["codec"] == "fcsv" and r["handler"] == "vide"
+        assert r["n_samples"] == 2 + i
+        assert (r["width"], r["height"]) == (16 * (i + 1), 9 * (i + 1))
+        assert r["duration_s"] == pytest.approx((2 + i) / (2 + i))
+        assert r["media_bytes"] == sum(3 + j for j in range(2 + i))
+
+    frames = mp4_frame_sample(df, every_n=1).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for i in range(4):
+        rows = sorted(by_id[i], key=lambda r: r["frame_idx"])
+        assert [bytes(r["frame_bytes"]) for r in rows] == [
+            bytes([i]) * (3 + j) for j in range(2 + i)]
+        assert rows[1]["dts_s"] == pytest.approx(1 / (2 + i))
