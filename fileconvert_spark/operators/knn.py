@@ -384,25 +384,57 @@ def write_ivf_index(df: DataFrame, path: str, n_centroids: int = 256,
     np.save(buf, cent)
     fsio.write_bytes_atomic(os.path.join(path, _IVF_CENTROIDS),
                             buf.getvalue())
+    # per-cell row counts from the written truth: the probe-time scan
+    # budget needs them, and they are the straggler/skew observability
+    # for the index (C entries, driver-bounded)
+    counts = {int(r["cell"]): int(r["count"]) for r in
+              df.sparkSession.read.parquet(path)
+              .groupBy("cell").count().collect()}
     meta = {"n_centroids": int(len(cent)), "dim": int(cent.shape[1]),
             "id_col": id_col, "vec_col": vec_col,
             "multi_assign": int(ma), "refine_iters": int(refine_iters),
-            "sample_rows": int(n_sample), "seed": int(seed)}
+            "sample_rows": int(n_sample), "seed": int(seed),
+            "cell_rows": [counts.get(c, 0) for c in range(len(cent))]}
     fsio.write_bytes_atomic(os.path.join(path, _IVF_META),
                             _json.dumps(meta).encode())
     return meta
 
 
+def _adaptive_probes(sims: np.ndarray, sizes: np.ndarray,
+                     budget_rows: int) -> list[np.ndarray]:
+    """Per-query minimal prefix of sim-ranked cells whose cumulative
+    row count reaches budget_rows (always >= 1 cell). Unit-tested for
+    the minimal-prefix property."""
+    order = np.argsort(-sims, kind="stable", axis=1)
+    out = []
+    for row in order:
+        cum = np.cumsum(sizes[row])
+        cut = int(np.searchsorted(cum, budget_rows, side="left")) + 1
+        out.append(row[:min(cut, len(row))])
+    return out
+
+
 def ivf_probe_indexed(spark, path: str, queries: DataFrame, k: int = 5,
                       n_probe: int = 8, q_id_col: str = "q_id",
-                      q_vec_col: str = "q_vec") -> DataFrame:
-    """Probe a write_ivf_index table: compute each query's n_probe
-    nearest cells driver-side (queries are the small/broadcast side by
-    contract), scan ONLY those cell partitions (isin on the partition
-    column -> PartitionFilters; unprobed cells cost zero I/O), score
-    with the blocked matmul, and window the exact top-k of the probed
-    set. At full probe (n_probe >= n_centroids) the result equals
-    brute_force_topk exactly (tested)."""
+                      q_vec_col: str = "q_vec",
+                      scan_budget: float | None = None) -> DataFrame:
+    """Probe a write_ivf_index table: compute each query's probe cells
+    driver-side (queries are the small/broadcast side by contract),
+    scan ONLY those cell partitions (isin on the partition column ->
+    PartitionFilters; unprobed cells cost zero I/O), score with the
+    blocked matmul, and window the exact top-k of the probed set. At
+    full probe (n_probe >= n_centroids) the result equals
+    brute_force_topk exactly (tested).
+
+    ``scan_budget`` (fraction of stored index rows, e.g. 0.02) makes
+    the probe ADAPTIVE: each query takes the minimal prefix of its
+    sim-ranked cells whose cumulative row count reaches the budget,
+    instead of a fixed cell count. Under Zipf-imbalanced cells
+    (measured p99/median 5.5x at 8M rows, BENCH/SCALE_r7.md) a fixed
+    n_probe over-scans queries that land in hot cells and under-scans
+    those in cold ones; the budget equalizes per-query serving cost.
+    Overrides n_probe when set; requires an index written with
+    cell_rows meta (any index from r7 on)."""
     import io as _io
     import json as _json
 
@@ -415,9 +447,20 @@ def ivf_probe_indexed(spark, path: str, queries: DataFrame, k: int = 5,
 
     qpd = queries.select(q_id_col, q_vec_col).toPandas()
     Q = _as_matrix(qpd[q_vec_col])
-    n_probe_eff = min(n_probe, len(cent))
-    probes = np.argsort(-(Q @ cent.T), kind="stable",
-                        axis=1)[:, :n_probe_eff]
+    sims = Q @ cent.T
+    if scan_budget is not None:
+        cell_rows = meta.get("cell_rows")
+        if cell_rows is None:
+            raise ValueError(
+                "IVF index predates cell_rows meta — rebuild with "
+                "write_ivf_index, or probe with a fixed n_probe")
+        sizes = np.asarray(cell_rows, dtype=np.int64)
+        budget_rows = max(1, int(np.ceil(scan_budget * max(
+            int(sizes.sum()), 1))))
+        probes = _adaptive_probes(sims, sizes, budget_rows)
+    else:
+        n_probe_eff = min(n_probe, len(cent))
+        probes = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe_eff]
     by_cell: dict[int, list[int]] = {}
     for qi, row in enumerate(probes):
         for c in row:

@@ -1658,3 +1658,36 @@ def test_ivf_indexed_probe_prunes_partitions(spark, tmp_path):
     assert {(r["q_id"], r["rank"], r["vec_id"])
             for r in ivf_probe_indexed(spark, p2, q, k=5,
                                        n_probe=6).collect()} == exact
+
+    # adaptive scan budget (r7): full budget == exact; a small budget
+    # probes a strict subset of cells per query and still returns k
+    assert {(r["q_id"], r["rank"], r["vec_id"])
+            for r in ivf_probe_indexed(spark, p, q, k=5,
+                                       scan_budget=1.0).collect()} == exact
+    small = ivf_probe_indexed(spark, p, q, k=5, scan_budget=0.05)
+    assert 0 < n_cells(small) < 6
+    rows = small.collect()
+    assert {r["q_id"] for r in rows} == set(range(5))
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
+def test_adaptive_probe_minimal_prefix():
+    """_adaptive_probes takes, per query, the MINIMAL prefix of
+    sim-ranked cells reaching the row budget — cumulative >= budget,
+    and dropping the last cell falls below it."""
+    import numpy as np
+
+    from fileconvert_spark.operators.knn import _adaptive_probes
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    sims = rng.standard_normal((7, 16))
+    sizes = rng.integers(1, 500, size=16).astype(np.int64)
+    for budget in (1, 100, 700, int(sizes.sum()), int(sizes.sum()) + 99):
+        for qi, cells in enumerate(_adaptive_probes(sims, sizes, budget)):
+            got = int(sizes[cells].sum())
+            assert got >= min(budget, int(sizes.sum()))
+            if len(cells) > 1:
+                assert int(sizes[cells[:-1]].sum()) < budget
+            # prefix follows the sim ranking exactly
+            order = np.argsort(-sims[qi], kind="stable")
+            assert cells.tolist() == order[:len(cells)].tolist()

@@ -273,6 +273,32 @@ def main() -> int:
             "per_query_scan_fraction_max": round(float(per_q.max()), 5)}
         prog(f"probe_ma1_p{n_probe}")
 
+    # ---- phase 3b: adaptive scan-budget probes (r7) — same index,
+    # per-query MINIMAL cell prefix reaching a row budget instead of a
+    # fixed cell count; under Zipf cells fixed n_probe scans 0.5-1.7x
+    # its own mean per query, the budget bounds it
+    from fileconvert_spark.operators.knn import _adaptive_probes
+
+    sims = Qn @ cent.T
+    for budget in (0.006, 0.02):
+        meter.start()
+        rows = ivf_probe_indexed(spark, idx_path, queries, k=K,
+                                 scan_budget=budget).collect()
+        m = meter.stop()
+        probes = _adaptive_probes(
+            sims, cell_sizes, max(1, int(np.ceil(budget * n_idx_rows))))
+        per_q = np.array([int(cell_sizes[p].sum())
+                          for p in probes]) / n_rows
+        n_cells_q = np.array([len(p) for p in probes])
+        out[f"probe_ma1_budget{budget}"] = {
+            **m, "recall_at_10": round(recall(rows), 4),
+            "cells_per_query_min_mean_max": [
+                int(n_cells_q.min()), round(float(n_cells_q.mean()), 2),
+                int(n_cells_q.max())],
+            "per_query_scan_fraction_mean": round(float(per_q.mean()), 5),
+            "per_query_scan_fraction_max": round(float(per_q.max()), 5)}
+        prog(f"probe_ma1_budget{budget}")
+
     # ---- phase 4: multi-assign=2 index (cell-boundary recall cliff)
     if "--skip-ma2" not in flags:
         idx2 = os.path.join(work, "ivf_ma2")

@@ -396,6 +396,28 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
             "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
             "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
         _prog(out, "simhash_components")
+        # same precision instrument as the minhash phase: simhash edges
+        # are exactly-verified (bit_count <= max_hamming) so any drift
+        # here is pure chain transitivity, not estimator slack — the
+        # audit separates the two stories
+        if "--audit" in sys.argv:
+            from fileconvert_spark.operators.dedup import audit_components
+
+            meter.start()
+            aud = audit_components(shc, nd_input, "doc_id",
+                                   sample_per_component=3)
+            qs = (aud.agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("jaccard") >= 0.3).cast("long")).alias("ok"),
+                F.expr("percentile_approx(jaccard, array(0.01, 0.05, 0.5),"
+                       " 10000)").alias("q"))
+                .first())
+            out["simhash_components_audit"] = {
+                **meter.stop(), "edges": int(qs["n"]),
+                "frac_jaccard_ge_030":
+                    round((qs["ok"] or 0) / max(qs["n"], 1), 4),
+                "jaccard_p01_p05_p50": [round(v, 4) for v in qs["q"]]}
+            _prog(out, "simhash_components_audit")
         shc.unpersist()
 
     # ---- phase 4: winnowing containment (lifted paragraphs)
