@@ -1023,6 +1023,38 @@ def mp4_container_stats(spark, sf_dir):
             .orderBy("media_id"))
 
 
+def dedup_cosine_components(spark, sf_dir):
+    """Crowd-safe embedding dedup (r7): cosine_components replaces the
+    Theta(m^2)-per-crowd pair enumeration with linear verified chain
+    edges per random-hyperplane band bucket + pointer-doubling
+    components — the same shape shift the text dedup stack made in r6,
+    now for the embedding column. Every edge is exactly verified
+    (cosine >= threshold) so chance band collisions never merge
+    clusters; audit_components(metric="cosine") attaches the exact
+    per-component audit floor. Threshold 0.4 / 4-bit bands /
+    chain_window 8 so the random sf0.01 embeddings (whose strongest
+    cosines sit near 0.5) carry qualifying, band-adjacent pairs — real
+    near-dup corpora cluster at far higher cosine with tighter bands.
+    Rows-only: window chains + the pointer-doubling iteration are not
+    single-statement ANSI SQL."""
+    _ensure_workers(spark)
+    from fileconvert_spark.operators.dedup import (
+        audit_components, cosine_components,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    comp = cosine_components(e, threshold=0.4, n_planes=4, chain_window=8)
+    floor = (audit_components(comp, e, "vec_id", text_col="embedding",
+                              metric="cosine", sample_per_component=2)
+             .groupBy("component")
+             .agg(F.count("*").alias("edges_audited"),
+                  F.round(F.min("cosine"), 4).alias("min_cosine")))
+    return (comp.select(F.col("id").alias("vec_id"), "component")
+            .join(floor, "component", "left")
+            .select("vec_id", "component", "edges_audited", "min_cosine")
+            .orderBy("vec_id"))
+
+
 def embedding_near_dup_pairs(spark, sf_dir):
     """Cosine near-dup pairs. Threshold 0.5 so the oracle check has rows
     to verify at sf0.01 (random testdata embeddings carry no >=0.9 pairs);
@@ -1494,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf_indexed": knn_ivf_indexed,               # new in r07
         "dedup_audit_components": dedup_audit_components,  # new in r07
         "mp4_container_stats": mp4_container_stats,        # new in r07
+        "dedup_cosine_components": dedup_cosine_components,  # new in r07
     }
 
 

@@ -582,31 +582,44 @@ def _cc_iterate(sym: DataFrame, labels: DataFrame,
 def audit_components(comp: DataFrame, docs: DataFrame, id_col: str,
                      text_col: str = "text",
                      sample_per_component: int = 3,
-                     seed: int = 0) -> DataFrame:
-    """Exact-jaccard spot audit of a components result — cheap confidence
-    for estimator-only dedup without the Theta(m^2) pairs path
-    (r6 verdict stretch item).
+                     seed: int = 0,
+                     metric: str = "jaccard") -> DataFrame:
+    """Exact spot audit of a components result — cheap precision
+    confidence without the Theta(m^2) pairs path (r6 verdict stretch
+    item; it found the est_margin over-merge in r7).
 
     Samples up to ``sample_per_component`` non-keeper members per
     component (deterministic hash order keyed by ``seed``, so reruns
     audit the same members), pairs each with the component's keeper
     (``component`` == min member id by construction), fetches ONLY the
-    sampled texts (broadcast-semi-join filter — the corpus text never
-    shuffles), and scores exact word-3-gram jaccard with the batched
-    hash-set kernel. Returns (component, id_a, id_b, jaccard); id_a is
-    the keeper.
+    sampled payloads (broadcast-semi-join filter — the corpus never
+    shuffles), and scores each keeper-member pair exactly. ``metric``
+    picks the score — match it to the CONTRACT of the operator that
+    built the components:
+
+    - "jaccard" (default): exact word-3-gram jaccard on ``text_col``
+      -> column ``jaccard``. For minhash_lsh_components (contract:
+      jaccard >= threshold).
+    - "simhash_hamming": 64-bit simhash bit distance of ``text_col``
+      -> column ``hamming``. For simhash_components (contract: Hamming
+      <= max_hamming) — auditing those clusters with jaccard conflates
+      estimator behavior with semantic drift; the bit distance isolates
+      chain transitivity, the only slack simhash edges have.
+    - "cosine": exact cosine of the ``text_col`` VECTOR column ->
+      column ``cosine``. For cosine_components (contract: cosine >=
+      threshold).
 
     Reading the numbers: components merge by VERIFIED chain edges, so a
     sampled member can sit several hops from the keeper — transitive
-    members legitimately score below the per-edge threshold (that is
+    members legitimately score past the per-edge threshold (that is
     what near-dup CLUSTERS mean; unlike bucket-transitive dedup every
     hop was individually verified). The audit distribution is a
     cluster-tightness measure: median near the edge threshold means
-    short, tight chains; a long low tail means crowds merge through
+    short, tight chains; a long tail past it means crowds merge through
     drift and chain_window / threshold deserve a look. Cost: one
     16-byte-row shuffle of the label frame for sampling, <=
-    (sample_per_component + 1) * n_components text fetches, one linear
-    jaccard batch — no quadratic term at any crowd size.
+    (sample_per_component + 1) * n_components payload fetches, one
+    linear scoring batch — no quadratic term at any crowd size.
     """
     from pyspark.sql.window import Window
 
@@ -624,12 +637,48 @@ def audit_components(comp: DataFrame, docs: DataFrame, id_col: str,
     texts = (docs.select(F.col(id_col), F.col(text_col))
              .join(F.broadcast(ids), id_col, "left_semi"))
 
-    @F.pandas_udf("double")
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        return pd.Series(
-            sim.jaccard_batch(ta.fillna("").tolist(), tb.fillna("").tolist()),
-            dtype="float64",
-        )
+    if metric == "jaccard":
+        out_col = "jaccard"
+
+        @F.pandas_udf("double")
+        def score(ta: pd.Series, tb: pd.Series) -> pd.Series:
+            return pd.Series(
+                sim.jaccard_batch(ta.fillna("").tolist(),
+                                  tb.fillna("").tolist()),
+                dtype="float64",
+            )
+    elif metric == "simhash_hamming":
+        out_col = "hamming"
+
+        @F.pandas_udf("int")
+        def score(ta: pd.Series, tb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            ha = np.array(sim.simhash64_batch(ta.fillna("").tolist()),
+                          dtype=np.int64)
+            hb = np.array(sim.simhash64_batch(tb.fillna("").tolist()),
+                          dtype=np.int64)
+            # xor is sign-agnostic; popcount via the byte view
+            # (numpy 1.26 has no bitwise_count)
+            x = (ha ^ hb).view(np.uint8).reshape(len(ha), 8)
+            return pd.Series(
+                np.unpackbits(x, axis=1).sum(axis=1).astype("int32"))
+    elif metric == "cosine":
+        out_col = "cosine"
+
+        @F.pandas_udf("double")
+        def score(va: pd.Series, vb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            a = np.array(va.tolist(), dtype=np.float64)
+            b = np.array(vb.tolist(), dtype=np.float64)
+            a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+            b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.einsum("ij,ij->i", a, b))
+    else:
+        raise ValueError(
+            f"audit_components: unknown metric {metric!r} "
+            "(jaccard | simhash_hamming | cosine)")
 
     return (
         edges
@@ -638,7 +687,7 @@ def audit_components(comp: DataFrame, docs: DataFrame, id_col: str,
         .join(texts.select(F.col(id_col).alias("id_b"),
                            F.col(text_col).alias("_tb")), "id_b")
         .select("component", "id_a", "id_b",
-                jac("_ta", "_tb").alias("jaccard"))
+                score("_ta", "_tb").alias(out_col))
     )
 
 
@@ -800,6 +849,116 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
         (F.col("bucket") * ns + F.col("blk")).alias("kj"),
         F.lit(1).alias("side"), "id", "vec")
     return _pairs_within_groups(a.unionByName(b), threshold)
+
+
+def cosine_components(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      threshold: float = 0.95,
+                      n_bands: int = 8, n_planes: int = 8,
+                      chain_window: int = 4, max_iter: int = 25,
+                      seed: int = 7) -> DataFrame:
+    """Embedding near-dup CLUSTERS -> (id, component), component = min
+    member id; vectors with no verified neighbor are absent (their own
+    keepers). The crowd-safe, keeper-oriented sibling of
+    embedding_near_dups — the Theta(m^2)-per-crowd argument that moved
+    the text dedup stack from pairs to components (r6, measured ~50B
+    extrapolated pairs at 7.6M docs) applies to embedding crowds
+    identically: m near-identical vectors (template boilerplate,
+    re-crawls, synthetic fan-out) produce m^2/2 pairs but only m
+    memberships.
+
+    Shape (mirrors minhash_lsh_components / hamming_components):
+    ``n_bands`` independent random-hyperplane sign signatures
+    (``n_planes`` bits each) are the band keys; within each
+    (band, band_key) bucket members sort by a per-band continuous
+    projection — near-duplicate vectors project near-identically, so
+    they sort adjacent — and each links to its ``chain_window``
+    predecessors. Every candidate edge is VERIFIED by exact cosine >=
+    threshold (dense per-batch NumPy dot, Arrow-batched) before
+    connected components (pointer doubling), so a chance band collision
+    never merges unrelated clusters: any drift from the declared
+    threshold is pure chain transitivity (the hamming_components
+    story), not estimator slack (the pre-r7 minhash margin story).
+    ``audit_components(metric="cosine")`` is the precision instrument.
+
+    Scale: edge volume is n_bands * chain_window * corpus — linear, no
+    bucket cap, mega-crowds cost O(m log m) sort instead of O(m^2)
+    join. The one wide shuffle carries (id, band, band_key, sort
+    value, vector) ~= n_bands * vector bytes per row (64-d float -> ~2
+    KB/row at n_bands=8) — a fixed multiple of the corpus, the same
+    fixed-blowup contract as the minhash signature shuffle, never a
+    pair stream. Per-band direct recall for a pair at angle theta is
+    1-(1-(1-theta/pi)^n_planes)^n_bands (~0.99 at cosine 0.95 with
+    8x8) and crowd chains exceed it via intermediates; raise n_bands
+    (more recall, proportionally more shuffle) or lower n_planes
+    (hotter buckets) for lower thresholds.
+    """
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame([], "id long, component long")
+    dim = int(dim_row["d"])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((n_bands, n_planes, dim))
+    sortdirs = rng.standard_normal((n_bands, dim))
+    sortdirs /= np.linalg.norm(sortdirs, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(
+        (planes.reshape(n_bands * n_planes, dim), sortdirs))
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("struct<keys: array<long>, svs: array<double>>")
+    def band_udf(vecs: pd.Series) -> pd.DataFrame:
+        pl, sd = bc.value
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        bits = (m @ pl.T >= 0).reshape(len(m), n_bands, n_planes)
+        keys = bits @ weights  # (n, n_bands) int64
+        svs = m @ sd.T  # (n, n_bands)
+        return pd.DataFrame({"keys": list(keys), "svs": list(svs)})
+
+    @F.pandas_udf("double")
+    def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.array(va.tolist(), dtype=np.float64)
+        b = np.array(vb.tolist(), dtype=np.float64)
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.einsum("ij,ij->i", a, b))
+
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(vec_col).alias("vec"),
+                     band_udf(F.col(vec_col)).alias("bs"))
+    bands = base.select(
+        "id", "vec",
+        F.posexplode(F.arrays_zip(F.col("bs.keys").alias("band_key"),
+                                  F.col("bs.svs").alias("sv"))
+                     ).alias("band", "kv"),
+    ).select("id", "vec", "band", F.col("kv.band_key").alias("band_key"),
+             F.col("kv.sv").alias("sv"))
+    w = Window.partitionBy("band", "band_key").orderBy("sv", "id")
+    # window exprs must live in a Project, not inside the generator
+    lagged = bands.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        *[F.struct(F.lag("id", j).over(w).alias("id_a"),
+                   F.lag("vec", j).over(w).alias("vec_a")).alias(f"_p{j}")
+          for j in range(1, chain_window + 1)],
+    )
+    edges = (
+        lagged.select(
+            "id_b", "vec_b",
+            F.explode(F.array(*[F.col(f"_p{j}")
+                                for j in range(1, chain_window + 1)])
+                      ).alias("p"))
+        .select("id_b", "vec_b", F.col("p.id_a").alias("id_a"),
+                F.col("p.vec_a").alias("vec_a"))
+        .filter(F.col("id_a").isNotNull())
+        .filter(cos_udf("vec_a", "vec_b") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return connected_components(edges, "id_a", "id_b", max_iter)
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str = "text",

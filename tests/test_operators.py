@@ -1691,3 +1691,97 @@ def test_adaptive_probe_minimal_prefix():
             # prefix follows the sim ranking exactly
             order = np.argsort(-sims[qi], kind="stable")
             assert cells.tolist() == order[:len(cells)].tolist()
+
+
+def test_cosine_components_planted_clusters(spark):
+    """cosine_components clusters planted near-identical vector crowds
+    (each a tiny perturbation of one base), never merges distinct
+    clusters or pulls in random vectors, and matches the exact
+    pairs-path components (embedding_near_dups -> connected_components)
+    on the same input."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import (
+        connected_components, cosine_components, embedding_near_dups,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    dim = 32
+    rows = []
+    cluster_ids = []
+    for c in range(3):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        ids = []
+        for m in range(10):
+            v = base + 0.02 * rng.standard_normal(dim)
+            ids.append(1000 * c + m)
+            rows.append((ids[-1], v.astype(np.float32).tolist()))
+        cluster_ids.append(set(ids))
+    for i in range(60):  # random 32-d gaussians: pairwise |cos| << 0.95
+        rows.append((9000 + i, rng.standard_normal(dim)
+                     .astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    comp = {r["id"]: r["component"] for r in
+            cosine_components(df, threshold=0.95).collect()}
+    for ids in cluster_ids:
+        labels = {comp[i] for i in ids}
+        assert labels == {min(ids)}, labels  # whole crowd, one component
+    assert not any(i >= 9000 for i in comp), "random vector clustered"
+
+    # exact pairs path agrees on membership
+    exact = {r["id"]: r["component"] for r in connected_components(
+        embedding_near_dups(df, threshold=0.95)).collect()}
+    assert comp == exact
+
+
+def test_cosine_components_empty_and_audit_cosine(spark):
+    """Empty input yields an empty labeled frame; audit_components
+    metric='cosine' scores sampled keeper edges with exact cosine."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import (
+        audit_components, cosine_components,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_components(empty).count() == 0
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    base = rng.standard_normal(16)
+    rows = [(i, (base + 0.01 * rng.standard_normal(16))
+             .astype(np.float32).tolist()) for i in range(6)]
+    rows.append((99, (-base).astype(np.float32).tolist()))  # cos ~ -1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    comp = cosine_components(df, threshold=0.95)
+    audit = audit_components(comp, df, "vec_id", text_col="embedding",
+                             metric="cosine").collect()
+    assert len(audit) > 0
+    assert all(r["cosine"] > 0.99 for r in audit)
+    assert all(r["id_b"] != 99 for r in audit)
+
+
+def test_audit_components_simhash_hamming_metric(spark):
+    """metric='simhash_hamming' scores keeper edges by 64-bit simhash
+    bit distance — the simhash_components contract (Hamming <=
+    max_hamming) audited in its own units, not via jaccard."""
+    import pytest
+
+    from fileconvert_spark.operators.dedup import (
+        audit_components, simhash_components,
+    )
+
+    base = " ".join(f"tok{i * 13 % 211}" for i in range(300))
+    rows = [(1, base), (2, base.replace("tok5 ", "mut5 ")),
+            (3, base.replace("tok7 ", "mut7 ")),
+            (50, " ".join(f"other{j}" for j in range(80)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    comp = simhash_components(docs, "doc_id")
+    audit = audit_components(comp, docs, "doc_id",
+                             metric="simhash_hamming").collect()
+    assert len(audit) == 2  # members 2,3 vs keeper 1
+    assert all(r["hamming"] <= 3 for r in audit)
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        audit_components(comp, docs, "doc_id", metric="euclid").collect()

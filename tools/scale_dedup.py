@@ -396,27 +396,36 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
             "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
             "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
         _prog(out, "simhash_components")
-        # same precision instrument as the minhash phase: simhash edges
-        # are exactly-verified (bit_count <= max_hamming) so any drift
-        # here is pure chain transitivity, not estimator slack — the
-        # audit separates the two stories
+        # same precision instrument as the minhash phase, but in the
+        # simhash CONTRACT's units (Hamming <= max_hamming): edges are
+        # exactly-verified bit_count, so any keeper-edge distance past
+        # the threshold is pure chain transitivity, not estimator slack
+        # — the bit-distance audit isolates it. A jaccard pass rides
+        # along as the semantic view (what the clusters mean textually).
         if "--audit" in sys.argv:
             from fileconvert_spark.operators.dedup import audit_components
 
             meter.start()
             aud = audit_components(shc, nd_input, "doc_id",
-                                   sample_per_component=3)
+                                   sample_per_component=3,
+                                   metric="simhash_hamming")
             qs = (aud.agg(
                 F.count("*").alias("n"),
-                F.sum((F.col("jaccard") >= 0.3).cast("long")).alias("ok"),
-                F.expr("percentile_approx(jaccard, array(0.01, 0.05, 0.5),"
-                       " 10000)").alias("q"))
+                F.sum((F.col("hamming") <= 3).cast("long")).alias("ok"),
+                F.expr("percentile_approx(hamming, "
+                       "array(0.5, 0.95, 0.99), 10000)").alias("q"))
                 .first())
+            jq = (audit_components(shc, nd_input, "doc_id",
+                                   sample_per_component=3)
+                  .agg(F.expr("percentile_approx(jaccard, "
+                              "array(0.05, 0.5), 10000)").alias("q"))
+                  .first())
             out["simhash_components_audit"] = {
                 **meter.stop(), "edges": int(qs["n"]),
-                "frac_jaccard_ge_030":
+                "frac_hamming_le_3":
                     round((qs["ok"] or 0) / max(qs["n"], 1), 4),
-                "jaccard_p01_p05_p50": [round(v, 4) for v in qs["q"]]}
+                "hamming_p50_p95_p99": [round(v, 2) for v in qs["q"]],
+                "jaccard_p05_p50": [round(v, 4) for v in jq["q"]]}
             _prog(out, "simhash_components_audit")
         shc.unpersist()
 
