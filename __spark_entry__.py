@@ -989,15 +989,18 @@ def mp4_container_stats(spark, sf_dir):
     """MP4/ISO-BMFF container parsing (r7, from scratch per ISO/IEC
     14496-12): per-track codec/dimensions/duration metadata plus
     keyframe-sampled frame bytes over deterministic hand-built MP4s
-    covering chunked stsc runs, co64 offsets, v1 timestamps, and stss
-    keyframes. Codec payload decode stays env-blocked (ffmpeg absent);
-    the container layer — box walk, full stsd x stts x stsc x stsz x
-    stco sample-table join, frame slicing — is real and test-pinned
-    against closed-form offsets. Rows-only: binary parsing is not
-    SQL-expressible."""
+    covering chunked stsc runs, co64 offsets, v1 timestamps, stss
+    keyframes, and (late r7) FRAGMENTED CMAF-style files — mvex/trex
+    defaults, moof/traf/trun fragments with moof-relative and explicit
+    base offsets. Codec payload decode stays env-blocked (ffmpeg
+    absent); the container layer — box walk, full stsd x stts x stsc x
+    stsz x stco sample-table join, fragment run accumulation, frame
+    slicing — is real and test-pinned against closed-form offsets.
+    Rows-only: binary parsing is not SQL-expressible."""
     _ensure_workers(spark)
     from fileconvert_spark.operators.mp4 import (
-        encode_mp4_stub, mp4_frame_sample, mp4_track_metadata,
+        encode_fmp4_stub, encode_mp4_stub, mp4_frame_sample,
+        mp4_track_metadata,
     )
 
     rows = []
@@ -1009,6 +1012,14 @@ def mp4_container_stats(spark, sf_dir):
             height=9 * (1 + i % 3), samples_per_chunk=1 + i % 3,
             keyframe_every=1 + i % 2, use_co64=(i % 3 == 2),
             fixed_size=False, version1=(i % 2 == 1)))))
+    for i in range(6, 8):
+        frames = [bytes([65 + i + j]) * (3 + (i + j) % 5)
+                  for j in range(5 + i)]
+        rows.append((i, bytearray(encode_fmp4_stub(
+            frames, fps=2 + i % 3, width=16 * (1 + i % 3),
+            height=9 * (1 + i % 3), frames_per_fragment=2 + i % 2,
+            base_mode="moof" if i % 2 == 0 else "explicit",
+            split_trun=(i % 2 == 1)))))
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     meta = mp4_track_metadata(df)
     sync_frames = (mp4_frame_sample(df, every_n=1, sync_only=True)

@@ -854,8 +854,8 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
 def cosine_components(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       threshold: float = 0.95,
-                      n_bands: int = 8, n_planes: int = 8,
-                      chain_window: int = 4, max_iter: int = 25,
+                      n_bands: int = 8, n_planes: int | None = None,
+                      chain_window: int = 8, max_iter: int = 25,
                       seed: int = 7) -> DataFrame:
     """Embedding near-dup CLUSTERS -> (id, component), component = min
     member id; vectors with no verified neighbor are absent (their own
@@ -873,25 +873,41 @@ def cosine_components(df: DataFrame, id_col: str = "vec_id",
     (band, band_key) bucket members sort by a per-band continuous
     projection — near-duplicate vectors project near-identically, so
     they sort adjacent — and each links to its ``chain_window``
-    predecessors. Every candidate edge is VERIFIED by exact cosine >=
-    threshold (dense per-batch NumPy dot, Arrow-batched) before
-    connected components (pointer doubling), so a chance band collision
-    never merges unrelated clusters: any drift from the declared
-    threshold is pure chain transitivity (the hamming_components
-    story), not estimator slack (the pre-r7 minhash margin story).
+    predecessors. Candidate edges pass a 64-bit shared sign-signature
+    Hamming prefilter (JVM bit_count; cutoff = the binomial mean for
+    the threshold angle + 4 sd, so true-pair loss is ~3e-5) before the
+    exact cosine >= threshold verification (dense per-batch NumPy dot,
+    Arrow-batched) and connected components (pointer doubling). A
+    chance band collision never merges unrelated clusters: any drift
+    from the declared threshold is pure chain transitivity (the
+    hamming_components story), not estimator slack.
     ``audit_components(metric="cosine")`` is the precision instrument.
+
+    BUCKET GEOMETRY IS THE RECALL LEVER (measured at 2.3M rows,
+    BENCH/SCALE_r7.md §cosine): unlike minhash/simhash — whose band
+    keys are exact 64-bit hashes, so a bucket holds only rows sharing
+    that band's CONTENT — sign-bit buckets are coarse angular cells.
+    With only 2^8 buckets at multi-M rows, an isolated near-dup pair
+    shares a bucket with thousands of background rows, hundreds of
+    which sort BETWEEN the pair (their projection gap ~|a-b|/sqrt(d)
+    vs the bucket's O(1) spread), and no affordable chain_window
+    bridges that: planted-pair co-membership measured 0.07. Default
+    ``n_planes=None`` therefore AUTO-SIZES buckets to ~64 expected
+    rows (ceil(log2(n/64)), clamped to [4, 24]) — at 64 rows/bucket
+    the expected interloper count between a true pair is ~2-3 and
+    ``chain_window=8`` clears it. Heavy crowds are immune either way
+    (members are mutual near-dups, chains ride through them:
+    co-membership 1.0 in the same run).
 
     Scale: edge volume is n_bands * chain_window * corpus — linear, no
     bucket cap, mega-crowds cost O(m log m) sort instead of O(m^2)
     join. The one wide shuffle carries (id, band, band_key, sort
-    value, vector) ~= n_bands * vector bytes per row (64-d float -> ~2
-    KB/row at n_bands=8) — a fixed multiple of the corpus, the same
-    fixed-blowup contract as the minhash signature shuffle, never a
-    pair stream. Per-band direct recall for a pair at angle theta is
-    1-(1-(1-theta/pi)^n_planes)^n_bands (~0.99 at cosine 0.95 with
-    8x8) and crowd chains exceed it via intermediates; raise n_bands
-    (more recall, proportionally more shuffle) or lower n_planes
-    (hotter buckets) for lower thresholds.
+    value, 8-byte signature, vector) ~= n_bands * vector bytes per row
+    — a fixed multiple of the corpus, the same fixed-blowup contract
+    as the minhash signature shuffle, never a pair stream. Per-band
+    direct recall for a pair at angle theta is
+    1-(1-(1-theta/pi)^n_planes)^n_bands; raise n_bands (more recall,
+    proportionally more shuffle) for thresholds far below 0.95.
     """
     import numpy as np
 
@@ -901,23 +917,38 @@ def cosine_components(df: DataFrame, id_col: str = "vec_id",
     if dim_row is None:
         return df.sparkSession.createDataFrame([], "id long, component long")
     dim = int(dim_row["d"])
+    if n_planes is None:
+        n_rows = df.count()
+        n_planes = int(min(24, max(4, np.ceil(np.log2(max(
+            n_rows / 64.0, 2.0))))))
+    sig_bits = 64
     rng = np.random.Generator(np.random.PCG64(seed))
     planes = rng.standard_normal((n_bands, n_planes, dim))
     sortdirs = rng.standard_normal((n_bands, dim))
     sortdirs /= np.linalg.norm(sortdirs, axis=1, keepdims=True)
+    sig_planes = rng.standard_normal((sig_bits, dim))
     bc = df.sparkSession.sparkContext.broadcast(
-        (planes.reshape(n_bands * n_planes, dim), sortdirs))
+        (planes.reshape(n_bands * n_planes, dim), sortdirs, sig_planes))
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
+    # signature Hamming cutoff for the threshold angle: mean + 4 sd of
+    # Binomial(sig_bits, theta/pi) — true pairs past it are ~4-sigma
+    p_flip = float(np.arccos(np.clip(threshold, -1, 1)) / np.pi)
+    h_max = int(np.ceil(sig_bits * p_flip
+                        + 4 * np.sqrt(sig_bits * p_flip * (1 - p_flip))))
 
-    @F.pandas_udf("struct<keys: array<long>, svs: array<double>>")
+    @F.pandas_udf(
+        "struct<keys: array<long>, svs: array<double>, sig: long>")
     def band_udf(vecs: pd.Series) -> pd.DataFrame:
-        pl, sd = bc.value
+        pl, sd, sp = bc.value
         m = np.array(vecs.tolist(), dtype=np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        bits = (m @ pl.T >= 0).reshape(len(m), n_bands, n_planes)
+        bits = (m @ pl.T >= 0).reshape(len(m), -1, weights.size)
         keys = bits @ weights  # (n, n_bands) int64
         svs = m @ sd.T  # (n, n_bands)
-        return pd.DataFrame({"keys": list(keys), "svs": list(svs)})
+        sig = np.packbits((m @ sp.T >= 0), axis=1,
+                          bitorder="little").view(np.int64).ravel()
+        return pd.DataFrame({"keys": list(keys), "svs": list(svs),
+                             "sig": sig})
 
     @F.pandas_udf("double")
     def cos_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -931,29 +962,39 @@ def cosine_components(df: DataFrame, id_col: str = "vec_id",
                      F.col(vec_col).alias("vec"),
                      band_udf(F.col(vec_col)).alias("bs"))
     bands = base.select(
-        "id", "vec",
+        "id", "vec", F.col("bs.sig").alias("sig"),
         F.posexplode(F.arrays_zip(F.col("bs.keys").alias("band_key"),
                                   F.col("bs.svs").alias("sv"))
                      ).alias("band", "kv"),
-    ).select("id", "vec", "band", F.col("kv.band_key").alias("band_key"),
+    ).select("id", "vec", "sig", "band",
+             F.col("kv.band_key").alias("band_key"),
              F.col("kv.sv").alias("sv"))
     w = Window.partitionBy("band", "band_key").orderBy("sv", "id")
     # window exprs must live in a Project, not inside the generator
     lagged = bands.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("sig").alias("sig_b"),
         *[F.struct(F.lag("id", j).over(w).alias("id_a"),
-                   F.lag("vec", j).over(w).alias("vec_a")).alias(f"_p{j}")
+                   F.lag("vec", j).over(w).alias("vec_a"),
+                   F.lag("sig", j).over(w).alias("sig_a")).alias(f"_p{j}")
           for j in range(1, chain_window + 1)],
     )
     edges = (
         lagged.select(
-            "id_b", "vec_b",
+            "id_b", "vec_b", "sig_b",
             F.explode(F.array(*[F.col(f"_p{j}")
                                 for j in range(1, chain_window + 1)])
                       ).alias("p"))
-        .select("id_b", "vec_b", F.col("p.id_a").alias("id_a"),
-                F.col("p.vec_a").alias("vec_a"))
+        .select("id_b", "vec_b", "sig_b",
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.vec_a").alias("vec_a"),
+                F.col("p.sig_a").alias("sig_a"))
         .filter(F.col("id_a").isNotNull())
+        # JVM prefilter: background interloper edges (theta >> the
+        # threshold angle) die here, so the Arrow-batched exact
+        # verification only sees plausible pairs
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                <= h_max)
         .filter(cos_udf("vec_a", "vec_b") >= threshold)
         .select("id_a", "id_b")
         .distinct()

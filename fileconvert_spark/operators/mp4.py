@@ -3,11 +3,15 @@
 Implements the ISO/IEC 14496-12 box model: the length-prefixed box walk
 (compact + 64-bit largesize + to-end-of-file sizes), the moov/trak/mdia/
 minf/stbl container hierarchy, and the full sample-table join
-(stsd × stts × stsc × stsz × stco/co64 × stss) that turns a track into a
-per-sample (offset, size, dts, keyframe) table. That table is what a
-training-data pipeline needs from video blobs — codec ids, dimensions,
-durations, frame boundaries for frame SAMPLING — and none of it requires
-decoding the codec payload. Actual pixel/audio decode of the contained
+(stsd × stts × stsc × stsz × stco/co64 × stss × ctts) that turns a
+track into a per-sample (offset, size, dts, pts, keyframe) table —
+plus the FRAGMENTED layout (§8.8: mvex/trex defaults, moof/traf/tfhd/
+tfdt/trun with explicit, default-base-is-moof, and implicit base
+offsets, multi-trun continuation, per-sample flags) that CMAF/DASH
+media actually ships, and elst edit-list metadata. That table is what
+a training-data pipeline needs from video blobs — codec ids,
+dimensions, durations, frame boundaries for frame SAMPLING — and none
+of it requires decoding the codec payload. Actual pixel/audio decode of the contained
 codecs (H.264/HEVC/AAC…) genuinely needs ffmpeg and stays env-blocked
 (operators/multimodal.py); the container layer here is complete and
 real, proven against hand-built fixtures with closed-form offsets
@@ -95,6 +99,14 @@ class Mp4Track:
     offsets: np.ndarray = field(repr=False)     # int64 absolute file offset
     dts: np.ndarray = field(repr=False)         # int64 in timescale units
     sync: np.ndarray = field(repr=False)        # bool per sample
+    cts: np.ndarray = field(repr=False)         # int64 composition times
+                                                # (= dts when no ctts/trun
+                                                # composition offsets)
+    fragmented: bool = False                    # samples came from moofs
+    n_edits: int = 0                            # elst entries (0 = none)
+    edit_media_time: int = -1                   # first non-empty edit's
+                                                # media_time (media ts units)
+    edit_lead_s: float = 0.0                    # empty-edit lead (movie ts)
 
 
 @dataclass
@@ -107,11 +119,12 @@ class Mp4Info:
 
 def _parse_stbl(buf: bytes, b: int, e: int):
     """The sample-table join. Returns (codec, width, height, channels,
-    sample_rate, sizes, offsets_rel_chunks, dts, sync) where offsets are
-    absolute file offsets computed from stco/co64 × stsc × stsz."""
+    sample_rate, sizes, offsets, dts, sync, cts) where offsets are
+    absolute file offsets computed from stco/co64 × stsc × stsz and cts
+    adds ctts composition offsets to dts (cts == dts when absent)."""
     codec, width, height, channels, rate = "", 0, 0, 0, 0
     stts_body = stsc_body = stsz_body = stco_body = None
-    stss_body = None
+    stss_body = ctts_body = None
     co64 = False
     for t, bb, ee in walk_boxes(buf, b, e):
         if t == b"stsd":
@@ -144,6 +157,8 @@ def _parse_stbl(buf: bytes, b: int, e: int):
             co64 = t == b"co64"
         elif t == b"stss":
             stss_body = (bb, ee)
+        elif t == b"ctts":
+            ctts_body = (bb, ee)
     for name, got in (("stts", stts_body), ("stsc", stsc_body),
                       ("stsz", stsz_body), ("stco/co64", stco_body)):
         if got is None:
@@ -169,7 +184,10 @@ def _parse_stbl(buf: bytes, b: int, e: int):
     if int(ent[:, 0].sum()) != n_samples:
         raise ValueError("MP4: stts sample count != stsz sample count")
     deltas = np.repeat(ent[:, 1], ent[:, 0])
-    dts = np.concatenate(([0], np.cumsum(deltas[:-1])))
+    if n_samples:
+        dts = np.concatenate(([0], np.cumsum(deltas[:-1])))
+    else:  # zero-sample stbl (valid: fMP4 moov carries empty tables)
+        dts = np.zeros(0, dtype=np.int64)
 
     # stco/co64 chunk offsets
     bb, ee = stco_body
@@ -212,33 +230,119 @@ def _parse_stbl(buf: bytes, b: int, e: int):
         sync = np.zeros(n_samples, dtype=bool)
         sync[snums.astype(np.int64) - 1] = True  # 1-based sample numbers
 
-    return codec, width, height, channels, rate, sizes, offsets, dts, sync
+    cts = dts
+    if ctts_body is not None and n_samples:
+        bb, ee = ctts_body
+        ver, p = _full(buf, bb)
+        n_ent = int.from_bytes(buf[p:p + 4], "big")
+        counts = np.frombuffer(buf, dtype=">u4", count=2 * n_ent,
+                               offset=p + 4)[0::2].astype(np.int64)
+        # v0 offsets are u32, v1 are s32 (negative offsets legal)
+        offs = np.frombuffer(buf, dtype=">u4" if ver == 0 else ">i4",
+                             count=2 * n_ent,
+                             offset=p + 4)[1::2].astype(np.int64)
+        if int(counts.sum()) != n_samples:
+            raise ValueError("MP4: ctts sample count mismatch")
+        cts = dts + np.repeat(offs, counts)
+
+    return (codec, width, height, channels, rate, sizes, offsets, dts,
+            sync, cts)
+
+
+def _parse_tfhd(buf: bytes, bb: int, ee: int):
+    """tfhd -> (track_id, flags, base_data_offset|None, defaults dict)."""
+    _, p = _full(buf, bb)
+    flags = int.from_bytes(buf[bb + 1:bb + 4], "big")
+    track_id = int.from_bytes(buf[p:p + 4], "big")
+    p += 4
+    base = None
+    if flags & 0x000001:
+        base = int.from_bytes(buf[p:p + 8], "big")
+        p += 8
+    if flags & 0x000002:  # sample_description_index — parsed, unused
+        p += 4
+    dflt = {}
+    if flags & 0x000008:
+        dflt["duration"] = int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+    if flags & 0x000010:
+        dflt["size"] = int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+    if flags & 0x000020:
+        dflt["flags"] = int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+    return track_id, flags, base, dflt
+
+
+_NON_SYNC_BIT = 0x00010000  # sample_is_non_sync_sample (14496-12 8.8.3.1)
+
+
+def _parse_trun(buf: bytes, bb: int, ee: int):
+    """trun -> (data_offset|None, first_sample_flags|None, per-sample
+    [duration|None, size|None, flags|None, cts_offset] arrays)."""
+    ver, p = _full(buf, bb)
+    flags = int.from_bytes(buf[bb + 1:bb + 4], "big")
+    n = int.from_bytes(buf[p:p + 4], "big")
+    p += 4
+    data_off = None
+    if flags & 0x000001:
+        data_off = int.from_bytes(buf[p:p + 4], "big", signed=True)
+        p += 4
+    first_flags = None
+    if flags & 0x000004:
+        first_flags = int.from_bytes(buf[p:p + 4], "big")
+        p += 4
+    per = {"duration": None, "size": None, "flags": None, "cts": None}
+    fields = [("duration", 0x000100, False), ("size", 0x000200, False),
+              ("flags", 0x000400, False),
+              # v0 composition offsets are u32, v1 s32
+              ("cts", 0x000800, ver != 0)]
+    present = [(name, signed) for name, bit, signed in fields
+               if flags & bit]
+    if present:
+        width = 4 * len(present)
+        if p + n * width > ee:
+            raise ValueError("MP4: trun overruns box")
+        raw = np.frombuffer(buf, dtype=">u4", count=n * len(present),
+                            offset=p).reshape(n, len(present))
+        for col, (name, signed) in enumerate(present):
+            v = raw[:, col]
+            per[name] = (v.astype(">u4").view(">i4").astype(np.int64)
+                         if signed else v.astype(np.int64))
+    return n, data_off, first_flags, per
 
 
 def parse_mp4(payload: bytes) -> Mp4Info:
     """Parse an ISO-BMFF container into movie + per-track sample tables.
 
-    Requires an ftyp box (the MP4 signature) and a moov; fragmented
-    files (moof-based, no top-level sample tables) raise
-    NotImplementedError naming the gap.
+    Requires an ftyp box (the MP4 signature) and a moov. Fragmented
+    files (moof/traf/trun, 14496-12 §8.8) are supported: trex defaults
+    from mvex, tfhd per-fragment defaults/base offsets (explicit,
+    default-base-is-moof, and the implicit previous-fragment-end rule),
+    tfdt decode-time anchors (running decode time when absent), multiple
+    truns per traf with implicit continuation offsets, per-sample or
+    first-sample sync flags, and v0/v1 composition offsets. Edit lists
+    (elst) and composition offsets (ctts) are parsed for all files.
     """
     buf = bytes(payload)
     major = ""
     moov = None
-    has_moof = False
+    moofs: list[tuple[int, int, int]] = []  # (box_start, body_start, end)
     for t, b, e in walk_boxes(buf):
         if t == b"ftyp":
             major = buf[b:b + 4].decode("latin-1")
         elif t == b"moov":
             moov = (b, e)
         elif t == b"moof":
-            has_moof = True
+            # base-data-offset arithmetic needs the BOX start, not the
+            # body start; walk_boxes consumed the header, so recover
+            # it: the type 4cc sits at start+4 (8-byte header) or
+            # start+4 with largesize following (16-byte header)
+            start = b - 8 if buf[b - 4:b] == b"moof" else b - 16
+            moofs.append((start, b, e))
     if not major:
         raise ValueError("MP4: no ftyp box — not an ISO-BMFF file")
     if moov is None:
-        if has_moof:
-            raise NotImplementedError(
-                "MP4: fragmented (moof) files unsupported")
         raise ValueError("MP4: no moov box")
 
     mb, me = moov
@@ -250,6 +354,20 @@ def parse_mp4(payload: bytes) -> Mp4Info:
     else:
         mts = int.from_bytes(buf[p + 8:p + 12], "big")
         mdur = int.from_bytes(buf[p + 12:p + 16], "big")
+
+    # mvex/trex per-track fragment defaults (fragmented files)
+    trex: dict[int, dict] = {}
+    for t, b, e in walk_boxes(buf, mb, me):
+        if t != b"mvex":
+            continue
+        for t2, bb, ee in walk_boxes(buf, b, e):
+            if t2 == b"trex":
+                _, p = _full(buf, bb)
+                tid = int.from_bytes(buf[p:p + 4], "big")
+                trex[tid] = {
+                    "duration": int.from_bytes(buf[p + 8:p + 12], "big"),
+                    "size": int.from_bytes(buf[p + 12:p + 16], "big"),
+                    "flags": int.from_bytes(buf[p + 16:p + 20], "big")}
 
     tracks = []
     for t, b, e in walk_boxes(buf, mb, me):
@@ -273,8 +391,36 @@ def parse_mp4(payload: bytes) -> Mp4Info:
         handler = buf[p + 4:p + 8].decode("latin-1")
         nb, ne = _find(buf, db, de, b"minf")
         sb, se = _find(buf, nb, ne, b"stbl")
-        codec, w, h, ch, rate, sizes, offs, dts, sync = \
+        codec, w, h, ch, rate, sizes, offs, dts, sync, cts = \
             _parse_stbl(buf, sb, se)
+
+        # edts/elst: edit list metadata (segment_duration in MOVIE
+        # timescale, media_time in MEDIA timescale; -1 = empty edit)
+        n_edits, edit_mt, lead = 0, -1, 0
+        for t2, bb, ee in walk_boxes(buf, b, e):
+            if t2 != b"edts":
+                continue
+            for t3, b3, e3 in walk_boxes(buf, bb, ee):
+                if t3 != b"elst":
+                    continue
+                ever, p3 = _full(buf, b3)
+                n_edits = int.from_bytes(buf[p3:p3 + 4], "big")
+                p3 += 4
+                for _ in range(n_edits):
+                    if ever == 1:
+                        seg = int.from_bytes(buf[p3:p3 + 8], "big")
+                        mt = int.from_bytes(buf[p3 + 8:p3 + 16], "big",
+                                            signed=True)
+                        p3 += 20
+                    else:
+                        seg = int.from_bytes(buf[p3:p3 + 4], "big")
+                        mt = int.from_bytes(buf[p3 + 4:p3 + 8], "big",
+                                            signed=True)
+                        p3 += 12
+                    if mt == -1 and edit_mt < 0:
+                        lead += seg  # empty edit before media starts
+                    elif edit_mt < 0:
+                        edit_mt = mt
         is_video = handler == "vide"
         tracks.append(Mp4Track(
             track_id=track_id, handler=handler, codec=codec,
@@ -283,20 +429,133 @@ def parse_mp4(payload: bytes) -> Mp4Info:
             sample_rate=0 if is_video else rate,
             timescale=ts, duration_s=dur / ts if ts else 0.0,
             n_samples=int(sizes.size), sizes=sizes, offsets=offs,
-            dts=dts, sync=sync))
+            dts=dts, sync=sync, cts=cts,
+            n_edits=n_edits, edit_media_time=edit_mt,
+            edit_lead_s=lead / mts if mts else 0.0))
     if not tracks:
         raise ValueError("MP4: moov holds no trak")
+
+    if moofs:
+        _apply_fragments(buf, tracks, trex, moofs)
     return Mp4Info(major_brand=major, movie_timescale=mts,
                    movie_duration_s=mdur / mts if mts else 0.0,
                    tracks=tracks)
 
 
+def _apply_fragments(buf: bytes, tracks: list[Mp4Track],
+                     trex: dict[int, dict],
+                     moofs: list[tuple[int, int, int]]) -> None:
+    """Append moof/traf/trun samples to each track's arrays (14496-12
+    §8.8). Handles explicit base_data_offset, default-base-is-moof, the
+    implicit previous-fragment-end rule, tfdt anchors (running decode
+    time when absent), multiple truns with implicit continuation, and
+    trun/tfhd/trex default fall-through for duration/size/flags."""
+    by_id = {t.track_id: t for t in tracks}
+    acc: dict[int, dict] = {
+        tid: {"sizes": [], "offsets": [], "dts": [], "cts_off": [],
+              "sync": [], "next_dts": 0}
+        for tid in by_id}
+    for moof_start, mb, me in moofs:
+        prev_traf_end = None  # implicit base: end of previous traf data
+        for t, bb, ee in walk_boxes(buf, mb, me):
+            if t != b"traf":
+                continue
+            tfhd = None
+            tfdt_time = None
+            truns = []
+            for t2, b2, e2 in walk_boxes(buf, bb, ee):
+                if t2 == b"tfhd":
+                    tfhd = _parse_tfhd(buf, b2, e2)
+                elif t2 == b"tfdt":
+                    ver, p2 = _full(buf, b2)
+                    tfdt_time = int.from_bytes(
+                        buf[p2:p2 + (8 if ver == 1 else 4)], "big")
+                elif t2 == b"trun":
+                    truns.append(_parse_trun(buf, b2, e2))
+            if tfhd is None:
+                raise ValueError("MP4: traf without tfhd")
+            track_id, tf_flags, base_off, dflt = tfhd
+            if track_id not in by_id:
+                raise ValueError(f"MP4: moof references unknown track "
+                                 f"{track_id}")
+            a = acc[track_id]
+            tdflt = trex.get(track_id, {})
+            if base_off is not None:
+                base = base_off
+            elif tf_flags & 0x020000:  # default-base-is-moof
+                base = moof_start
+            else:
+                base = (moof_start if prev_traf_end is None
+                        else prev_traf_end)
+            if tfdt_time is not None:
+                a["next_dts"] = tfdt_time
+            cursor = None  # byte after the previous trun's last sample
+            for n, data_off, first_flags, per in truns:
+                if data_off is not None:
+                    pos = base + data_off
+                elif cursor is not None:
+                    pos = cursor
+                else:
+                    pos = base
+                durs = (per["duration"] if per["duration"] is not None
+                        else np.full(n, dflt.get(
+                            "duration", tdflt.get("duration", 0)),
+                            dtype=np.int64))
+                szs = (per["size"] if per["size"] is not None
+                       else np.full(n, dflt.get(
+                           "size", tdflt.get("size", 0)), dtype=np.int64))
+                flgs = (per["flags"] if per["flags"] is not None
+                        else np.full(n, dflt.get(
+                            "flags", tdflt.get("flags", 0)),
+                            dtype=np.int64))
+                if first_flags is not None and n:
+                    flgs = flgs.copy()
+                    flgs[0] = first_flags
+                cts_off = (per["cts"] if per["cts"] is not None
+                           else np.zeros(n, dtype=np.int64))
+                offs = pos + np.concatenate(
+                    ([0], np.cumsum(szs[:-1]))) if n else \
+                    np.zeros(0, dtype=np.int64)
+                dts = a["next_dts"] + np.concatenate(
+                    ([0], np.cumsum(durs[:-1]))) if n else \
+                    np.zeros(0, dtype=np.int64)
+                a["sizes"].append(szs)
+                a["offsets"].append(offs)
+                a["dts"].append(dts)
+                a["cts_off"].append(cts_off)
+                a["sync"].append((flgs & _NON_SYNC_BIT) == 0)
+                a["next_dts"] += int(durs.sum())
+                cursor = pos + int(szs.sum())
+                prev_traf_end = cursor
+    for tid, a in acc.items():
+        if not a["sizes"]:
+            continue
+        t = by_id[tid]
+        sizes = np.concatenate([t.sizes] + a["sizes"]).astype(np.int64)
+        offsets = np.concatenate([t.offsets] + a["offsets"]).astype(np.int64)
+        dts = np.concatenate([t.dts] + a["dts"]).astype(np.int64)
+        cts = np.concatenate(
+            [t.cts] + [d + c for d, c in zip(a["dts"], a["cts_off"])]
+        ).astype(np.int64)
+        sync = np.concatenate([t.sync] + a["sync"]).astype(bool)
+        t.sizes, t.offsets, t.dts, t.cts, t.sync = (
+            sizes, offsets, dts, cts, sync)
+        t.n_samples = int(sizes.size)
+        t.fragmented = True
+        if t.duration_s == 0.0 and t.timescale and dts.size:
+            # fMP4 mdhd duration is commonly 0; recover from the last
+            # sample's decode time + the accumulated run durations
+            t.duration_s = a["next_dts"] / t.timescale
+
+
 def extract_frames(payload: bytes, every_n: int = 1,
-                   sync_only: bool = False) -> list[tuple[int, float, bool, bytes]]:
-    """(sample_idx, dts_seconds, is_sync, frame_bytes) for every
-    ``every_n``-th sample of the FIRST video track. The codec payload is
-    returned as-is (no decode); slicing uses the sample table's absolute
-    offsets against the one payload buffer."""
+                   sync_only: bool = False,
+                   ) -> list[tuple[int, float, float, bool, bytes]]:
+    """(sample_idx, dts_seconds, pts_seconds, is_sync, frame_bytes) for
+    every ``every_n``-th sample of the FIRST video track. pts comes from
+    ctts/trun composition offsets (== dts for files without them). The
+    codec payload is returned as-is (no decode); slicing uses the sample
+    table's absolute offsets against the one payload buffer."""
     info = parse_mp4(payload)
     vid = next((t for t in info.tracks if t.handler == "vide"), None)
     if vid is None:
@@ -309,6 +568,7 @@ def extract_frames(payload: bytes, every_n: int = 1,
         if o + s > len(buf):
             raise ValueError(f"MP4: sample {i} overruns file")
         out.append((int(i), float(vid.dts[i] / vid.timescale),
+                    float(vid.cts[i] / vid.timescale),
                     bool(vid.sync[i]), buf[o:o + s]))
     return out
 
@@ -323,7 +583,7 @@ MP4_TRACK_SCHEMA = ("media_id long, track_id int, handler string, "
                     "media_bytes long, mean_frame_bytes double")
 
 MP4_FRAME_SCHEMA = ("media_id long, frame_idx int, dts_s double, "
-                    "is_sync boolean, frame_bytes binary")
+                    "pts_s double, is_sync boolean, frame_bytes binary")
 
 
 def mp4_track_metadata(df, id_col: str = "media_id",
@@ -369,12 +629,12 @@ def mp4_frame_sample(df, every_n: int = 2, sync_only: bool = False,
             rows = []
             for mid, payload in zip(pdf[id_col].to_numpy(),
                                     pdf[payload_col].to_numpy()):
-                for i, dts_s, is_sync, fb in extract_frames(
+                for i, dts_s, pts_s, is_sync, fb in extract_frames(
                         bytes(payload), every_n, sync_only):
                     rows.append((int(mid), i, round(dts_s, 6),
-                                 is_sync, fb))
+                                 round(pts_s, 6), is_sync, fb))
             yield pd.DataFrame(rows, columns=[
-                "media_id", "frame_idx", "dts_s", "is_sync",
+                "media_id", "frame_idx", "dts_s", "pts_s", "is_sync",
                 "frame_bytes"])
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -390,12 +650,17 @@ def encode_mp4_stub(frames: list[bytes], fps: int = 4, width: int = 32,
                     height: int = 24, codec: bytes = b"fcsv",
                     samples_per_chunk: int = 2, keyframe_every: int = 2,
                     use_co64: bool = False, fixed_size: bool = False,
-                    version1: bool = False) -> bytes:
+                    version1: bool = False,
+                    ctts_offsets: list[int] | None = None,
+                    elst: list[tuple[int, int]] | None = None) -> bytes:
     """Minimal valid ISO-BMFF file: ftyp + mdat(frames) + moov with one
     video track whose sample table spreads frames over ceil(n/spc)
     chunks. ``fixed_size`` emits stsz with a constant size (requires all
     frames equal length); ``use_co64`` exercises 64-bit chunk offsets;
-    ``version1`` emits v1 mvhd/mdhd (64-bit times)."""
+    ``version1`` emits v1 mvhd/mdhd (64-bit times); ``ctts_offsets``
+    (one per frame, may be negative) emits a v1 ctts so pts = dts +
+    offset; ``elst`` emits edts/elst entries of (segment_duration
+    [movie ts], media_time [media ts, -1 = empty])."""
     if fixed_size and len({len(f) for f in frames}) > 1:
         raise ValueError("fixed_size needs equal-length frames")
 
@@ -477,9 +742,183 @@ def encode_mp4_stub(frames: list[bytes], fps: int = 4, width: int = 32,
         boxes.append(fullbox(b"stss", 0, struct.pack(">I", len(syncs))
                              + b"".join(struct.pack(">I", s)
                                         for s in syncs)))
+    if ctts_offsets is not None:
+        if len(ctts_offsets) != n:
+            raise ValueError("ctts_offsets must have one entry per frame")
+        boxes.append(fullbox(b"ctts", 1, struct.pack(">I", n)
+                             + b"".join(struct.pack(">Ii", 1, o)
+                                        for o in ctts_offsets)))
     stbl = box(b"stbl", b"".join(boxes))
     minf = box(b"minf", stbl)
     mdia = box(b"mdia", mdhd + hdlr + minf)
-    trak = box(b"trak", tkhd + mdia)
+    edts = b""
+    if elst is not None:
+        edts = box(b"edts", fullbox(
+            b"elst", 0, struct.pack(">I", len(elst))
+            + b"".join(struct.pack(">IiHH", seg, mt, 1, 0)
+                       for seg, mt in elst)))
+    trak = box(b"trak", tkhd + edts + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_fmp4_stub(frames: list[bytes], fps: int = 4, width: int = 32,
+                     height: int = 24, codec: bytes = b"fcsv",
+                     frames_per_fragment: int = 3,
+                     base_mode: str = "moof",
+                     use_tfdt: bool = True,
+                     sizes_in: str = "trun",
+                     split_trun: bool = False,
+                     ctts_offsets: list[int] | None = None) -> bytes:
+    """Fragmented ISO-BMFF fixture: ftyp + moov(mvhd, trak with EMPTY
+    sample tables, mvex/trex) + one [moof + mdat] per fragment — the
+    CMAF/DASH layout. Closed-form offsets for tests.
+
+    ``base_mode``: "moof" sets default-base-is-moof + trun data_offset
+    (the real-world shape); "explicit" writes tfhd base_data_offset
+    pointing straight at the fragment's mdat body (no trun offset).
+    ``sizes_in``: "trun" per-sample sizes, "tfhd" default_sample_size,
+    "trex" falls all the way to the trex default (both require
+    equal-size frames within each fragment). ``split_trun`` emits two
+    truns per fragment — the second without data_offset, exercising the
+    implicit continuation cursor. First frame of each fragment is sync
+    (trun first_sample_flags), the rest non-sync via default flags.
+    ``ctts_offsets`` (one per frame) emits v1 per-sample composition
+    offsets in the truns."""
+    if base_mode not in ("moof", "explicit"):
+        raise ValueError("base_mode: moof | explicit")
+    if sizes_in not in ("trun", "tfhd", "trex"):
+        raise ValueError("sizes_in: trun | tfhd | trex")
+    if ctts_offsets is not None and len(ctts_offsets) != len(frames):
+        raise ValueError("ctts_offsets must have one entry per frame")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def fullbox(btype: bytes, version: int, body: bytes,
+                flags: int = 0) -> bytes:
+        return box(btype, bytes([version]) + flags.to_bytes(3, "big")
+                   + body)
+
+    timescale = fps * 1000
+    delta = 1000
+    n = len(frames)
+    track_id = 1
+
+    ftyp = box(b"ftyp", b"iso5" + struct.pack(">I", 512) + b"iso6cmfc")
+    # moov: durations 0 (unknown until fragments), empty sample tables
+    mvhd = fullbox(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, 0) + b"\x00" * 80)
+    mdhd = fullbox(b"mdhd", 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    tkhd = fullbox(b"tkhd", 0, struct.pack(
+        ">IIIII", 0, 0, track_id, 0, 0) + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16))
+    hdlr = fullbox(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                   + b"fcs\x00")
+    entry = (struct.pack(">I", 86) + codec + b"\x00" * 6
+             + struct.pack(">H", 1)
+             + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x480000, 0x480000)
+             + b"\x00" * 4 + struct.pack(">H", 1)
+             + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stbl = box(b"stbl", b"".join([
+        fullbox(b"stsd", 0, struct.pack(">I", 1) + entry),
+        fullbox(b"stts", 0, struct.pack(">I", 0)),
+        fullbox(b"stsc", 0, struct.pack(">I", 0)),
+        fullbox(b"stsz", 0, struct.pack(">II", 0, 0)),
+        fullbox(b"stco", 0, struct.pack(">I", 0)),
+    ]))
+    # trex: duration defaults here; size only when sizes_in == "trex";
+    # default flags mark samples non-sync (bit 16)
+    trex = fullbox(b"trex", 0, struct.pack(
+        ">IIIII", track_id, 1, delta,
+        len(frames[0]) if sizes_in == "trex" else 0, _NON_SYNC_BIT))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + box(
+        b"mdia", mdhd + hdlr + box(b"minf", stbl)))
+        + box(b"mvex", trex))
+
+    out = [ftyp, moov]
+    frag_start_idx = list(range(0, n, max(frames_per_fragment, 1)))
+    next_dts = 0
+    for seq, fi in enumerate(frag_start_idx, start=1):
+        fr = frames[fi:fi + frames_per_fragment]
+        coffs = (ctts_offsets[fi:fi + len(fr)]
+                 if ctts_offsets is not None else None)
+        if sizes_in in ("tfhd", "trex") and len({len(f) for f in fr}) > 1:
+            raise ValueError(f"sizes_in={sizes_in} needs equal-size "
+                             "frames per fragment")
+        mdat_payload = b"".join(fr)
+
+        # build truns; data_offset values are patched after the moof
+        # size is known, so assemble with placeholders first
+        groups = ([fr[:1], fr[1:]] if split_trun and len(fr) > 1
+                  else [fr])
+        if coffs is None:
+            cgroups = [None] * len(groups)
+        elif len(groups) == 2:
+            cgroups = [coffs[:1], coffs[1:]]
+        else:
+            cgroups = [coffs]
+
+        def trun_body(g, cg, first: bool, with_offset: bool) -> bytes:
+            flags = 0x000200 if sizes_in == "trun" else 0
+            if with_offset:
+                flags |= 0x000001
+            if first:
+                flags |= 0x000004  # first_sample_flags (sync)
+            if cg is not None:
+                flags |= 0x000800
+            body = struct.pack(">I", len(g))
+            if with_offset:
+                body += struct.pack(">i", 0)  # patched later
+            if first:
+                body += struct.pack(">I", 0)  # sync sample flags
+            for k, f in enumerate(g):
+                if sizes_in == "trun":
+                    body += struct.pack(">I", len(f))
+                if cg is not None:
+                    body += struct.pack(">i", cg[k])
+            return fullbox(b"trun", 1, body, flags)
+
+        tf_flags = 0
+        tfhd_body = struct.pack(">I", track_id)
+        if base_mode == "moof":
+            tf_flags |= 0x020000
+        else:
+            tf_flags |= 0x000001
+            tfhd_body += struct.pack(">Q", 0)  # patched later
+        if sizes_in == "tfhd":
+            tf_flags |= 0x000010
+            tfhd_body += struct.pack(">I", len(fr[0]))
+        tfhd = fullbox(b"tfhd", 0, tfhd_body, tf_flags)
+        tfdt = (fullbox(b"tfdt", 1, struct.pack(">Q", next_dts))
+                if use_tfdt else b"")
+        # first trun carries a data_offset (0 for explicit base — the
+        # base already points at the mdat body; patched to the mdat
+        # body offset for base_mode=moof); later truns omit it and ride
+        # the implicit continuation cursor
+        truns = b"".join(
+            trun_body(g, cg, first=(gi == 0), with_offset=(gi == 0))
+            for gi, (g, cg) in enumerate(zip(groups, cgroups)))
+        mfhd = fullbox(b"mfhd", 0, struct.pack(">I", seq))
+        traf = box(b"traf", tfhd + tfdt + truns)
+        moof = box(b"moof", mfhd + traf)
+        mdat_body_off_in_frag = len(moof) + 8
+
+        # patch offsets now that the moof size is known
+        moof = bytearray(moof)
+        frag_base = sum(len(b) for b in out)
+        if base_mode == "explicit":
+            i = bytes(moof).find(b"tfhd") + 4 + 4 + 4  # hdr+ver/flags+tid
+            moof[i:i + 8] = struct.pack(
+                ">Q", frag_base + mdat_body_off_in_frag)
+        # first trun's data_offset, relative to the base
+        ti = bytes(moof).find(b"trun") + 4 + 4 + 4  # hdr+ver/flags+count
+        rel = mdat_body_off_in_frag if base_mode == "moof" else 0
+        moof[ti:ti + 4] = struct.pack(">i", rel)
+        out.append(bytes(moof))
+        out.append(box(b"mdat", mdat_payload))
+        next_dts += len(fr) * delta
+    return b"".join(out)

@@ -82,12 +82,14 @@ def test_variant_boxes(use_co64, fixed, v1):
 def test_extract_frames_every_n_and_sync():
     blob = encode_mp4_stub(FRAMES, keyframe_every=2)
     got = extract_frames(blob, every_n=2)
-    assert [(i, fb) for i, _, _, fb in got] == [
+    assert [(i, fb) for i, _, _, _, fb in got] == [
         (0, FRAMES[0]), (2, FRAMES[2]), (4, FRAMES[4])]
-    assert [d for _, d, _, _ in got] == [0.0, 0.5, 1.0]
+    assert [d for _, d, _, _, _ in got] == [0.0, 0.5, 1.0]
+    # no ctts -> pts == dts
+    assert [p for _, _, p, _, _ in got] == [0.0, 0.5, 1.0]
     sync = extract_frames(blob, sync_only=True)
-    assert [i for i, _, _, _ in sync] == [0, 2, 4]
-    assert all(s for _, _, s, _ in sync)
+    assert [i for i, _, _, _, _ in sync] == [0, 2, 4]
+    assert all(s for _, _, _, s, _ in sync)
 
 
 def test_malformed_inputs_fail_loudly():
@@ -138,3 +140,137 @@ def test_spark_metadata_and_frame_sample(spark):
         assert [bytes(r["frame_bytes"]) for r in rows] == [
             bytes([i]) * (3 + j) for j in range(2 + i)]
         assert rows[1]["dts_s"] == pytest.approx(1 / (2 + i))
+
+
+# ---------------------------------------------------------------------------
+# ctts / elst (late r7)
+
+def test_ctts_composition_offsets_v1_signed():
+    """pts = dts + ctts offset, negative offsets legal in v1."""
+    offs = [2000, -500, 0, 1000, 0]
+    blob = encode_mp4_stub(FRAMES, fps=4, ctts_offsets=offs)
+    t = parse_mp4(blob).tracks[0]
+    assert (t.cts - t.dts).tolist() == offs
+    got = extract_frames(blob, every_n=1)
+    ts = 4000
+    for i, (_, dts_s, pts_s, _, _) in enumerate(got):
+        assert pts_s == pytest.approx(dts_s + offs[i] / ts)
+
+
+def test_elst_edit_list_metadata():
+    """Empty-edit lead (media_time -1) accumulates into edit_lead_s
+    (movie timescale); the first non-empty edit's media_time is
+    exposed in media units."""
+    blob = encode_mp4_stub(FRAMES, fps=4,
+                           elst=[(500, -1), (4500, 1000)])
+    t = parse_mp4(blob).tracks[0]
+    assert t.n_edits == 2
+    assert t.edit_media_time == 1000
+    assert t.edit_lead_s == pytest.approx(500 / 4000)
+    # no elst -> defaults
+    t2 = parse_mp4(encode_mp4_stub(FRAMES)).tracks[0]
+    assert (t2.n_edits, t2.edit_media_time, t2.edit_lead_s) == (0, -1, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fragmented files (moof/traf/trun, late r7)
+
+from fileconvert_spark.operators.mp4 import encode_fmp4_stub  # noqa: E402
+
+
+@pytest.mark.parametrize("base_mode", ["moof", "explicit"])
+@pytest.mark.parametrize("sizes_in", ["trun", "tfhd", "trex"])
+def test_fmp4_frames_match_all_size_and_base_modes(base_mode, sizes_in):
+    """Fragmented layout: sample sizes may live in the trun (per
+    sample), the tfhd default, or fall through to the trex default;
+    offsets may be moof-relative (default-base-is-moof) or explicit
+    base_data_offset. All six combinations must slice identical
+    frames."""
+    frames = ([bytes([70 + j]) * 5 for j in range(7)]
+              if sizes_in != "trun"
+              else [bytes([70 + j]) * (3 + j % 4) for j in range(7)])
+    blob = encode_fmp4_stub(frames, base_mode=base_mode,
+                            sizes_in=sizes_in, frames_per_fragment=3)
+    t = parse_mp4(blob).tracks[0]
+    assert t.fragmented and t.n_samples == 7
+    got = extract_frames(blob, every_n=1)
+    assert [fb for _, _, _, _, fb in got] == frames
+
+
+def test_fmp4_matches_equivalent_plain_file():
+    """A fragmented file and a plain file built from the same frames
+    must parse to the same sizes/dts/sync and slice the same bytes —
+    only the offsets differ."""
+    frames = [bytes([80 + j]) * (4 + j % 3) for j in range(9)]
+    plain = parse_mp4(encode_mp4_stub(
+        frames, fps=4, samples_per_chunk=100, keyframe_every=3)).tracks[0]
+    frag = parse_mp4(encode_fmp4_stub(
+        frames, fps=4, frames_per_fragment=3)).tracks[0]
+    assert frag.sizes.tolist() == plain.sizes.tolist()
+    assert frag.dts.tolist() == plain.dts.tolist()
+    # plain stss marks every 3rd; fragments mark each fragment head —
+    # same cadence at frames_per_fragment == keyframe_every
+    assert frag.sync.tolist() == plain.sync.tolist()
+    assert frag.duration_s == pytest.approx(plain.duration_s)
+
+
+def test_fmp4_split_trun_and_running_dts_without_tfdt():
+    """Two truns per fragment (second rides the implicit continuation
+    cursor) and no tfdt (decode time accumulates across fragments):
+    dts must still be the global frame cadence and frames must match."""
+    frames = [bytes([90 + j]) * (3 + j % 5) for j in range(8)]
+    blob = encode_fmp4_stub(frames, fps=2, frames_per_fragment=3,
+                            split_trun=True, use_tfdt=False)
+    got = extract_frames(blob, every_n=1)
+    assert [fb for _, _, _, _, fb in got] == frames
+    assert [d for _, d, _, _, _ in got] == pytest.approx(
+        [j / 2 for j in range(8)])
+
+
+def test_fmp4_trun_composition_offsets():
+    offs = [0, 500, -250, 0, 1000, 0, 0]
+    blob = encode_fmp4_stub([bytes([65 + j]) * 4 for j in range(7)],
+                            fps=4, ctts_offsets=offs)
+    t = parse_mp4(blob).tracks[0]
+    assert (t.cts - t.dts).tolist() == offs
+
+
+def test_fmp4_sync_flags_first_sample_per_fragment():
+    blob = encode_fmp4_stub([b"x" * 4] * 7, frames_per_fragment=3)
+    t = parse_mp4(blob).tracks[0]
+    assert t.sync.tolist() == [True, False, False,
+                               True, False, False, True]
+    sync = extract_frames(blob, sync_only=True)
+    assert [i for i, _, _, _, _ in sync] == [0, 3, 6]
+
+
+def test_fmp4_moof_unknown_track_fails_loudly():
+    blob = bytearray(encode_fmp4_stub([b"x" * 4] * 3))
+    # corrupt the tfhd track_id (offset: after 'tfhd' 4cc + verflags)
+    i = bytes(blob).find(b"tfhd") + 8
+    blob[i:i + 4] = (99).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="unknown track"):
+        parse_mp4(bytes(blob))
+
+
+def test_fmp4_spark_surface(spark):
+    """mp4_track_metadata / mp4_frame_sample over a mixed frame of
+    plain and fragmented blobs."""
+    rows = [
+        (0, bytearray(encode_mp4_stub(
+            [bytes([65 + j]) * 5 for j in range(4)], fps=2))),
+        (1, bytearray(encode_fmp4_stub(
+            [bytes([75 + j]) * 6 for j in range(6)], fps=2,
+            frames_per_fragment=2))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r["media_id"]: r for r in mp4_track_metadata(df).collect()}
+    assert meta[0]["n_samples"] == 4 and meta[1]["n_samples"] == 6
+    assert meta[1]["duration_s"] == pytest.approx(3.0)
+    frames = mp4_frame_sample(df, every_n=1).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], bytes(r["frame_bytes"])))
+    assert sorted(by_id[1]) == [(j, bytes([75 + j]) * 6)
+                                for j in range(6)]

@@ -1785,3 +1785,40 @@ def test_audit_components_simhash_hamming_metric(spark):
 
     with pytest.raises(ValueError, match="unknown metric"):
         audit_components(comp, docs, "doc_id", metric="euclid").collect()
+
+
+def test_cosine_components_isolated_pairs_among_background(spark):
+    """The failure the 2.3M scale run exposed (BENCH/SCALE_r7.md
+    §cosine): coarse sign-bit buckets bury an isolated near-dup pair
+    under background interlopers in the bucket sort, and the chain
+    window can't bridge them. With auto-sized buckets (~64 rows) +
+    the signature prefilter + chain_window=8, isolated pairs among a
+    40x larger background must co-member at high rate — and the
+    background must stay unclustered."""
+    import numpy as np
+
+    from fileconvert_spark.operators.dedup import cosine_components
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    dim = 32
+    rows = []
+    for i in range(4000):  # background: random unit gaussians
+        rows.append((i, rng.standard_normal(dim)
+                     .astype(np.float32).tolist()))
+    pair_ids = []
+    for p in range(50):  # isolated planted pairs at cosine ~0.995
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for j in range(2):
+            v = base + 0.07 / np.sqrt(dim) * rng.standard_normal(dim)
+            rows.append((100000 + p * 2 + j,
+                         v.astype(np.float32).tolist()))
+        pair_ids.append((100000 + p * 2, 100000 + p * 2 + 1))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    comp = {r["id"]: r["component"] for r in
+            cosine_components(df, threshold=0.95).collect()}
+    co = sum(1 for a, b in pair_ids
+             if comp.get(a) is not None and comp.get(a) == comp.get(b))
+    assert co >= 45, f"only {co}/50 isolated pairs co-membered"
+    assert not any(i < 4000 for i in comp), "background clustered"

@@ -1,0 +1,250 @@
+"""cosine_components at multi-million-vector scale (r8 candidate #2,
+pulled into r7).
+
+The r6 measurement that moved text dedup from pairs to components —
+pair output is Theta(m^2) per m-member near-dup crowd — applies to
+embedding crowds identically: this driver PLANTS such crowds (50 x
+2000-member heavy crowds = 100M would-be pairs from 100k rows) plus
+isolated near-dup pairs, runs cosine_components on the full corpus,
+and measures wall seconds, shuffle bytes (REST API — the "one wide
+shuffle, fixed multiple of the corpus, never a pair stream" claim),
+planted co-membership recall, background false-merge count, and the
+audit_components(metric="cosine") precision distribution.
+
+    python tools/scale_cosine.py [n_background=2000000] [dim=64] \
+        [work=/tmp/fcs_cos] [--keep]
+
+Corpus layout (deterministic, PCG64 keyed per batch; assignments are
+pure per-id functions):
+- background: mixture of 2000 unit-sphere gaussian centers, total
+  noise norm 0.6 — same-cluster cosines ~0.74, far below the 0.95
+  threshold, so background rows must NOT cluster (false-merge probe).
+- heavy crowds: N_HEAVY crowds x M_HEAVY members around fresh unit
+  centers, noise norm 0.15 — pairwise cosine ~0.978. The Theta(m^2)
+  case: co-membership is asserted by sampled within-crowd pairs.
+- light pairs: N_LIGHT isolated 2-member crowds, noise norm 0.12 —
+  pairwise cosine ~0.986; every pair is checked exactly.
+
+One JSON line on stdout; recorded in BENCH/SCALE_r7.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import fileconvert_spark  # noqa: F401,E402  (malloc tuning before numpy)
+import numpy as np  # noqa: E402
+
+from scale_ann import PhaseMeter, du  # noqa: E402  (driver-side only)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic per-id uniform in [0,1). Local copy (not imported
+    from scale_ann): the generator closure ships to Python workers,
+    where tools/ is not on sys.path — a cross-module reference fails to
+    unpickle there."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return (z >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+N_BG_CLUSTERS = 2000
+SIGMA_BG = 0.6
+N_HEAVY = 50
+M_HEAVY = 2000
+SIGMA_HEAVY = 0.15
+N_LIGHT = 100_000
+SIGMA_LIGHT = 0.12
+THRESHOLD = 0.95
+SEED = 11
+
+
+def gen_corpus(spark, n_background: int, dim: int, path: str) -> dict:
+    """Write background + planted crowds in parallel. Row id layout:
+    [0, n_background) background; then heavy crowd members (crowd =
+    (id-base)//M_HEAVY); then light pair members (pair = (id-base)//2).
+    Pure per-id assignment, batch-seeded noise."""
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    bg_centers = rng.standard_normal((N_BG_CLUSTERS, dim))
+    bg_centers /= np.linalg.norm(bg_centers, axis=1, keepdims=True)
+    heavy_centers = rng.standard_normal((N_HEAVY, dim))
+    heavy_centers /= np.linalg.norm(heavy_centers, axis=1, keepdims=True)
+    light_centers = rng.standard_normal((N_LIGHT, dim))
+    light_centers /= np.linalg.norm(light_centers, axis=1, keepdims=True)
+
+    heavy_base = n_background
+    light_base = heavy_base + N_HEAVY * M_HEAVY
+    n_total = light_base + N_LIGHT * 2
+    bc = spark.sparkContext.broadcast(
+        {"bg": bg_centers, "heavy": heavy_centers, "light": light_centers})
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            v = bc.value
+            d = v["bg"].shape[1]
+            base = np.empty((len(ids), d))
+            sig = np.empty(len(ids))
+            is_bg = ids < heavy_base
+            is_heavy = (ids >= heavy_base) & (ids < light_base)
+            is_light = ids >= light_base
+            bg_assign = (_splitmix64(ids[is_bg])
+                         * N_BG_CLUSTERS).astype(np.int64)
+            base[is_bg] = v["bg"][bg_assign]
+            sig[is_bg] = SIGMA_BG
+            base[is_heavy] = v["heavy"][
+                (ids[is_heavy] - heavy_base) // M_HEAVY]
+            sig[is_heavy] = SIGMA_HEAVY
+            base[is_light] = v["light"][(ids[is_light] - light_base) // 2]
+            sig[is_light] = SIGMA_LIGHT
+            brng = np.random.Generator(np.random.PCG64(
+                SEED ^ int(ids[0]) if len(ids) else SEED))
+            x = base + (sig[:, None] / np.sqrt(d)
+                        ) * brng.standard_normal((len(ids), d))
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [row.astype(np.float32) for row in x]})
+
+    (spark.range(n_total, numPartitions=256)
+     .mapInPandas(gen, "vec_id long, embedding array<float>")
+     .write.mode("error").parquet(path))
+    return {"n_total": n_total, "heavy_base": heavy_base,
+            "light_base": light_base}
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    n_background = int(args[0]) if len(args) > 0 else 2_000_000
+    dim = int(args[1]) if len(args) > 1 else 64
+    work = args[2] if len(args) > 2 else "/tmp/fcs_cos"
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.operators.dedup import (
+        audit_components, cosine_components)
+    from fileconvert_spark.session import get_spark
+
+    if os.path.exists(work):
+        shutil.rmtree(work)
+    os.makedirs(work)
+    spark = get_spark("scale-cosine",
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    meter = PhaseMeter()
+    out: dict = {"n_background": n_background, "dim": dim,
+                 "n_heavy_crowds": N_HEAVY, "m_heavy": M_HEAVY,
+                 "n_light_pairs": N_LIGHT, "threshold": THRESHOLD}
+
+    def prog(key):
+        print(f"[scale_cosine] {key}: {json.dumps(out[key])}",
+              file=sys.stderr, flush=True)
+
+    corpus_path = os.path.join(work, "corpus.parquet")
+    meter.start()
+    layout = gen_corpus(spark, n_background, dim, corpus_path)
+    out["gen"] = {**meter.stop(), "bytes": du(corpus_path),
+                  **layout}
+    prog("gen")
+    heavy_base, light_base = layout["heavy_base"], layout["light_base"]
+    emb = spark.read.parquet(corpus_path)
+
+    # ---- phase 1: components over the full corpus
+    labels_path = os.path.join(work, "labels.parquet")
+    meter.start()
+    comp = cosine_components(emb, threshold=THRESHOLD)
+    comp.write.mode("overwrite").parquet(labels_path)
+    m = meter.stop()
+    labels = spark.read.parquet(labels_path)
+    n_clustered = labels.count()
+    n_components = labels.select("component").distinct().count()
+    out["components"] = {
+        **m, "rows_clustered": int(n_clustered),
+        "n_components": int(n_components),
+        "corpus_bytes": out["gen"]["bytes"],
+        "shuffle_to_corpus_ratio": round(
+            m.get("shuffle_read_b", 0) / max(out["gen"]["bytes"], 1), 2)}
+    prog("components")
+
+    # ---- phase 2: planted recall as co-membership + false merges
+    def co_membership(pairs_df) -> float:
+        la = labels.select(F.col("id").alias("id_a"),
+                           F.col("component").alias("ca"))
+        lb = labels.select(F.col("id").alias("id_b"),
+                           F.col("component").alias("cb"))
+        j = pairs_df.join(la, "id_a", "left").join(lb, "id_b", "left")
+        r = j.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("ca").isNotNull() & (F.col("ca") == F.col("cb")))
+                  .cast("long")).alias("co")).first()
+        return (r["co"] or 0) / max(r["n"], 1)
+
+    meter.start()
+    # heavy: 20 sampled member pairs per crowd (member j vs j+healthy
+    # stride — spans the crowd, not just adjacent ids)
+    hp = []
+    for c in range(N_HEAVY):
+        b = heavy_base + c * M_HEAVY
+        hp += [(b + j, b + (j + 997) % M_HEAVY) for j in range(0, M_HEAVY,
+                                                               M_HEAVY // 20)]
+    heavy_pairs = spark.createDataFrame(hp, "id_a long, id_b long")
+    light_pairs = spark.range(N_LIGHT).select(
+        (F.lit(light_base) + F.col("id") * 2).alias("id_a"),
+        (F.lit(light_base) + F.col("id") * 2 + 1).alias("id_b"))
+    heavy_co = co_membership(heavy_pairs)
+    light_co = co_membership(light_pairs)
+    # background rows must not cluster: count clustered ids below
+    # heavy_base, and components mixing planted + background members
+    bg_clustered = labels.filter(F.col("id") < heavy_base).count()
+    mixed = (labels
+             .withColumn("kind", (F.col("id") >= heavy_base).cast("int"))
+             .groupBy("component")
+             .agg(F.countDistinct("kind").alias("k"))
+             .filter(F.col("k") > 1).count())
+    out["planted"] = {
+        **meter.stop(),
+        "heavy_pairs_checked": len(hp),
+        "co_membership_heavy": round(heavy_co, 4),
+        "co_membership_light": round(light_co, 4),
+        "background_rows_clustered": int(bg_clustered),
+        "components_mixing_planted_and_background": int(mixed)}
+    prog("planted")
+
+    # ---- phase 3: precision audit in the operator's own units
+    meter.start()
+    aud = audit_components(labels, emb, "vec_id", text_col="embedding",
+                           metric="cosine", sample_per_component=3)
+    qs = aud.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("cosine") >= THRESHOLD).cast("long")).alias("ok"),
+        F.expr("percentile_approx(cosine, array(0.01, 0.05, 0.5), 10000)")
+        .alias("q")).first()
+    out["audit"] = {
+        **meter.stop(), "edges": int(qs["n"]),
+        "frac_cosine_ge_threshold":
+            round((qs["ok"] or 0) / max(qs["n"], 1), 4),
+        "cosine_p01_p05_p50": [round(v, 4) for v in qs["q"]]}
+    prog("audit")
+
+    print(json.dumps(out))
+    if "--keep" not in flags:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
