@@ -20,6 +20,13 @@ import pyarrow as pa
 U32 = struct.Struct("<I")
 U64 = struct.Struct("<Q")
 
+# gates for trying the Huffman candidate in pack_uints_auto: dictionary
+# code streams are small-alphabet and long; tiny or wide streams can't
+# amortize the k-byte lens table (sizes are compared exactly anyway,
+# these just skip the code-length build where it can't win)
+_HUFF_MAX_K = 4096
+_HUFF_MIN_N = 512
+
 
 def bitwidth_for(max_val: int) -> int:
     """Bits needed to represent values in [0, max_val]."""
@@ -85,13 +92,17 @@ def pack_uints_auto(vals: np.ndarray) -> bytes:
     two-stream hybrid: a b-bit stream for all positions (code 2^b-1 =
     escape) plus a full-width overflow stream for values >= 2^b-1.
 
-    On skewed (e.g. frequency-ranked dictionary index) streams this
+    On skewed (e.g. frequency-ranked dictionary index) streams the hybrid
     approaches the entropy bound while staying fully vectorizable both
-    ways — no sequential entropy-decode loop.
+    ways; small-alphabet streams additionally try a canonical Huffman
+    code (functions/huffman.py) and the smallest exact encoding wins —
+    the per-chunk line/path/value-dictionary index streams are where the
+    order-0 entropy gap is worth a table.
 
     Layout: [u32 n][u8 tag]
       tag 0: [u8 w][bits n*w]
       tag 1: [u8 b][u8 w][u32 n_ovf][bits n*b][bits n_ovf*w]
+      tag 2: canonical length-limited Huffman (huffman.py body)
     """
     v = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(v)
@@ -101,6 +112,7 @@ def pack_uints_auto(vals: np.ndarray) -> bytes:
     w = bitwidth_for(vmax)
     plain_sz = packed_size(n, w)
     best = None
+    counts = None
     if 1 < w <= 32 and vmax < (1 << 22):
         counts = np.bincount(v.astype(np.int64), minlength=vmax + 1)
         cum = np.cumsum(counts)  # cum[x] = #values <= x
@@ -110,6 +122,19 @@ def pack_uints_auto(vals: np.ndarray) -> bytes:
             sz = packed_size(n, b) + 4 + packed_size(n_ovf, w)
             if best is None or sz < best[0]:
                 best = (sz, b, n_ovf)
+    # totals after the shared [u32 n] frame: tag byte + tag-specific header
+    plain_total = 2 + plain_sz
+    hybrid_total = 3 + best[0] if best is not None else plain_total
+    if (counts is not None and w > 1 and vmax < _HUFF_MAX_K
+            and n >= _HUFF_MIN_N):
+        from . import huffman
+
+        lens = huffman.code_lengths(counts)
+        if 1 + huffman.exact_size(counts, lens, n) < min(plain_total,
+                                                         hybrid_total):
+            body = huffman.encode(v, lens)
+            if 1 + len(body) < min(plain_total, hybrid_total):
+                return U32.pack(n) + bytes([2]) + body
     if best is not None and best[0] + 2 < plain_sz:
         _, b, _ = best
         esc = np.uint64((1 << b) - 1)
@@ -128,6 +153,11 @@ def unpack_uints_auto(buf: memoryview) -> tuple[np.ndarray, int]:
         w = buf[5]
         nb = packed_size(n, w)
         return unpack_uints(buf[6 : 6 + nb], w, n), 6 + nb
+    if tag == 2:
+        from . import huffman
+
+        vals, consumed = huffman.decode(buf[5:], n)
+        return vals, 5 + consumed
     b, w = buf[5], buf[6]
     n_ovf = U32.unpack_from(buf, 7)[0]
     off = 11

@@ -493,8 +493,22 @@ def select_and_encode_str(arr: pa.Array,
     est: dict[str, float] = {}
     est["raw"] = n_bytes + packed_size(n, 20) + 16
     idx_w = bitwidth_for(max(k - 1, 0))
-    # dictionary blob may itself FSST-compress; assume modest 0.7 if large
-    blob_est = dict_bytes * (0.7 if dict_bytes >= _FSST_BLOB_MIN else 1.0) + k * 2
+    # hash-like chunks (commits, digests) matter twice: as a standalone
+    # hex codec AND inside the dict estimate — _flagged_blob_encode packs
+    # a hex-eligible dictionary at 2 chars/byte, so a repeated-hash chunk
+    # (many files per commit) dict-codes to k*len/2 + small indices, far
+    # under the 0.7 FSST guess that used to hide the win from selection
+    hex_ok = (st["avg_len"] >= 4
+              and _hex_eligible(arr.slice(0, min(n, 8)))
+              and _hex_eligible(arr))
+    # dictionary blob may itself hex-pack or FSST-compress
+    if hex_ok:
+        blob_factor = 0.5
+    elif dict_bytes >= _FSST_BLOB_MIN:
+        blob_factor = 0.7
+    else:
+        blob_factor = 1.0
+    blob_est = dict_bytes * blob_factor + k * 2
     est["dict"] = packed_size(n, idx_w) + blob_est + 24
     if runs <= n // 2 or runs <= 4:
         rv = arr.take(np.flatnonzero(
@@ -548,13 +562,11 @@ def select_and_encode_str(arr: pa.Array,
             if nseg == 0 or len(pc.unique(flat)) < 0.95 * nseg:
                 est["pathdict"] = _sepdict_est("/", "pathdict")
 
-    # hex-pack: hash-like columns (commits, digests) — 2 chars/byte exact.
-    # Sample-gate the (cheap) full regex check to hex-looking data only.
-    if st["avg_len"] >= 4 and k > n // 4:
-        probe = arr.slice(0, min(n, 8))
-        if _hex_eligible(probe) and _hex_eligible(arr):
-            _, hx_bytes = _string_buffers(arr)
-            est["hex"] = hx_bytes / 2 + packed_size(n, 8) + 16
+    # hex-pack: hash-like columns (commits, digests) — 2 chars/byte exact
+    # (hex_ok computed above, shared with the dict blob estimate)
+    if hex_ok:
+        _, hx_bytes = _string_buffers(arr)
+        est["hex"] = hx_bytes / 2 + packed_size(n, 8) + 16
 
     # fsst: trial-encode a sample (only sensible when values are mostly
     # unique); the trial-trained table is reused for the real encode —

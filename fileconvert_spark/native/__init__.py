@@ -225,6 +225,17 @@ def load():
         c_int64,                                # nd
         POINTER(c_uint64),                      # out_sig
     ]
+    from ctypes import c_uint32
+
+    lib.huff_decode.restype = c_int64
+    lib.huff_decode.argtypes = [
+        POINTER(c_uint8),                       # payload (+4 pad readable)
+        POINTER(c_uint32), POINTER(c_uint8),    # lut_sym, lut_len
+        c_int64,                                # table_bits
+        POINTER(c_int64), c_int64,              # seg_off, n_seg
+        c_int64, c_int64,                       # seg_syms, n
+        POINTER(c_uint32),                      # out
+    ]
     _LIB = lib
     return lib
 
@@ -460,3 +471,36 @@ def simhash_batch(wh, wc):
         wc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         nd, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out[:nd]
+
+
+def huff_decode(payload, lut_sym, lut_len, table_bits: int, seg_off,
+                seg_syms: int, n: int):
+    """C canonical-Huffman segment decode; returns uint32[n] symbols or
+    None when unavailable. Byte-identical to huffman._decode_numpy with
+    the same prefix LUT (property-tested). Raises ValueError on corrupt
+    streams (invalid code / segment overrun), matching the NumPy path."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, dtype=np.uint8)
+    # the kernel reads 4-byte windows at the tail: give it a padded copy
+    buf = np.zeros(payload.size + 4, dtype=np.uint8)
+    buf[: payload.size] = payload
+    lut_sym = np.ascontiguousarray(lut_sym, dtype=np.uint32)
+    lut_len = np.ascontiguousarray(lut_len, dtype=np.uint8)
+    seg_off = np.ascontiguousarray(seg_off, dtype=np.int64)
+    n_seg = seg_off.size - 1
+    out = np.empty(max(int(n_seg * seg_syms), 1), dtype=np.uint32)
+    rc = lib.huff_decode(
+        _u8p(buf),
+        lut_sym.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        _u8p(lut_len), int(table_bits),
+        seg_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(n_seg), int(seg_syms), int(n),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc < 0:
+        raise ValueError(
+            f"huffman: corrupt stream in segment {-rc - 1}")
+    return out[:n]

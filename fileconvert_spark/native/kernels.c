@@ -605,3 +605,49 @@ int64_t simhash_batch(const uint64_t *wh, const int64_t *wc, int64_t nd,
     }
     return nd;
 }
+
+/* ------------------------------------------------------------------ *
+ * Canonical Huffman segment decode — mirrors huffman._decode_numpy.
+ *
+ * payload: concatenated byte-aligned segment bitstreams, readable for
+ * seg_off[n_seg] + 4 bytes (caller zero-pads, matching the NumPy
+ * window reads). lut_sym/lut_len: the 2^table_bits prefix LUT built by
+ * huffman._decode_lut (lut_len[w] = 0 marks an invalid window, only
+ * reachable on corrupt streams). seg_off: n_seg+1 byte offsets into
+ * payload. out must hold n uint32 symbols. Returns n, or -(seg+1) on a
+ * corrupt segment (invalid code / bit-cursor overrun).
+ * ------------------------------------------------------------------ */
+int64_t huff_decode(const uint8_t *payload,
+                    const uint32_t *lut_sym, const uint8_t *lut_len,
+                    int64_t table_bits,
+                    const int64_t *seg_off, int64_t n_seg,
+                    int64_t seg_syms, int64_t n, uint32_t *out)
+{
+    const uint32_t mask = (uint32_t)((1u << table_bits) - 1u);
+    for (int64_t s = 0; s < n_seg; s++) {
+        int64_t count = n - s * seg_syms;
+        if (count > seg_syms)
+            count = seg_syms;
+        uint64_t bp = (uint64_t)seg_off[s] * 8u;
+        const uint64_t end = (uint64_t)seg_off[s + 1] * 8u;
+        uint32_t *dst = out + s * seg_syms;
+        for (int64_t j = 0; j < count; j++) {
+            const uint64_t b = bp >> 3;
+            const uint32_t win =
+                (((uint32_t)payload[b] << 24)
+                 | ((uint32_t)payload[b + 1] << 16)
+                 | ((uint32_t)payload[b + 2] << 8)
+                 | (uint32_t)payload[b + 3])
+                >> (32 - (int)table_bits - (int)(bp & 7u));
+            const uint32_t w = win & mask;
+            const uint8_t l = lut_len[w];
+            if (!l)
+                return -(s + 1);
+            dst[j] = lut_sym[w];
+            bp += l;
+            if (bp > end)
+                return -(s + 1);
+        }
+    }
+    return n;
+}

@@ -1,0 +1,151 @@
+"""Canonical Huffman coder: roundtrips, C/NumPy equivalence, size bound,
+pack_uints_auto tag-2 integration, corrupt-stream handling."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fileconvert_spark import native
+from fileconvert_spark.functions import huffman as H
+from fileconvert_spark.functions.bitpack import (
+    pack_uints_auto,
+    unpack_uints_auto,
+)
+
+
+def _skewed(rng, k, n, skew=1.3):
+    p = 1.0 / np.arange(1, k + 1) ** skew
+    p /= p.sum()
+    return rng.choice(k, size=n, p=p).astype(np.uint64)
+
+
+def _roundtrip(vals, k):
+    counts = np.bincount(vals.astype(np.int64), minlength=k)
+    lens = H.code_lengths(counts)
+    blob = H.encode(vals, lens)
+    dec, consumed = H.decode(memoryview(blob), len(vals))
+    assert consumed == len(blob)
+    assert np.array_equal(dec, vals)
+    return counts, lens, blob
+
+
+def test_roundtrip_shapes():
+    rng = np.random.default_rng(7)
+    for k, n in [(2, 10), (547, 100_000), (4096, 50_000), (3, 4097),
+                 (100, 4096), (7, 8193), (17, 1), (2, 2)]:
+        _roundtrip(_skewed(rng, k, n), k)
+
+
+def test_single_symbol_alphabet():
+    # degenerate one-symbol code: len 1, incomplete Kraft — still decodes
+    vals = np.full(1000, 3, dtype=np.uint64)
+    _roundtrip(vals, 4)
+
+
+def test_kraft_equality_and_length_limit():
+    rng = np.random.default_rng(1)
+    # extreme skew forces raw lengths far past MAX_LEN before adjustment
+    counts = (2.0 ** np.arange(40)).astype(np.int64)
+    lens = H.code_lengths(counts)
+    assert lens.max() <= H.MAX_LEN
+    kraft = np.sum(np.where(lens > 0, 2.0 ** (-lens.astype(float)), 0))
+    assert abs(kraft - 1.0) < 1e-12
+    vals = rng.choice(40, size=5000,
+                      p=counts / counts.sum()).astype(np.uint64)
+    _roundtrip(vals, 40)
+
+
+def test_exact_size_is_upper_bound():
+    rng = np.random.default_rng(3)
+    for k, n in [(50, 9000), (4096, 20_000), (2, 600)]:
+        vals = _skewed(rng, k, n)
+        counts = np.bincount(vals.astype(np.int64), minlength=k)
+        lens = H.code_lengths(counts)
+        assert len(H.encode(vals, lens)) <= H.exact_size(counts, lens, n)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_native_matches_numpy(data):
+    if native.load() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    k = data.draw(st.integers(1, 600))
+    n = data.draw(st.integers(1, 20_000))
+    vals = (np.zeros(n, dtype=np.uint64) if k == 1
+            else _skewed(rng, k, n, skew=data.draw(st.floats(0.0, 3.0))))
+    counts = np.bincount(vals.astype(np.int64), minlength=k)
+    lens = H.code_lengths(counts)
+    blob = H.encode(vals, lens)
+    buf = memoryview(blob)
+    table_bits = buf[0]
+    kk = int.from_bytes(buf[1:5], "little")
+    off = 5 + kk
+    n_seg = int.from_bytes(buf[off + 4: off + 8], "little")
+    seg_syms = int.from_bytes(buf[off: off + 4], "little")
+    off += 8
+    seg_bytes = np.frombuffer(buf, dtype=np.uint32, count=n_seg,
+                              offset=off).astype(np.int64)
+    off += 4 * n_seg
+    payload = np.frombuffer(buf, dtype=np.uint8, offset=off)
+    lut_sym, lut_len = H._decode_lut(
+        np.frombuffer(buf, dtype=np.uint8, count=kk, offset=5).copy(),
+        table_bits)
+    seg_off = np.concatenate([[0], np.cumsum(seg_bytes)])
+    c_out = native.huff_decode(payload, lut_sym, lut_len, table_bits,
+                               seg_off, seg_syms, n)
+    np_out = H._decode_numpy(payload, lut_sym, lut_len, table_bits,
+                             seg_off, seg_syms, n)
+    assert np.array_equal(np.asarray(c_out, dtype=np.uint64), np_out)
+    assert np.array_equal(np_out, vals)
+
+
+def test_pack_uints_auto_tag2_selected_and_roundtrips():
+    rng = np.random.default_rng(11)
+    # strongly skewed small alphabet, long stream -> huffman must win
+    vals = _skewed(rng, 547, 60_000, skew=1.2)
+    blob = pack_uints_auto(vals)
+    assert blob[4] == 2, "expected huffman tag on a skewed dict stream"
+    out, consumed = unpack_uints_auto(memoryview(blob))
+    assert consumed == len(blob)
+    assert np.array_equal(out, vals)
+    # uniform full-width stream -> huffman cannot beat plain packing
+    flat = rng.integers(0, 2**20, size=4096).astype(np.uint64)
+    blob2 = pack_uints_auto(flat)
+    assert blob2[4] != 2
+    out2, _ = unpack_uints_auto(memoryview(blob2))
+    assert np.array_equal(out2, flat)
+
+
+def test_pack_uints_auto_tag2_trailing_data():
+    # consumed must be exact so concatenated streams keep working
+    rng = np.random.default_rng(13)
+    a = _skewed(rng, 300, 30_000)
+    b = rng.integers(0, 50, size=1000).astype(np.uint64)
+    blob = pack_uints_auto(a) + pack_uints_auto(b)
+    buf = memoryview(blob)
+    out_a, used = unpack_uints_auto(buf)
+    out_b, used_b = unpack_uints_auto(buf[used:])
+    assert used + used_b == len(blob)
+    assert np.array_equal(out_a, a)
+    assert np.array_equal(out_b, b)
+
+
+def test_truncated_payload_raises():
+    rng = np.random.default_rng(17)
+    vals = _skewed(rng, 200, 20_000)
+    counts = np.bincount(vals.astype(np.int64), minlength=200)
+    blob = H.encode(vals, H.code_lengths(counts))
+    with pytest.raises(ValueError):
+        H.decode(memoryview(blob[: len(blob) // 2]), len(vals))
+
+
+def test_corrupt_lens_table_raises():
+    rng = np.random.default_rng(19)
+    vals = _skewed(rng, 64, 10_000)
+    counts = np.bincount(vals.astype(np.int64), minlength=64)
+    blob = bytearray(H.encode(vals, H.code_lengths(counts)))
+    blob[6] = 1  # a second 1-bit code -> Kraft violation
+    with pytest.raises(ValueError):
+        H.decode(memoryview(bytes(blob)), len(vals))
