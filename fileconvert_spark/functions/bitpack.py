@@ -23,8 +23,10 @@ U64 = struct.Struct("<Q")
 # gates for trying the Huffman candidate in pack_uints_auto: dictionary
 # code streams are small-alphabet and long; tiny or wide streams can't
 # amortize the k-byte lens table (sizes are compared exactly anyway,
-# these just skip the code-length build where it can't win)
-_HUFF_MAX_K = 4096
+# these just skip the code-length build where it can't win). 16384
+# covers per-chunk path-segment dictionaries (~6k uniques measured);
+# the 16-bit canonical limit itself supports up to 65536 symbols.
+_HUFF_MAX_K = 16384
 _HUFF_MIN_N = 512
 
 

@@ -571,6 +571,19 @@ def fsst_encode_array(arr: pa.Array, table: list[bytes] | None = None
     return payload, serialize_table(table)
 
 
+def fsst_payload_header(payload: memoryview) -> tuple[int, int]:
+    """(n_strings, header_bytes) of an fsst_encode_array payload — the
+    header is [u32 n][framed packed enc_lengths]; the code-byte stream
+    follows (codecs.enc_fsst_str entropy-codes just that stream). Reads
+    only the frame header, never unpacks the lengths."""
+    from .bitpack import packed_size
+
+    n = _U32.unpack_from(payload, 0)[0]
+    n_lens = _U32.unpack_from(payload, 4)[0]
+    width = payload[8]
+    return n, 4 + 5 + packed_size(n_lens, width)
+
+
 def fsst_decode_array(payload: bytes | memoryview, table_blob: bytes) -> pa.Array:
     from .bitpack import unpack_uints_framed
 

@@ -195,13 +195,16 @@ def exact_size(counts: np.ndarray, lens: np.ndarray, n: int) -> int:
     return 1 + 4 + k + 4 + 4 + 4 * n_seg + body
 
 
-def encode(vals: np.ndarray, lens: np.ndarray) -> bytes:
-    """Encode a uint stream with the given per-symbol code lengths."""
-    v = np.ascontiguousarray(vals, dtype=np.int64)
+_ENC_BLOCK = SEG_SYMS * 256   # symbols per vectorized encode block: caps
+                              # the n-length int64 temporaries at ~8 MB
+                              # each regardless of stream size (FSST code
+                              # streams reach ~15M symbols per 32 MB chunk)
+
+
+def _encode_block(v: np.ndarray, sym_len: np.ndarray, codes: np.ndarray
+                  ) -> tuple[bytes, np.ndarray]:
+    """Encode a segment-aligned block; returns (bytes, seg_byte_lens)."""
     n = len(v)
-    k = len(lens)
-    codes = canonical_codes(lens)
-    sym_len = lens.astype(np.int64)
     L = sym_len[v]
     if np.any(L == 0):
         raise ValueError("huffman.encode: symbol with zero code length")
@@ -229,12 +232,29 @@ def encode(vals: np.ndarray, lens: np.ndarray) -> bytes:
         buf[: total_bytes + 4] += np.bincount(
             byte_idx + j, weights=lane, minlength=total_bytes + 4
         ).astype(np.int64)
-    payload = buf[:total_bytes].astype(np.uint8).tobytes()
+    return buf[:total_bytes].astype(np.uint8).tobytes(), seg_bytes
+
+
+def encode(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Encode a uint stream with the given per-symbol code lengths."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    k = len(lens)
+    codes = canonical_codes(lens)
+    sym_len = lens.astype(np.int64)
+    parts = []
+    seg_lens = []
+    for lo in range(0, max(n, 1), _ENC_BLOCK):
+        blk, sb = _encode_block(v[lo: lo + _ENC_BLOCK], sym_len, codes)
+        parts.append(blk)
+        seg_lens.append(sb)
+    seg_bytes = np.concatenate(seg_lens)
+    n_seg = len(seg_bytes)
     head = (bytes([MAX_LEN]) + U32.pack(k)
             + lens.astype(np.uint8).tobytes()
             + U32.pack(SEG_SYMS) + U32.pack(n_seg)
             + np.asarray(seg_bytes, dtype=np.uint32).tobytes())
-    return head + payload
+    return head + b"".join(parts)
 
 
 def decode(buf: memoryview, n: int) -> tuple[np.ndarray, int]:

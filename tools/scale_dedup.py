@@ -148,6 +148,13 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
             pairs_rows = int(a.split("=", 1)[1])
         if a.startswith("--phases="):
             phases = set(a.split("=", 1)[1].split(","))
+    # simhash contract sweep knob (r7 audit follow-up): the banding
+    # geometry adapts (combinatorial pigeonhole picks the block count
+    # for the requested radius)
+    max_hamming = 3
+    for a in sys.argv:
+        if a.startswith("--max-hamming="):
+            max_hamming = int(a.split("=", 1)[1])
 
     def want(phase: str) -> bool:
         return phases is None or phase in phases
@@ -386,12 +393,15 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
     # ---- phase 3b: SimHash components (FULL corpus, linear edges)
     if want("simhash_components"):
         meter.start()
-        shc = simhash_components(nd_input, "doc_id", max_hamming=3,
-                                 n_blocks=6).persist()
+        shc = simhash_components(nd_input, "doc_id",
+                                 max_hamming=max_hamming,
+                                 n_blocks=6 if max_hamming == 3 else None
+                                 ).persist()
         n_nodes = shc.count()
         n_comp = shc.select("component").distinct().count()
         out["simhash_components"] = {
-            **meter.stop(), "docs_clustered": int(n_nodes),
+            **meter.stop(), "max_hamming": max_hamming,
+            "docs_clustered": int(n_nodes),
             "clusters": int(n_comp),
             "planted_corecall_light": round(corecall(shc, ndl_pairs), 4),
             "planted_corecall_heavy": round(corecall(shc, ndh_pairs), 4)}
@@ -411,7 +421,8 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
                                    metric="simhash_hamming")
             qs = (aud.agg(
                 F.count("*").alias("n"),
-                F.sum((F.col("hamming") <= 3).cast("long")).alias("ok"),
+                F.sum((F.col("hamming") <= max_hamming)
+                      .cast("long")).alias("ok"),
                 F.expr("percentile_approx(hamming, "
                        "array(0.5, 0.95, 0.99), 10000)").alias("q"))
                 .first())
@@ -422,7 +433,7 @@ def main() -> int:  # noqa: PLR0915 - linear phase script
                   .first())
             out["simhash_components_audit"] = {
                 **meter.stop(), "edges": int(qs["n"]),
-                "frac_hamming_le_3":
+                "frac_hamming_le_thr":
                     round((qs["ok"] or 0) / max(qs["n"], 1), 4),
                 "hamming_p50_p95_p99": [round(v, 2) for v in qs["q"]],
                 "jaccard_p05_p50": [round(v, 4) for v in jq["q"]]}
