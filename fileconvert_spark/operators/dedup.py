@@ -446,7 +446,19 @@ def simhash_components(df: DataFrame, id_col: str, text_col: str = "text",
                        max_hamming: int = 3, n_blocks: int | None = None,
                        chain_window: int = 4) -> DataFrame:
     """SimHash near-dup clusters -> (id, component) — the keeper-oriented,
-    crowd-safe form of simhash_pairs (see hamming_components)."""
+    crowd-safe form of simhash_pairs (see hamming_components).
+
+    Contract and its limits (measured, BENCH/SCALE_r7.md §simhash-audit):
+    edges are exactly-verified bit distances, and member↔keeper distance
+    stays within ~2x the radius through chains (p95) — but SIGNATURE
+    proximity is not TEXT similarity on short templated docs: at 6.8M
+    docs both radius 3 and radius 2 clustered 73-86% of the corpus while
+    member↔keeper word-3-gram jaccard stayed at p50 ≈ 0.13. Tightening
+    ``max_hamming`` buys cost, not text precision. When the dedup
+    contract is about text similarity, use minhash_lsh_components
+    (est_margin 0 honors J >= 0.5) or measure the radius's meaning on
+    your corpus first with audit_components(metric="simhash_hamming").
+    """
     sh = with_simhash(df.select(id_col, text_col), text_col)
     return hamming_components(sh, id_col, "simhash", max_hamming, n_blocks,
                               chain_window)
