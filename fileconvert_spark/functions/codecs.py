@@ -125,7 +125,11 @@ def _flagged_blob_encode(arr: pa.Array, cache: FsstTableCache | None = None,
     return bytes([_BLOB_RAW]) + raw
 
 
-def _flagged_blob_decode(blob: bytes | memoryview) -> pa.Array:
+def _flagged_blob_decode(blob) -> pa.Array:
+    if isinstance(blob, pa.Array):
+        # part dictionary pages (operators/encode.py): the chunk's local
+        # uniques arrive pre-resolved as page_values.take(local_map)
+        return blob
     blob = memoryview(blob)
     flag = blob[0]
     body = blob[1:]
@@ -345,6 +349,15 @@ def _sepdict_pack(pre: dict) -> None:
 def enc_pathdict_str(arr: pa.Array, cache=None, cache_key=None,
                      pre: dict | None = None):
     return enc_linedict_str(arr, cache, cache_key, sep="/", pre=pre)
+
+
+# codecs whose (payload = packed ids, dict = value blob) shape lets a
+# write-time pass consolidate per-chunk dictionaries into one per-part
+# dictionary PAGE (operators/encode.py consolidate_part_dicts); the
+# pass rewrites only the DICT blob (value list -> local->global map) —
+# id payloads stay untouched local alphabets, because entropy coding
+# is permutation-invariant and remapping would only bloat the streams
+DICT_FAMILY = frozenset({"dict", "linedict", "pathdict"})
 
 
 def dec_linedict_str(payload, dict_blob, meta, n):

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import codecs
 from ..functions.bitpack import validity_pack, validity_unpack
@@ -507,7 +508,8 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
                   meta_json: str, n_rows: int,
                   validity: bytes | None,
                   expect_sha: bytes | None = None,
-                  ctx: str = "") -> pa.Array:
+                  ctx: str = "",
+                  page_dict: bytes | None = None) -> pa.Array:
     """Inverse of encode_column: restore the original arrow array exactly.
 
     ``expect_sha``: the chunk's stored integrity sha (enc row
@@ -515,6 +517,10 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
     it before decoding and a mismatch raises DecodeError — corrupted
     bytes can never silently decode into wrong values. ``ctx`` names the
     chunk (part/chunk/column) in error messages.
+
+    ``page_dict``: the part's shared dictionary-page blob for this column
+    (consolidate_part_dicts); required when the chunk meta carries
+    ``dp`` = 1, verified against the chunk's stored ``ps`` sha.
     """
     where = f" [{ctx}]" if ctx else ""
     if expect_sha is not None:
@@ -525,6 +531,25 @@ def decode_column(codec: str, payload: bytes, dict_blob: bytes | None,
                 f"{codec!r} ({n_rows} rows) — payload/dict/validity/meta "
                 "bytes were corrupted at rest (expected "
                 f"{bytes(expect_sha).hex()[:16]}…, got {got.hex()[:16]}…)")
+    if '"dp":1' in meta_json:
+        if page_dict is None:
+            raise DecodeError(
+                f"decode{where}: chunk references a part dictionary page "
+                "(meta dp=1) but no dictpage row was provided — encoded "
+                "rows were separated from their part file")
+        # chunk dict is a packed local->global map into the page; the
+        # page blob's sha rides in the (sha-covered) chunk meta, so the
+        # integrity envelope extends to the page bytes
+        meta_ps = json.loads(meta_json).get("ps")
+        page_vals = _page_values(page_dict, meta_ps, where)
+        from ..functions.bitpack import unpack_uints_auto
+
+        local_map, _ = unpack_uints_auto(memoryview(dict_blob))
+        if len(local_map) and int(local_map.max()) >= len(page_vals):
+            raise DecodeError(
+                f"decode{where}: dictionary-page map references value "
+                f"{int(local_map.max())} past page size {len(page_vals)}")
+        dict_blob = page_vals.take(pa.array(local_map.astype(np.int64)))
     try:
         out = _decode_column_checked(codec, payload, dict_blob, meta_json,
                                      n_rows, validity)
@@ -653,6 +678,167 @@ def encode_chunk_table(tbl: pa.Table, part_id: int, chunk_id: int,
     return pa.RecordBatch.from_arrays(arrays, schema=ENC_ARROW_SCHEMA)
 
 
+PAGE_CHUNK_ID = -1          # chunk_id sentinel of a part dictionary page
+PAGE_CODEC = "dictpage"
+_PAGE_MAX_BYTES = 1 << 30   # never build a >1 GB page array in a worker
+
+# decoded page-value arrays, keyed by page sha (worker-persistent, like
+# _WORKER_FSST_CACHE): every chunk of a part shares its pages, so decode
+# pays the page's blob decode + sha once per worker, not once per chunk
+_PAGE_CACHE: dict[str, pa.Array] = {}
+
+
+def _page_values(page_blob: bytes, expect_ps: str | None,
+                 where: str) -> pa.Array:
+    got_ps = hashlib.sha256(page_blob).hexdigest()
+    if expect_ps is not None and got_ps != expect_ps:
+        raise DecodeError(
+            f"decode{where}: dictionary-page sha mismatch (expected "
+            f"{str(expect_ps)[:16]}…, got {got_ps[:16]}…) — page bytes "
+            "corrupted at rest")
+    vals = _PAGE_CACHE.get(got_ps)
+    if vals is None:
+        vals = codecs._flagged_blob_decode(page_blob)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        if len(_PAGE_CACHE) > 64:
+            _PAGE_CACHE.clear()
+        _PAGE_CACHE[got_ps] = vals
+    return vals
+
+
+def consolidate_part_dicts(fam_rows: list[dict], all_columns: list[str],
+                           part_id: int) -> list[dict] | None:
+    """Write-time per-part dictionary-page consolidation.
+
+    Chunks of one part re-store their value dictionaries independently
+    (a clustered part's chunks each carry near-identical line/path
+    dictionaries). This pass — run inside the part's write task, never
+    on the driver — unions each column's chunk dictionaries into ONE
+    part dictionary page and replaces every chunk's value blob with a
+    bit-packed local->global id MAP into that page. Chunk id PAYLOADS
+    stay byte-identical (local frequency-ranked alphabets, per-chunk
+    Huffman tables and all — entropy coding is permutation-invariant,
+    so remapping streams to global ids would only bloat them), which
+    also makes the pass cheap: no payload is ever unpacked. The rewrite
+    is kept only when the exact total (maps + page + meta growth)
+    undercuts the original dictionaries.
+
+    The page rides in the same part file as an extra enc row
+    (chunk_id = PAGE_CHUNK_ID, codec = "dictpage"), so the narrow
+    one-task-per-part decode reads it for free; rewritten chunks carry
+    meta ``dp`` = 1 and ``ps`` = sha256 of the page blob (chunk
+    integrity extends to the page), with dict = the packed map.
+
+    ``fam_rows``: this part's enc rows whose codec is in DICT_FAMILY.
+    Returns None when no column profits — the common case on
+    chunk-local value distributions (e.g. commit hashes whose repeats
+    never straddle chunks: measured union == sum there, a guaranteed
+    loss skipped before the page is even encoded). Otherwise returns
+    the full replacement set: every fam row (rewritten or not) plus one
+    page row per column in ``all_columns`` (placeholder dict=None for
+    non-consolidated columns, keeping per-column enc-row counts uniform
+    so the per-COLUMN row-group alignment that page-skipping projection
+    relies on survives).
+    """
+    from ..functions.bitpack import pack_uints_auto
+    from ..functions.codecs import (
+        DICT_FAMILY,
+        _flagged_blob_decode,
+        _flagged_blob_encode,
+    )
+
+    by_col: dict[str, list[dict]] = {}
+    for r in fam_rows:
+        if r["codec"] in DICT_FAMILY and r["dict"] is not None:
+            by_col.setdefault(r["column"], []).append(r)
+
+    pages: dict[str, dict] = {}
+    for col, fam in by_col.items():
+        if len(fam) < 2:
+            continue
+        uniqs = []
+        total_uniq_bytes = 0
+        for r in fam:
+            u = _flagged_blob_decode(r["dict"])
+            if isinstance(u, pa.ChunkedArray):
+                u = u.combine_chunks()
+            if pa.types.is_large_string(u.type):
+                u = u.cast(pa.string())
+            total_uniq_bytes += u.nbytes
+            uniqs.append(u)
+        if total_uniq_bytes > _PAGE_MAX_BYTES:
+            continue
+        concat = pa.concat_arrays(uniqs)
+        de = pc.dictionary_encode(concat)
+        union_vals = de.dictionary
+        mapping = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.cumsum([0] + [len(u) for u in uniqs])
+        k_part = len(union_vals)
+        sum_k = max(int(offs[-1]), 1)
+        # cheap pre-bound before encoding the page: dict blobs scale
+        # ~linearly in their values, so the page can only save about
+        # sum_dict_bytes * (1 - k_part / sum_k); the maps cost roughly
+        # sum_k * ceil(log2 k_part) bits. Skip when the margin is
+        # immaterial — near-free on zero-overlap columns.
+        sum_dict_bytes = sum(len(r["dict"]) for r in fam)
+        w_part = max(int(k_part - 1).bit_length(), 1)
+        map_cost = sum_k * w_part // 8 + 12 * len(fam)
+        if (sum_dict_bytes * (1.0 - k_part / sum_k) - map_cost) < 2048:
+            continue
+        page_blob = _flagged_blob_encode(union_vals)
+        ps = hashlib.sha256(page_blob).hexdigest()
+
+        old_bytes = sum_dict_bytes
+        new_rows = []
+        new_bytes = len(page_blob)
+        for i, r in enumerate(fam):
+            m = mapping[offs[i]: offs[i + 1]]
+            map_blob = pack_uints_auto(m.astype(np.uint64))
+            meta = json.loads(r["meta"])
+            meta["dp"] = 1
+            meta["ps"] = ps
+            meta_json = json.dumps(meta, separators=(",", ":"))
+            new_bytes += len(map_blob) + len(meta_json) - len(r["meta"])
+            new_rows.append((r, map_blob, meta_json))
+        if new_bytes >= old_bytes:
+            continue
+        pages[col] = {"blob": page_blob, "k": k_part}
+        for r, map_blob, meta_json in new_rows:
+            r["dict"] = map_blob
+            r["meta"] = meta_json
+            r["sha256_chunk"] = chunk_integrity_sha(
+                r["payload"], map_blob, r["validity"], meta_json)
+            r["enc_bytes"] = (len(r["payload"]) + len(map_blob)
+                              + (len(r["validity"]) if r["validity"] else 0)
+                              + len(meta_json))
+
+    if not pages:
+        return None
+    out = list(fam_rows)
+    for col in all_columns:
+        pg = pages.get(col)
+        meta_json = json.dumps({"k": pg["k"]} if pg else {},
+                               separators=(",", ":"))
+        blob = pg["blob"] if pg else None
+        out.append({
+            "part_id": part_id,
+            "chunk_id": PAGE_CHUNK_ID,
+            "column": col,
+            "codec": PAGE_CODEC,
+            "n_rows": pg["k"] if pg else 0,
+            "validity": None,
+            "payload": b"",
+            "dict": blob,
+            "meta": meta_json,
+            "raw_bytes": 0,
+            "enc_bytes": len(blob) if blob else 0,
+            "sha256_chunk": chunk_integrity_sha(
+                b"", blob, None, meta_json),
+        })
+    return out
+
+
 def decode_chunk_table(enc_tbl: pa.Table, column_order: list[str]) -> pa.Table:
     """Decode one chunk's enc rows back into the original columns."""
     by_col = {}
@@ -755,8 +941,23 @@ def decode_df(enc_df, src_schema):
     always share a partition after the repartition) and decoded straight
     to Arrow record batches — no pandas on the decode path, so every
     Arrow type the codecs support (incl. struct/map/list) flows through.
+
+    Part dictionary pages (consolidate_part_dicts): the (part, chunk)
+    grouping separates a dp chunk from its page row, so pages are split
+    off and LEFT-JOINED back onto chunk rows by (part_id, column) before
+    the repartition — the generic path pays the page bytes once per
+    referencing chunk in the shuffle (the narrow decode_table path reads
+    them in place for free; this fallback works on any enc DataFrame).
     """
+    from pyspark.sql import functions as F
+
     column_order = [f.name for f in src_schema.fields]
+    enc_df = enc_df.filter(F.col("chunk_id") != PAGE_CHUNK_ID).join(
+        enc_df.filter((F.col("chunk_id") == PAGE_CHUNK_ID)
+                      & F.col("dict").isNotNull())
+        .select("part_id", "column",
+                F.col("dict").alias("_page_dict")),
+        ["part_id", "column"], "left")
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         groups: dict[tuple[int, int], dict[str, dict]] = {}
@@ -770,7 +971,8 @@ def decode_df(enc_df, src_schema):
                                   row["meta"], row["n_rows"], row["validity"],
                                   expect_sha=row.get("sha256_chunk"),
                                   ctx=f"part={row['part_id']} "
-                                      f"chunk={row['chunk_id']} column={c}")
+                                      f"chunk={row['chunk_id']} column={c}",
+                                  page_dict=row.get("_page_dict"))
                 if isinstance(a, pa.ChunkedArray):
                     a = a.combine_chunks()
                 arrays.append(a)

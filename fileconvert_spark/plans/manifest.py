@@ -34,9 +34,13 @@ from collections.abc import Iterator
 import pyarrow as pa
 
 from . import fsio
+from ..functions.codecs import DICT_FAMILY as _DICT_FAMILY
 from ..operators.encode import (
     DEFAULT_CHUNK_BYTES,
     DEFAULT_CHUNK_ROWS,
+    ENC_ARROW_SCHEMA,
+    PAGE_CHUNK_ID,
+    consolidate_part_dicts,
     make_encode_fn,
 )
 
@@ -61,7 +65,8 @@ MANIFEST_LIST = "_manifest_list.json"
 # with a "corrupted at rest" report, which misattributes an intentional
 # format change to corruption; the version gate turns that into a clear
 # "format too old, re-encode" error instead.
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4   # v4: part dictionary-page rows (chunk_id = -1) +
+                     # dp/ps chunk meta (consolidate_part_dicts)
 
 
 def check_format_version(out_dir: str, meta: dict | None = None) -> None:
@@ -209,6 +214,26 @@ def make_write_kernel(out_dir: str,
         rows: list[dict] = []
         for pid, enc_batches in per_part.items():
             tbl = pa.Table.from_batches(enc_batches)
+            # part dictionary-page consolidation (see
+            # operators/encode.py consolidate_part_dicts): only the
+            # dict-family rows pay the to_pylist round-trip; other rows'
+            # payload bytes stay in Arrow. FCS_NO_DICTPAGES=1 disables
+            # (ops kill-switch / A-B sizing).
+            codec_l = tbl.column("codec").to_pylist()
+            if (not os.environ.get("FCS_NO_DICTPAGES")
+                    and _DICT_FAMILY & set(codec_l)):
+                import pyarrow.compute as _pc
+
+                mask = pa.array([c in _DICT_FAMILY for c in codec_l])
+                new_rows = consolidate_part_dicts(
+                    tbl.filter(mask).to_pylist(),
+                    sorted(set(tbl.column("column").to_pylist())), pid)
+                if new_rows is not None:
+                    tbl = pa.concat_tables([
+                        tbl.filter(_pc.invert(mask)),
+                        pa.Table.from_pylist(new_rows,
+                                             schema=ENC_ARROW_SCHEMA),
+                    ])
             data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
             # Sort enc rows by (column, chunk_id) and align row groups to
             # one COLUMN each (every chunk emits every column, so each
@@ -252,9 +277,11 @@ def make_write_kernel(out_dir: str,
             raw_b = sum(tbl.column("raw_bytes").to_pylist())
             enc_b = sum(tbl.column("enc_bytes").to_pylist())
             shas = tbl.column("sha256_chunk").to_pylist()
-            n_chunks = len(set(chunk_ids))
-            n_rows = sum(n for c, n in zip(columns, n_rows_per)
-                         if c == columns[0])
+            n_chunks = len({cid for cid in chunk_ids
+                            if cid != PAGE_CHUNK_ID})
+            n_rows = sum(n for c, cid, n in zip(columns, chunk_ids,
+                                                n_rows_per)
+                         if c == columns[0] and cid != PAGE_CHUNK_ID)
             codec_map = dict(Counter(f"{c}:{k}" for c, k in zip(columns, codecs_used)))
             sha_part = hashlib.sha256(b"".join(shas)).hexdigest()
             wall_ms = int((time.time() - t0) * 1000)
@@ -276,7 +303,10 @@ def make_write_kernel(out_dir: str,
             zones: dict[str, list] = {}
             col_iv: dict[str, list] = {}
             complete: dict[str, bool] = {}
-            for c, mj in zip(columns, tbl.column("meta").to_pylist()):
+            for c, cid, mj in zip(columns, chunk_ids,
+                                  tbl.column("meta").to_pylist()):
+                if cid == PAGE_CHUNK_ID:
+                    continue  # page rows carry no zone stats by design
                 meta_d = json.loads(mj)
                 zs = meta_d.get("zs")
                 if zs is None:
@@ -969,22 +999,32 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                         zmeta.column("column").to_pylist(),
                         zmeta.column("chunk_id").to_pylist(),
                         zmeta.column("meta").to_pylist()):
+                    if int(cid) == PAGE_CHUNK_ID:
+                        continue  # page rows carry no zone stats
                     stats[(col, int(cid))] = json.loads(mj)
                     chunk_ids.add(int(cid))
 
                 keep = [cid for cid in sorted(chunk_ids)
-                        if _may_match_chunk(pred, stats, cid)]
+                        if cid != PAGE_CHUNK_ID
+                        and _may_match_chunk(pred, stats, cid)]
                 if not keep:
                     continue  # whole part pruned
                 if len(keep) < len(chunk_ids):
+                    # page rows (chunk_id = PAGE_CHUNK_ID) must survive
+                    # any chunk pruning — dp chunks decode through them
                     part_flt = (part_flt or []) + [
-                        ("chunk_id", "in", keep)]
+                        ("chunk_id", "in", keep + [PAGE_CHUNK_ID])]
             enc_tbl = fsio2.read_parquet(path, filters=part_flt)
             # one C-level conversion for the whole part file instead of
             # per-cell .as_py() round trips through Python objects
             enc_rows = enc_tbl.to_pylist()
             by_chunk: dict[int, list[dict]] = {}
+            pages: dict[str, bytes] = {}
             for row in enc_rows:
+                if row["chunk_id"] == PAGE_CHUNK_ID:
+                    if row["dict"] is not None:
+                        pages[row["column"]] = row["dict"]
+                    continue
                 by_chunk.setdefault(row["chunk_id"], []).append(row)
             for cid in sorted(by_chunk):
                 cols = {
@@ -993,7 +1033,8 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                         row["meta"], row["n_rows"], row["validity"],
                         expect_sha=row.get("sha256_chunk"),
                         ctx=f"part={row['part_id']} chunk={cid} "
-                            f"column={row['column']}")
+                            f"column={row['column']}",
+                        page_dict=pages.get(row["column"]))
                     for row in by_chunk[cid]
                 }
                 arrays = [

@@ -1,0 +1,77 @@
+"""A/B the part dictionary-page consolidation (consolidate_part_dicts)
+on the bench corpus: encoded size + encode/decode walls, dictpages ON
+(default) vs OFF (FCS_NO_DICTPAGES=1).
+
+Run one arm per process (the kill-switch is read in worker tasks):
+
+    python tools/ab_dictpages.py on  [n_rows]
+    python tools/ab_dictpages.py off [n_rows]
+
+Each arm prints one JSON line; tools/ab_dictpages.sh (or the BENCH doc)
+pairs them up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import shutil
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    arm = sys.argv[1] if len(sys.argv) > 1 else "on"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    if arm == "off":
+        os.environ["FCS_NO_DICTPAGES"] = "1"
+    else:
+        os.environ.pop("FCS_NO_DICTPAGES", None)
+
+    from fileconvert_spark.corpus import write_codefiles_parquet
+    from fileconvert_spark.session import get_spark
+
+    corpus_path = f"/tmp/fcs_bench_corpus_{n_rows}.parquet"
+    if not os.path.exists(corpus_path):
+        write_codefiles_parquet(corpus_path, n_rows)
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(f"fcs-ab-dictpages-{arm}", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    from fileconvert_spark.operators.verify import assert_roundtrip
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    corpus = spark.read.parquet(corpus_path)
+    corpus.persist().count()
+
+    enc_dir = f"/tmp/fcs_ab_dictpages_{arm}"
+    out = {"arm": arm, "n_rows": n_rows, "cpus": cpus}
+    # cold + warm encode; report warm (host first-touch noise, see bench.py)
+    for tag in ("cold", "warm"):
+        shutil.rmtree(enc_dir, ignore_errors=True)
+        t0 = time.time()
+        summary = encode_table(spark, corpus, enc_dir, n_buckets=None,
+                               resume=False, stats_sample_fraction=0.25)
+        out[f"encode_{tag}_s"] = round(time.time() - t0, 3)
+    out["ratio"] = round(summary["ratio"], 5)
+    data_dir = os.path.join(enc_dir, "data")
+    out["engine_bytes"] = sum(
+        os.path.getsize(os.path.join(data_dir, f))
+        for f in os.listdir(data_dir))
+
+    for tag in ("cold", "warm"):
+        t0 = time.time()
+        rep = assert_roundtrip(corpus, decode_table(spark, enc_dir),
+                               ["repo", "path", "commit"])
+        out[f"decode_verify_{tag}_s"] = round(time.time() - t0, 3)
+        out.setdefault("sha_mismatches", 0)
+        out["sha_mismatches"] += int(rep["sha_mismatches"])
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

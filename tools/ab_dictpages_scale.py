@@ -1,0 +1,131 @@
+"""Dictpages A/B at scale: clustered encode of the 10 GB corpus
+(the feature's target geometry — a part's chunks share line/path
+dictionaries when rows are clustered by repo), ON vs OFF, interleaved.
+
+    python tools/ab_dictpages_scale.py [corpus=/tmp/fcs_scale/corpus.parquet] \
+        [n_buckets=1024] [rounds=1]
+
+Each arm runs jobs/encode_job.py as a fresh subprocess (the kill-switch
+is read in worker tasks; fresh JVMs keep the arms honest), then a full
+decode+count through jobs/decode_job.py-equivalent decode_table. Prints
+one JSON line per arm-run plus a final summary line with per-codec dict
+byte totals from the manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _engine_bytes(out_dir: str) -> int:
+    d = os.path.join(out_dir, "data")
+    return sum(os.path.getsize(os.path.join(d, f)) for f in os.listdir(d))
+
+
+def _dict_breakdown(out_dir: str) -> dict:
+    """Sum stored dict/map/page bytes by codec straight from the part
+    files (cheap: reads only the 4 metadata-ish columns)."""
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, "data")
+    agg: dict[str, int] = {}
+    n_pages = 0
+    for f in sorted(os.listdir(d)):
+        t = pq.read_table(os.path.join(d, f),
+                          columns=["codec", "chunk_id", "dict"])
+        for codec, cid, blob in zip(t.column("codec").to_pylist(),
+                                    t.column("chunk_id").to_pylist(),
+                                    t.column("dict").to_pylist()):
+            if blob is None:
+                continue
+            key = "page" if cid == -1 else codec
+            agg[key] = agg.get(key, 0) + len(blob)
+            if cid == -1:
+                n_pages += 1
+    agg["n_pages"] = n_pages
+    return agg
+
+
+def run_arm(arm: str, corpus: str, n_buckets: int) -> dict:
+    out_dir = f"/tmp/fcs_ab_dp_scale_{arm}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    env = dict(os.environ)
+    env.pop("FCS_NO_DICTPAGES", None)
+    if arm == "off":
+        env["FCS_NO_DICTPAGES"] = "1"
+    cmd = [sys.executable, os.path.join(REPO, "jobs", "encode_job.py"),
+           corpus, out_dir, str(n_buckets),
+           "repo", "path,commit", "content", "0.05", "--cluster-by=repo,lang"]
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    wall = time.time() - t0
+    if r.returncode != 0:
+        return {"arm": arm, "error": r.stderr[-2000:]}
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    # full decode + count in a fresh subprocess (same env so the generic
+    # path sees the same part files; decode itself never needs the flag)
+    dec_code = (
+        "import sys, time, json; sys.path.insert(0, %r);"
+        "from fileconvert_spark.session import get_spark;"
+        "from fileconvert_spark.plans.manifest import decode_table;"
+        "spark = get_spark('fcs-ab-dp-decode', master='local[32]',"
+        " shuffle_partitions=32);"
+        "t0 = time.time(); n = decode_table(spark, %r).count();"
+        "print(json.dumps({'decode_s': round(time.time()-t0, 1), 'rows': n}))"
+        % (REPO, out_dir))
+    rd = subprocess.run([sys.executable, "-c", dec_code],
+                        capture_output=True, text=True, env=env)
+    dec = json.loads(rd.stdout.strip().splitlines()[-1]) if rd.returncode == 0 \
+        else {"decode_error": rd.stderr[-500:]}
+    out = {"arm": arm, "encode_wall_s": round(wall, 1),
+           "ratio": summary.get("ratio"),
+           "engine_bytes": _engine_bytes(out_dir),
+           "dicts": _dict_breakdown(out_dir)}
+    out.update(dec)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main() -> int:
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fcs_scale/corpus.parquet"
+    n_buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    runs = []
+    for _ in range(rounds):
+        for arm in ("off", "on"):
+            runs.append(run_arm(arm, corpus, n_buckets))
+    best = {}
+    for r in runs:
+        if "error" in r:
+            continue
+        b = best.setdefault(r["arm"], r)
+        if r["encode_wall_s"] < b["encode_wall_s"]:
+            best[r["arm"]] = r
+    if "on" in best and "off" in best:
+        print(json.dumps({
+            "summary": "dictpages_scale_ab",
+            "size_ratio_on_over_off":
+                round(best["on"]["engine_bytes"]
+                      / best["off"]["engine_bytes"], 5),
+            "encode_wall_on_over_off":
+                round(best["on"]["encode_wall_s"]
+                      / best["off"]["encode_wall_s"], 3),
+            "decode_wall_on_over_off":
+                round(best["on"].get("decode_s", 0)
+                      / max(best["off"].get("decode_s", 1), 0.001), 3),
+            "dict_bytes_off": best["off"]["dicts"],
+            "dict_bytes_on": best["on"]["dicts"],
+        }), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
