@@ -480,7 +480,22 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     # ratio improves slightly (0.0738 -> 0.0730 at 10 GB).
     shuffled = repartition_by_bucket(dfb, n_buckets)
     if cluster_by:
-        shuffled = shuffled.sortWithinPartitions("bucket", *cluster_by)
+        # Deterministic tiebreak: ties on the cluster key otherwise land
+        # in shuffle-arrival order, which varies run to run (956/1024 of
+        # the 10 GB corpus's part files byte-differed between two
+        # identical encodes — measured, BENCH/SCALE_r7.md §dictpages).
+        # xxhash64 over every source column is a total order on row
+        # CONTENT (equal-hash rows are near-certainly identical rows, and
+        # identical rows are interchangeable), so clustered encode
+        # becomes byte-reproducible: re-running a part after executor
+        # loss or a full re-encode for lineage audit yields identical
+        # part bytes and shas. One JVM-side hash per row — no Python,
+        # no extra shuffle; the tiebreak only costs comparisons inside
+        # tie runs the sort already had to order arbitrarily.
+        tie = F.xxhash64(*[F.col(c) for c in df.columns])
+        shuffled = (shuffled.withColumn("_fcs_tie", tie)
+                    .sortWithinPartitions("bucket", *cluster_by, "_fcs_tie")
+                    .drop("_fcs_tie"))
     man_df = shuffled.mapInArrow(
         make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket",
                           zone_cols=zone_cols),

@@ -238,3 +238,33 @@ def test_non_pruning_predicate_warns(spark, tmp_path):
     assert n_key == docs.filter("source = 'wiki'").count()
     assert df2.count() == docs.filter("lang = 'en'").count()
     assert df3.count() == docs.filter("n_chars > 100").count()
+
+
+def test_clustered_encode_is_byte_deterministic(spark, tmp_path):
+    """With cluster_by, two encodes of the same input must produce
+    byte-identical part files (and so identical part shas): the
+    within-partition sort carries an xxhash64 content tiebreak, so
+    shuffle-arrival order can never leak into the stored bytes. This is
+    the lineage/resume story — a part re-encoded after executor loss is
+    provably the same part. (Without cluster_by there is no sort and no
+    determinism claim.)"""
+    import hashlib
+
+    from fileconvert_spark.plans.manifest import encode_table
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    # shuffle the input's partitioning differently per run so arrival
+    # order genuinely differs — determinism must come from the sort,
+    # not from a lucky stable scan
+    shas = []
+    for i, nparts in enumerate((7, 3)):
+        out = str(tmp_path / f"enc{i}")
+        encode_table(spark, docs.repartition(nparts), out, n_buckets=2,
+                     key_col="source", salt_cols=("doc_id",),
+                     weight_col="text", cluster_by=("lang",))
+        d = os.path.join(out, "data")
+        shas.append({
+            f: hashlib.sha256(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+        })
+    assert shas[0] == shas[1]
