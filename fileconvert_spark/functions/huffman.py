@@ -236,11 +236,27 @@ def _encode_block(v: np.ndarray, sym_len: np.ndarray, codes: np.ndarray
 
 
 def encode(vals: np.ndarray, lens: np.ndarray) -> bytes:
-    """Encode a uint stream with the given per-symbol code lengths."""
+    """Encode a uint stream with the given per-symbol code lengths.
+
+    Hot path is a compiled C kernel (native/kernels.c ``huff_encode``,
+    ~100x the NumPy lane-bincount path on dictionary-id streams — the
+    r7 10 GB drive measured encode 154 -> 25 MB/s when this ran in
+    NumPy); the fallback is byte-identical (property-tested)."""
+    from .. import native
+
     v = np.ascontiguousarray(vals, dtype=np.int64)
     n = len(v)
     k = len(lens)
     codes = canonical_codes(lens)
+    nat = native.huff_encode(v, lens, codes, SEG_SYMS)
+    if nat is not None:
+        body, seg_bytes = nat
+        n_seg = len(seg_bytes)
+        head = (bytes([MAX_LEN]) + U32.pack(k)
+                + lens.astype(np.uint8).tobytes()
+                + U32.pack(SEG_SYMS) + U32.pack(n_seg)
+                + np.asarray(seg_bytes, dtype=np.uint32).tobytes())
+        return head + body
     sym_len = lens.astype(np.int64)
     parts = []
     seg_lens = []

@@ -236,6 +236,14 @@ def load():
         c_int64, c_int64,                       # seg_syms, n
         POINTER(c_uint32),                      # out
     ]
+    lib.huff_encode.restype = c_int64
+    lib.huff_encode.argtypes = [
+        POINTER(c_int64), c_int64,              # v, n
+        POINTER(c_uint8), POINTER(c_uint32),    # sym_len, codes
+        c_int64,                                # seg_syms
+        POINTER(c_uint8), c_int64,              # out, out_cap
+        POINTER(c_uint32),                      # seg_bytes
+    ]
     _LIB = lib
     return lib
 
@@ -504,3 +512,36 @@ def huff_decode(payload, lut_sym, lut_len, table_bits: int, seg_off,
         raise ValueError(
             f"huffman: corrupt stream in segment {-rc - 1}")
     return out[:n]
+
+
+def huff_encode(v, sym_len, codes, seg_syms: int):
+    """C canonical-Huffman segment encode; returns (body bytes, uint32
+    per-segment byte lengths) or None when unavailable. Byte-identical
+    to the NumPy bincount-lane path in huffman.encode (property-tested).
+    Raises ValueError on a symbol with zero code length."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(v, dtype=np.int64)
+    sym_len = np.ascontiguousarray(sym_len, dtype=np.uint8)
+    codes = np.ascontiguousarray(codes, dtype=np.uint32)
+    n = v.size
+    n_seg = max(1, -(-n // seg_syms))
+    # every code is <= MAX_LEN (16) bits -> 2 bytes/symbol + per-segment
+    # alignment byte bounds the output exactly
+    cap = 2 * n + n_seg + 8
+    out = np.empty(cap, dtype=np.uint8)
+    seg_bytes = np.empty(n_seg, dtype=np.uint32)
+    rc = lib.huff_encode(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), int(n),
+        _u8p(sym_len),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        int(seg_syms), _u8p(out), int(cap),
+        seg_bytes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)))
+    if rc == -1:
+        raise ValueError("huffman.encode: symbol with zero code length")
+    if rc < 0:
+        return None
+    return out[:rc].tobytes(), seg_bytes

@@ -651,3 +651,53 @@ int64_t huff_decode(const uint8_t *payload,
     }
     return n;
 }
+
+/* ------------------------------------------------------------------ *
+ * Canonical Huffman segment encode — mirrors huffman._encode_block.
+ *
+ * v: n int64 symbols (0..k-1); sym_len: k uint8 code lengths (0 =
+ * absent, an error if referenced); codes: k uint32 MSB-first canonical
+ * codes. Segments of seg_syms symbols are each byte-aligned with their
+ * byte length written to seg_bytes (n_seg = max(1, ceil(n/seg_syms))
+ * entries); pad bits are zero, matching the NumPy zero-filled buffer.
+ * Returns total bytes written, -1 on a zero-length symbol, -2 if out
+ * would overflow out_cap.
+ * ------------------------------------------------------------------ */
+int64_t huff_encode(const int64_t *v, int64_t n,
+                    const uint8_t *sym_len, const uint32_t *codes,
+                    int64_t seg_syms,
+                    uint8_t *out, int64_t out_cap, uint32_t *seg_bytes)
+{
+    const int64_t n_seg = n > 0 ? (n + seg_syms - 1) / seg_syms : 1;
+    int64_t pos = 0;
+    for (int64_t s = 0; s < n_seg; s++) {
+        const int64_t lo = s * seg_syms;
+        int64_t hi = lo + seg_syms;
+        if (hi > n)
+            hi = n;
+        uint64_t acc = 0;
+        int nbits = 0;
+        const int64_t seg_start = pos;
+        for (int64_t j = lo; j < hi; j++) {
+            const int64_t sym = v[j];
+            const int L = sym_len[sym];
+            if (!L)
+                return -1;
+            acc = (acc << L) | codes[sym];
+            nbits += L;
+            while (nbits >= 8) {
+                if (pos >= out_cap)
+                    return -2;
+                nbits -= 8;
+                out[pos++] = (uint8_t)(acc >> nbits);
+            }
+        }
+        if (nbits > 0) {
+            if (pos >= out_cap)
+                return -2;
+            out[pos++] = (uint8_t)(acc << (8 - nbits));
+        }
+        seg_bytes[s] = (uint32_t)(pos - seg_start);
+    }
+    return pos;
+}

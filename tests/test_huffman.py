@@ -149,3 +149,50 @@ def test_corrupt_lens_table_raises():
     blob[6] = 1  # a second 1-bit code -> Kraft violation
     with pytest.raises(ValueError):
         H.decode(memoryview(bytes(blob)), len(vals))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_native_encode_matches_numpy(data):
+    """The C huff_encode kernel must be BYTE-identical to the NumPy
+    lane-bincount path — same segment alignment, same zero pad bits —
+    across alphabet sizes, skews, and segment-boundary-straddling
+    lengths (incl. n = 0/1 and the single-symbol alphabet)."""
+    if native.load() is None:
+        pytest.skip("no C toolchain")
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    k = data.draw(st.integers(1, 600))
+    n = data.draw(st.sampled_from(
+        [0, 1, 7, 4095, 4096, 4097, 9000, 20_000]))
+    vals = (np.zeros(n, dtype=np.uint64) if k == 1
+            else _skewed(rng, k, max(n, 1), skew=data.draw(
+                st.floats(0.0, 3.0)))[:n])
+    counts = np.bincount(vals.astype(np.int64), minlength=k)
+    if not counts.sum():
+        counts[0] = 1  # code_lengths needs a present symbol
+    lens = H.code_lengths(counts)
+    codes = H.canonical_codes(lens)
+    nat = native.huff_encode(
+        np.ascontiguousarray(vals, dtype=np.int64), lens, codes, H.SEG_SYMS)
+    assert nat is not None
+    body, seg_bytes = nat
+    # numpy reference: the block loop from encode()'s fallback arm
+    sym_len = lens.astype(np.int64)
+    parts, seg_lens = [], []
+    for lo in range(0, max(n, 1), H._ENC_BLOCK):
+        blk, sb = H._encode_block(
+            np.ascontiguousarray(vals[lo: lo + H._ENC_BLOCK],
+                                 dtype=np.int64), sym_len,
+            codes)
+        parts.append(blk)
+        seg_lens.append(sb)
+    ref_body = b"".join(parts)
+    ref_seg = np.concatenate(seg_lens)
+    assert body == ref_body
+    assert np.array_equal(np.asarray(seg_bytes, dtype=np.int64),
+                          np.asarray(ref_seg, dtype=np.int64))
+    # and the public encode() (now native-first) round-trips
+    blob = H.encode(vals, lens)
+    out, consumed = H.decode(memoryview(blob), n)
+    assert consumed == len(blob)
+    assert np.array_equal(out, vals)
