@@ -898,6 +898,50 @@ def enc_corpus_demo(spark, sf_dir):
     )
 
 
+def dedup_store_roundtrip(spark, sf_dir):
+    """Hybrid content-addressed dedup store (plans/dedup_store.py):
+    texts occurring >= 2 times split into a sha256-keyed blob table
+    (one stored copy, clustered by sha), unique texts stay inline on
+    the ref row — the sha is paid only where dedup pays. Deterministic
+    duplicates are injected (every doc_id % 10 == 3 re-appears under
+    doc_id + 1000000) so the blob path is exercised at every SF; the
+    DuckDB oracle mirrors the construction and recomputes the split
+    accounting (n_blobs / ref_rows are pure functions of the corpus)
+    while sha_mismatches checks decode equality of every text."""
+    _ensure_workers(spark)
+    import shutil
+    import tempfile
+
+    from fileconvert_spark.plans.dedup_store import (
+        decode_table_dedup, encode_table_dedup)
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.unionAll(
+        docs.filter(F.col("doc_id") % 10 == 3)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    base = tempfile.mkdtemp(prefix="fcs_dstore_")
+    try:
+        s = encode_table_dedup(spark, src, base + "/store",
+                               content_col="text", key_col="lang",
+                               salt_cols=("doc_id",), n_buckets=8,
+                               blob_buckets=2)
+        dec = decode_table_dedup(spark, base + "/store")
+        o, d = src.alias("o"), dec.alias("d")
+        row = o.join(d, F.col("o.doc_id") == F.col("d.doc_id"),
+                     "full_outer").agg(
+            F.count(F.col("o.doc_id")).alias("n"),
+            F.sum((~F.sha2(F.coalesce(F.col("o.text"), F.lit("")), 256)
+                   .eqNullSafe(F.sha2(F.coalesce(F.col("d.text"),
+                                                 F.lit("")), 256))
+                   ).cast("long")).alias("sha_mismatches")).first()
+        return spark.createDataFrame(
+            [(int(row["n"]), int(s["n_blobs"]), int(s["ref_rows"]),
+              int(row["sha_mismatches"]))],
+            "n long, n_blobs long, ref_rows long, sha_mismatches long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def dedup_minhash_docs(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.dedup import minhash_lsh_pairs
@@ -1538,6 +1582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audit_components": dedup_audit_components,  # new in r07
         "mp4_container_stats": mp4_container_stats,        # new in r07
         "dedup_cosine_components": dedup_cosine_components,  # new in r07
+        "dedup_store_roundtrip": dedup_store_roundtrip,       # new in r07
     }
 
 
@@ -2071,5 +2116,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value
             FROM events
             GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "dedup_store_roundtrip": """
+            WITH src AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents
+                WHERE doc_id % 10 = 3
+            ), dup AS (
+                SELECT COUNT(*) AS c FROM src
+                WHERE text IS NOT NULL GROUP BY text HAVING COUNT(*) >= 2
+            )
+            SELECT (SELECT COUNT(*) FROM src) AS n,
+                   (SELECT COUNT(*) FROM dup) AS n_blobs,
+                   (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM dup)
+                       AS ref_rows,
+                   CAST(0 AS BIGINT) AS sha_mismatches
         """,
     }
