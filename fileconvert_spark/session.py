@@ -15,16 +15,32 @@ from pyspark.sql import SparkSession
 
 def _package_zip() -> str:
     """Zip this package so executors can import it — the local-mode
-    equivalent of ``spark-submit --py-files`` (BASELINE.json line 14)."""
+    equivalent of ``spark-submit --py-files`` (BASELINE.json line 14).
+
+    The cache file is CONTENT-ADDRESSED (sha256 over every .py/.c in the
+    package), not a shared mtime-guarded name: two checkouts of different
+    versions on one host (a git worktree A/B, a rollback) would otherwise
+    silently ship whichever zip was built last — the executors would run
+    different code than the driver imported. Measured consequence before
+    the fix: an encode A/B where the "old" arm produced the NEW arm's
+    output ratio because the worktree's older mtimes never invalidated
+    the other checkout's zip."""
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     parent = os.path.dirname(pkg_dir)
-    out = os.path.join(tempfile.gettempdir(), "fileconvert_spark_pyfiles")
+    h = hashlib.sha256()
+    for root, _d, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith((".py", ".c")):
+                p = os.path.join(root, f)
+                h.update(os.path.relpath(p, pkg_dir).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    out = os.path.join(tempfile.gettempdir(),
+                       f"fileconvert_spark_pyfiles_{h.hexdigest()[:16]}")
     zip_path = out + ".zip"
-    if not os.path.exists(zip_path) or any(
-        os.path.getmtime(os.path.join(root, f)) > os.path.getmtime(zip_path)
-        for root, _d, files in os.walk(pkg_dir)
-        for f in files if f.endswith((".py", ".c"))
-    ):
+    if not os.path.exists(zip_path):
         tmp = shutil.make_archive(out + "_tmp", "zip", root_dir=parent,
                                   base_dir="fileconvert_spark")
         os.replace(tmp, zip_path)
