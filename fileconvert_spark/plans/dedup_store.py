@@ -242,6 +242,14 @@ def decode_table_dedup(spark, out_dir: str,
 
     blob_pred = None
     if predicate is not None and blob_pushdown_limit > 0:
+        # the sha collect is a separate action over the ref decode, and
+        # the join below scans it again — persist so the (pruned,
+        # filtered) ref rows materialize once. Without cluster_by on the
+        # predicate columns the ref scan cannot prune parts and BOTH
+        # passes read the full ref store; cluster the refs by the
+        # predicate's leading column (encode_table_dedup cluster_by),
+        # exactly as for a plain table.
+        refs = refs.persist()
         head = (refs.select(sha_col).where(f"{sha_col} is not null")
                 .distinct().limit(blob_pushdown_limit + 1).collect())
         if len(head) <= blob_pushdown_limit:

@@ -1,0 +1,198 @@
+"""Scale drive for the hybrid content-addressed dedup store
+(plans/dedup_store.py) — the vendored-duplication regime at ~15 GB.
+
+    python tools/scale_dedup_store.py [work_dir=/tmp/fcs_dstore_scale]
+
+Corpus: the 7.6M-row templated code corpus (~10 GB, ~10% template-level
+exact dups the chunk codecs already largely absorb) PLUS a vendored-
+dependency layer: 2,000 distinct high-entropy ~3 KB blobs with a
+Zipf-skewed copy count (hottest blob ~150k copies) — ~1.2M rows /
+~4.5 GB whose duplication is INVISIBLE to chunk-local codecs because
+copies scatter across parts and share no lines with their neighbors.
+The hot sha is exactly the skew case the store's tag join must absorb
+(AQE skew join; the dup-sha count aggregate is map-side combined).
+
+Phases (each appends one JSON line to <work>/progress.jsonl as it
+finishes — crashed runs keep their evidence):
+  gen      distributed corpus generation
+  plain    encode_table baseline (bytes + wall)
+  dedup    encode_table_dedup (bytes + wall + split stats)
+  verify   decode_table_dedup full + order-insensitive fingerprint
+  pushdown selective predicate decode (sha pushdown into blob parts)
+
+Prints one final JSON line with everything.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_TEMPLATE_ROWS = 7_600_000
+N_VENDOR_BLOBS = 2_000
+VENDOR_HOT = 150_000          # copies of blob 0; blob b gets HOT//(b+1)
+ROWS_PER_SHARD = 100_000
+
+
+def _vendor_copies(b: int) -> int:
+    return max(4, VENDOR_HOT // (b + 1))
+
+
+def generate_corpus(spark, path: str) -> float:
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([StructField(c, StringType()) for c in
+                         ("repo", "path", "commit", "lang", "content")])
+
+    # flatten (blob, copy) into a global row range via driver-side
+    # prefix sums (2,000 entries) so shards split HOT blobs too
+    bounds = [0]
+    for b in range(N_VENDOR_BLOBS):
+        bounds.append(bounds[-1] + _vendor_copies(b))
+    n_vendor = bounds[-1]
+    n_t_shards = (N_TEMPLATE_ROWS + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD
+    n_v_shards = (n_vendor + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD
+
+    def gen(iterator):
+        import bisect
+        import hashlib
+
+        import pandas as pd
+
+        from fileconvert_spark.corpus import SEED, make_codefiles
+
+        blob_cache: dict[int, str] = {}
+
+        def blob_content(b: int) -> str:
+            if b not in blob_cache:
+                blob_cache[b] = "\n".join(
+                    hashlib.sha256(f"vendored{b}:{i}".encode()).hexdigest()
+                    for i in range(48))
+            return blob_cache[b]
+
+        for pdf in iterator:
+            for shard in pdf["shard"]:
+                shard = int(shard)
+                if shard < n_t_shards:
+                    rows = min(ROWS_PER_SHARD,
+                               N_TEMPLATE_ROWS - shard * ROWS_PER_SHARD)
+                    yield make_codefiles(
+                        rows, with_edge_rows=(shard == 0),
+                        seed=SEED + 1000 + shard,
+                        row_offset=shard * ROWS_PER_SHARD)
+                else:
+                    v = shard - n_t_shards
+                    lo = v * ROWS_PER_SHARD
+                    hi = min(lo + ROWS_PER_SHARD, n_vendor)
+                    recs = []
+                    for r in range(lo, hi):
+                        b = bisect.bisect_right(bounds, r) - 1
+                        c = r - bounds[b]
+                        recs.append((
+                            f"org{c % 19}/vend{c % 211}",
+                            f"vendor/b{b}/copy{c}.js",
+                            hashlib.sha1(f"{b}.{c}".encode()).hexdigest(),
+                            "js", blob_content(b)))
+                    yield pd.DataFrame(
+                        recs, columns=["repo", "path", "commit", "lang",
+                                       "content"])
+
+    t0 = time.time()
+    shards = (spark.range(n_t_shards + n_v_shards)
+              .withColumnRenamed("id", "shard")
+              .repartition(n_t_shards + n_v_shards))
+    shards.mapInPandas(gen, schema).write.mode("overwrite").parquet(path)
+    return time.time() - t0
+
+
+def main() -> int:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fcs_dstore_scale"
+    os.makedirs(work, exist_ok=True)
+    prog_path = os.path.join(work, "progress.jsonl")
+
+    def prog(phase: str, payload: dict):
+        with open(prog_path, "a") as f:
+            f.write(json.dumps({"phase": phase, **payload}) + "\n")
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.plans.dedup_store import (
+        decode_table_dedup, encode_table_dedup)
+    from fileconvert_spark.plans.manifest import encode_table
+    from fileconvert_spark.session import get_spark
+
+    out: dict = {}
+    spark = get_spark("scale-dedup-store")
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        out["gen_wall_s"] = round(generate_corpus(spark, corpus_path), 1)
+        prog("gen", {"wall_s": out["gen_wall_s"]})
+    corpus = spark.read.parquet(corpus_path)
+
+    plain_dir = os.path.join(work, "plain")
+    if os.path.exists(os.path.join(plain_dir, "_summary.json")):
+        plain = json.loads(open(os.path.join(plain_dir,
+                                             "_summary.json")).read())
+    else:
+        shutil.rmtree(plain_dir, ignore_errors=True)
+        plain = encode_table(spark, corpus, plain_dir, n_buckets=1024,
+                             stats_sample_fraction=0.05)
+    out["plain"] = {k: plain[k] for k in
+                    ("n_rows", "raw_bytes", "enc_bytes", "ratio", "wall_s")}
+    prog("plain", out["plain"])
+
+    store_dir = os.path.join(work, "store")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    # cluster the refs by the predicate key, as a real deployment would
+    # (ref-part zone pruning; the sha pushdown then prunes blob parts)
+    s = encode_table_dedup(spark, corpus, store_dir, n_buckets=1024,
+                           stats_sample_fraction=0.05,
+                           cluster_by=("repo",))
+    out["dedup"] = {k: s[k] for k in
+                    ("n_rows", "n_blobs", "ref_rows", "dup_rows_removed",
+                     "content_bytes", "blob_content_bytes", "raw_bytes",
+                     "enc_bytes", "ratio", "wall_s")}
+    out["dedup"]["bytes_vs_plain"] = round(
+        s["enc_bytes"] / plain["enc_bytes"], 4)
+    prog("dedup", out["dedup"])
+
+    t0 = time.time()
+    from fileconvert_spark.operators.verify import multiset_roundtrip_report
+    rep = multiset_roundtrip_report(
+        corpus, decode_table_dedup(spark, store_dir)).collect()[0].asDict()
+    out["verify"] = {"wall_s": round(time.time() - t0, 1),
+                     "n_src": rep["n_src"], "n_dec": rep["n_dec"],
+                     "fingerprint_match": bool(rep["fingerprint_match"])}
+    prog("verify", out["verify"])
+
+    # selective predicate decode: a repo that holds vendored copies —
+    # refs prune by zone bounds? (refs are hash-bucketed, no cluster_by
+    # here: the win measured is the sha pushdown into BLOB parts)
+    pred = ("repo", "=", "org7/vend7")
+    t0 = time.time()
+    got = decode_table_dedup(spark, store_dir, predicate=pred).count()
+    t_pred = time.time() - t0
+    want = corpus.filter(F.col("repo") == "org7/vend7").count()
+    t0 = time.time()
+    full_rows = decode_table_dedup(spark, store_dir).count()
+    t_full = time.time() - t0
+    out["pushdown"] = {"rows": int(got), "rows_expected": int(want),
+                       "exact": bool(got == want),
+                       "wall_s": round(t_pred, 2),
+                       "full_decode_wall_s": round(t_full, 2),
+                       "selectivity": round(got / max(full_rows, 1), 6)}
+    prog("pushdown", out["pushdown"])
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if out["verify"]["fingerprint_match"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
