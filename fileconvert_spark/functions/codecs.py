@@ -690,6 +690,110 @@ def select_and_encode_int(vals: np.ndarray) -> tuple[str, bytes, bytes | None, d
     return winner, payload, dict_blob, meta
 
 
+# --------------------------------------------------------------------- ALP
+# Decimal-float codec after ALP (Afroozeh & Boncz, "ALP: Adaptive Lossless
+# floating-Point compression", SIGMOD 2024) — the single-factor variant:
+# d = round(v * 10^e) with a bit-exact inverse check (d * 10^-e reproduces
+# v's IEEE bits), d through the int codec family (FoR/delta/dict/rle),
+# failures patched as (position, raw-bits) exceptions. Real-world floats
+# are overwhelmingly decimals printed to fixed precision (prices, sensor
+# readings, percentages); their IEEE bit patterns look random to FoR/dict,
+# but the decimal integers underneath are tiny. NaN/Inf/huge values become
+# exceptions; truly random floats fail the sample gate and keep the
+# bit-view int path. Pure NumPy, no per-row Python.
+
+_ALP_POW10 = 10.0 ** np.arange(19)     # 10^0 .. 10^18 (exact in float64)
+_ALP_IPOW10 = 10.0 ** -np.arange(19.0)
+_ALP_MAX_EXP = 18
+_ALP_SAFE = float(2**53)  # |d| bound: round exact + int64-safe
+
+
+def _alp_scale(v64: np.ndarray, e: int, orig: np.ndarray,
+               f32: bool) -> tuple[np.ndarray, np.ndarray]:
+    """(d, ok): d = round(v*10^e); ok where decode's exact expression
+    (int64 -> float64 multiply by 10^-e, cast for f32) restores orig's
+    bits. Correct by construction: the check IS the decode computation."""
+    # + 0.0 normalizes -0.0 to +0.0 (IEEE): decode goes through int64,
+    # which cannot carry a signed zero — so -0.0 must fail the check and
+    # travel as an exception, not silently decode to +0.0
+    d = np.round(v64 * _ALP_POW10[e]) + 0.0
+    with np.errstate(invalid="ignore"):
+        ok = np.abs(d) < _ALP_SAFE  # False for NaN/Inf too
+    rt = d * _ALP_IPOW10[e]
+    if f32:
+        ok &= rt.astype(np.float32).view(np.int32) == orig.view(np.int32)
+    else:
+        ok &= rt.view(np.int64) == orig.view(np.int64)
+    return d, ok
+
+
+def try_alp_encode(orig: np.ndarray):
+    """ALP candidate for a null-free float32/float64 chunk.
+
+    Returns (e, n_exc, inner_codec, inner_payload, inner_dict, inner_meta,
+    pos_bytes, exc_bytes) or None when no exponent makes >=70% of values
+    exactly representable (the caller then keeps the IEEE bit-view path).
+    Exponent choice: scan e=0..18 on a <=1024-value stride sample, score
+    estimated bytes/value = FoR-width(d range)/8 + exception overhead."""
+    f32 = orig.dtype == np.float32
+    if not (f32 or orig.dtype == np.float64):
+        return None
+    n = len(orig)
+    if n == 0:
+        return None
+    v64 = orig.astype(np.float64) if f32 else orig
+    step = max(1, n // 1024)
+    s64, s_orig = v64[::step][:1024], orig[::step][:1024]
+    exc_bytes_per = 4 + (4 if f32 else 8)
+    best_e, best_cost = None, None
+    with np.errstate(over="ignore", invalid="ignore"):
+        for e in range(_ALP_MAX_EXP + 1):
+            d, ok = _alp_scale(s64, e, s_orig, f32)
+            okf = float(ok.mean())
+            if okf < 0.7:
+                continue
+            dok = d[ok]
+            rng = float(dok.max() - dok.min()) if len(dok) else 0.0
+            bits = bitwidth_for(int(rng)) if rng >= 1.0 else 1
+            cost = bits / 8.0 + (1.0 - okf) * exc_bytes_per
+            if best_cost is None or cost < best_cost - 1e-9:
+                best_e, best_cost = e, cost
+    if best_e is None:
+        return None
+    with np.errstate(over="ignore", invalid="ignore"):
+        d, ok = _alp_scale(v64, best_e, orig, f32)
+    n_exc = int(n - int(ok.sum()))
+    if n_exc > 0.3 * n:
+        return None  # sample lied; not worth the exception list
+    d_i = d.astype(np.int64, copy=True) if n_exc == 0 else None
+    if n_exc:
+        okd = d[ok]
+        fill = okd[0] if len(okd) else 0.0  # a legal value: keeps FoR tight
+        d_i = np.where(ok, d, fill).astype(np.int64)
+        pos = np.flatnonzero(~ok).astype(np.uint32)
+        posb, excb = pos.tobytes(), orig[~ok].tobytes()
+    else:
+        posb = excb = b""
+    ic, ip, idict, im = select_and_encode_int(d_i)
+    return best_e, n_exc, ic, ip, idict, im, posb, excb
+
+
+def alp_decode_values(inner_codec: str, inner_payload, inner_dict,
+                      inner_meta: dict, n: int, e: int, n_exc: int,
+                      posb, excb, f32: bool) -> np.ndarray:
+    """Inverse of try_alp_encode -> float array with orig's exact bits."""
+    d = np.asarray(decode_int(inner_codec, inner_payload, inner_dict,
+                              inner_meta, n), dtype=np.int64)
+    v = d.astype(np.float64) * _ALP_IPOW10[e]
+    if f32:
+        v = v.astype(np.float32)
+    if n_exc:
+        pos = np.frombuffer(posb, dtype=np.uint32).astype(np.int64)
+        exc = np.frombuffer(excb, dtype=np.float32 if f32 else np.float64)
+        v[pos] = exc
+    return v
+
+
 def decode_str(codec: str, payload, dict_blob, meta: dict, n: int) -> pa.Array:
     return STR_CODECS[codec][1](payload, dict_blob, meta, n)
 

@@ -451,6 +451,21 @@ def encode_column(arr: pa.Array, cache_key: str | None = None,
         raw_bytes = n * max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else n * 8
         meta["vt"] = "int"
         meta["ad"] = adapter
+        if adapter in ("f64", "f32") and len(clean):
+            # ALP decimal-float candidate vs the IEEE bit-view path: the
+            # winner is decided by ACTUAL encoded bytes, so adding ALP can
+            # never regress a chunk (codecs.try_alp_encode docstring)
+            alp = codecs.try_alp_encode(
+                clean.to_numpy(zero_copy_only=False))
+            if alp is not None:
+                ae, nx, ic, ip, idict, im, posb, excb = alp
+                alp_payload = _pack_frames(ip, idict or b"", posb, excb)
+                std = len(payload) + (len(dict_blob) if dict_blob else 0)
+                if len(alp_payload) < std:
+                    codec, payload, dict_blob = "alp", alp_payload, None
+                    meta = {"vt": "alp", "ic": ic, "im": im, "ae": ae,
+                            "nx": nx, "id": idict is not None,
+                            "f32": adapter == "f32"}
     meta["ot"] = orig_type
     if zone_stats:
         zs, zsv = _zone_stats(clean, t)
@@ -631,6 +646,13 @@ def _decode_column_checked(codec: str, payload: bytes,
         clean = pa.MapArray.from_arrays(
             pa.array(offs, type=pa.int32()),
             entries.field(0), entries.field(1))
+    elif meta["vt"] == "alp":
+        ip, idict, posb, excb = _unpack_frames(payload, 4)
+        v = codecs.alp_decode_values(
+            meta["ic"], ip, idict if meta["id"] else None, meta["im"],
+            n_valid, int(meta["ae"]), int(meta["nx"]), posb, excb,
+            bool(meta.get("f32")))
+        clean = pa.array(v)
     else:
         vals = codecs.decode_int(codec, payload, dict_blob, meta, n_valid)
         clean = _from_int64(vals, meta.get("ad", "i"), orig_type)
