@@ -1,0 +1,84 @@
+"""Interleaved fresh-JVM A/B of the bench_scaling encode child at ONE
+parallelism level between two repo checkouts (worktrees). Settles whether
+a scaling-table level moved because of code or host state: arms alternate
+ABAB in fresh subprocesses on the same corpus, so co-tenant noise hits
+both arms equally.
+
+usage: python tools/ab_scaling_level.py <repoA> <repoB> <cores> [rounds]
+Prints one JSON line: per-arm walls (min-of-3 per invocation), min/median.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import subprocess
+import sys
+
+CHILD = r"""
+import sys, time, shutil, os, json
+repo = sys.argv[1]
+sys.path.insert(0, repo)
+cores = int(sys.argv[2])
+from fileconvert_spark.session import get_spark
+from fileconvert_spark.operators.partitioning import plan_buckets, repartition_by_bucket
+from fileconvert_spark.plans.manifest import make_write_kernel, MANIFEST_SPARK_SCHEMA
+spark = get_spark("ab_scale", master=f"local[{cores}]", shuffle_partitions=max(cores, 8))
+spark.range(cores * 4, numPartitions=cores * 4).mapInArrow(lambda it: it, "id long").count()
+df = spark.read.parquet(sys.argv[3])
+n_buckets = max(128, 4 * 32)
+dfb, _ = plan_buckets(df, n_buckets)
+shuffled = repartition_by_bucket(dfb, n_buckets)
+walls = []
+for run in range(3):
+    out = f"/tmp/fcs_ab_scale_{cores}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    t0 = time.time()
+    shuffled.mapInArrow(make_write_kernel(out), MANIFEST_SPARK_SCHEMA).collect()
+    walls.append(time.time() - t0)
+print(json.dumps({"walls": walls, "min": min(walls)}))
+spark.stop()
+"""
+
+
+def run_arm(repo: str, cores: int, corpus: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD, repo, str(cores), corpus],
+        capture_output=True, text=True, timeout=1200)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not line:
+        raise RuntimeError(f"arm {repo} produced no JSON:\n{out.stderr[-2000:]}")
+    return json.loads(line[-1])
+
+
+def main() -> None:
+    repo_a, repo_b, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    corpus = "/tmp/fcs_bench_corpus_300000.parquet"
+    a_mins: list[float] = []
+    b_mins: list[float] = []
+    a_walls: list[float] = []
+    b_walls: list[float] = []
+    for r in range(rounds):
+        ra = run_arm(repo_a, cores, corpus)
+        rb = run_arm(repo_b, cores, corpus)
+        a_mins.append(ra["min"])
+        b_mins.append(rb["min"])
+        a_walls += ra["walls"]
+        b_walls += rb["walls"]
+        print(f"round {r}: A min {ra['min']:.2f} {ra['walls']} | "
+              f"B min {rb['min']:.2f} {rb['walls']}", file=sys.stderr)
+    print(json.dumps({
+        "cores": cores, "rounds": rounds,
+        "a": {"repo": repo_a, "mins": a_mins, "min": min(a_mins),
+              "median_min": statistics.median(a_mins), "walls": a_walls},
+        "b": {"repo": repo_b, "mins": b_mins, "min": min(b_mins),
+              "median_min": statistics.median(b_mins), "walls": b_walls},
+        "ratio_min": min(a_mins) / min(b_mins),
+        "ratio_median": statistics.median(a_mins) / statistics.median(b_mins),
+    }))
+
+
+if __name__ == "__main__":
+    main()
