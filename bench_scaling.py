@@ -26,6 +26,11 @@ PAIRS = [(1, 4), (2, 8), (8, 32)]
 # run-to-run noise under concurrency, so a single sample is meaningless
 N_RUNS = 3
 
+# fresh-JVM invocations per level (more samples -> better floor when the
+# co-tenant VM is loud; r7 found the 8-core floor drifting 1.2x between
+# sessions on identical code — BENCH/AB_r7_scaling.json)
+INVOCATIONS = int(os.environ.get("SPARK_GRAFT_SCALE_INVOCATIONS", 2))
+
 _CHILD = r"""
 import sys, time, shutil, os, json
 sys.path.insert(0, {repo!r})
@@ -94,7 +99,8 @@ def main() -> None:
         write_codefiles_parquet(corpus, ROWS)
 
     levels = sorted({c for pair in PAIRS for c in pair})
-    results = {c: run_level(c, corpus) for c in levels}
+    results = {c: run_level(c, corpus, invocations=INVOCATIONS)
+               for c in levels}
 
     report = {"rows": ROWS, "levels": {str(c): results[c] for c in levels}}
     for n, n4 in PAIRS:
