@@ -1,0 +1,317 @@
+"""Encoded-table compaction — Iceberg ``rewrite_data_files`` parity for
+the engine format (SURVEY.md §2 B13/B14 lifecycle companion).
+
+Why it exists: the streaming incremental encoder (streaming/incremental.py)
+and any fine-bucketed job accrete SMALL part files over time. Decode-side
+task grouping (decode_table ``task_target_bytes``) already keeps read
+parallelism healthy, but the file COUNT itself still grows without bound —
+manifest-list size, listdir cost, object-store GET count, and per-file
+footer overhead all scale with parts, not bytes. Compaction merges runs of
+consecutive small parts into ~target-size parts WITHOUT decoding a single
+value:
+
+- chunk payloads move byte-identical (codecs are chunk-local by design);
+- part dictionary pages (format v4) are first expanded back into
+  self-contained chunk dictionaries (page values .take(local_map)), then
+  re-consolidated across the WIDER merged part — cross-part dictionary
+  overlap the original per-part pages could not see is captured here;
+- chunk ids are renumbered per source part (order-preserving), chunk
+  integrity shas recomputed where dict/meta changed;
+- the merged part's manifest (zones fold, codec map, sha256_part) is
+  rebuilt by the same write_part_file the encoder uses, and records
+  ``src_parts`` lineage.
+
+Crash-safety (single writer, like Iceberg without a catalog's atomic
+swap): a two-phase state file ``_compact_state.json``:
+
+  phase=staging    written BEFORE any new part file; lists planned adds
+                   and removes. A crash here rolls BACK (delete adds).
+  phase=committed  written only after every merged part + manifest is
+                   on disk. A crash here rolls FORWARD (delete removes,
+                   rewrite the manifest list).
+
+``check_format_version`` (called by decode_table and encode resume)
+refuses a directory with a state file present, pointing at
+``recover_compaction``; recovery is idempotent in both directions.
+
+After compaction the original bucket->part mapping is gone, so
+``encode_table(resume=True)`` into a compacted dir is refused via the
+``compacted`` stamp in _meta.json (re-encoding missing buckets would
+duplicate rows already inside merged parts).
+
+Scale shape: the driver plans groups from manifest metadata only (no data
+read); each group is one executor task that reads its run of small files
+and writes one — no shuffle of encoded bytes, parallelism = number of
+groups. This is exactly Iceberg's rewriteDataFiles bin-packing action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from . import fsio
+from ..functions.codecs import DICT_FAMILY
+from ..operators.encode import (
+    ENC_ARROW_SCHEMA,
+    PAGE_CHUNK_ID,
+    chunk_integrity_sha,
+    consolidate_part_dicts,
+    _page_values,
+)
+from .manifest import (
+    MANIFEST_SPARK_SCHEMA,
+    check_format_version,
+    invalidate_manifest_list,
+    read_all_manifests,
+    write_manifest_list,
+    write_part_file,
+)
+
+COMPACT_STATE = "_compact_state.json"
+
+
+def _expand_dict_pages(tbl: pa.Table, src_pid: int) -> list[dict]:
+    """One source part's enc rows as self-contained dicts: page rows are
+    dropped and every dp-chunk's packed local->global map is materialized
+    back into a chunk-local value dictionary (integrity sha recomputed —
+    the page sha check runs first, so the envelope never weakens)."""
+    from ..functions.bitpack import unpack_uints_auto
+    from ..functions.codecs import _flagged_blob_encode
+
+    chunk_ids = tbl.column("chunk_id").to_pylist()
+    pages: dict[str, bytes | None] = {}
+    for i, cid in enumerate(chunk_ids):
+        if cid == PAGE_CHUNK_ID:
+            pages[tbl.column("column")[i].as_py()] = \
+                tbl.column("dict")[i].as_py()
+    keep = [i for i, cid in enumerate(chunk_ids) if cid != PAGE_CHUNK_ID]
+    rows = tbl.take(keep).to_pylist()
+    for r in rows:
+        meta = json.loads(r["meta"])
+        if meta.get("dp") != 1:
+            continue
+        blob = pages.get(r["column"])
+        if blob is None:
+            raise ValueError(
+                f"compact: part {src_pid} chunk {r['chunk_id']} column "
+                f"{r['column']!r} references a dictionary page that is "
+                "missing from its part file")
+        vals = _page_values(blob, meta.get("ps"),
+                            f" [compact part {src_pid}]")
+        local_map, _ = unpack_uints_auto(memoryview(r["dict"]))
+        local_vals = vals.take(pa.array(local_map.astype(np.int64)))
+        new_dict = _flagged_blob_encode(local_vals)
+        meta.pop("dp", None)
+        meta.pop("ps", None)
+        mj = json.dumps(meta, separators=(",", ":"))
+        r["dict"] = new_dict
+        r["meta"] = mj
+        r["sha256_chunk"] = chunk_integrity_sha(
+            r["payload"], new_dict, r["validity"], mj)
+        r["enc_bytes"] = (len(r["payload"]) + len(new_dict)
+                          + (len(r["validity"]) if r["validity"] else 0)
+                          + len(mj))
+    return rows
+
+
+def _merge_group(out_dir: str, new_pid: int, src_pids: list[int],
+                 t0: float) -> dict:
+    """Executor-side: merge one run of source parts into part new_pid."""
+    merged: list[dict] = []
+    all_cols: set[str] = set()
+    offset = 0
+    for pid in src_pids:
+        path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
+        tbl = fsio.read_parquet(path)
+        rows = _expand_dict_pages(tbl, pid)
+        max_cid = -1
+        for r in rows:
+            cid = int(r["chunk_id"])
+            max_cid = max(max_cid, cid)
+            r["chunk_id"] = cid + offset
+            r["part_id"] = new_pid
+            all_cols.add(r["column"])
+        offset += max_cid + 1
+        merged.extend(rows)
+    # cross-part dictionary-page consolidation over the merged part: the
+    # whole point of merging clustered small parts — value overlap that
+    # per-part pages could not capture
+    if not os.environ.get("FCS_NO_DICTPAGES"):
+        fam = [r for r in merged if r["codec"] in DICT_FAMILY]
+        if fam:
+            new_rows = consolidate_part_dicts(fam, sorted(all_cols),
+                                              new_pid)
+            if new_rows is not None:
+                merged = [r for r in merged
+                          if r["codec"] not in DICT_FAMILY] + new_rows
+    tbl = pa.Table.from_pylist(merged, schema=ENC_ARROW_SCHEMA)
+    return write_part_file(out_dir, new_pid, tbl, t0,
+                           extra={"src_parts": [int(p) for p in src_pids]})
+
+
+def make_compact_kernel(out_dir: str):
+    man_schema = pa.schema([
+        ("part_id", pa.int32()), ("n_rows", pa.int64()),
+        ("n_chunks", pa.int32()), ("raw_bytes", pa.int64()),
+        ("enc_bytes", pa.int64()), ("file_bytes", pa.int64()),
+        ("codec_map", pa.string()), ("sha256_part", pa.string()),
+        ("wall_ms", pa.int64()), ("status", pa.string()),
+    ])
+
+    def fn(batches):
+        t0 = time.time()
+        rows = []
+        for b in batches:
+            for i in range(b.num_rows):
+                new_pid = int(b.column(0)[i].as_py())
+                src_pids = json.loads(b.column(1)[i].as_py())
+                rows.append(_merge_group(out_dir, new_pid, src_pids, t0))
+        if rows:
+            arrays = [pa.array([r[f.name] for r in rows], type=f.type)
+                      for f in man_schema]
+            yield pa.RecordBatch.from_arrays(arrays, schema=man_schema)
+
+    return fn
+
+
+def _state_path(out_dir: str) -> str:
+    return os.path.join(out_dir, COMPACT_STATE)
+
+
+def _remove_parts(out_dir: str, pids: list[int]) -> None:
+    for pid in pids:
+        for sub, ext in (("data", ".parquet"), ("manifests", ".json")):
+            p = os.path.join(out_dir, sub, f"part-{pid:05d}{ext}")
+            if fsio.exists(p):
+                fsio.remove(p)
+
+
+def _stamp_compacted(out_dir: str) -> None:
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if fsio.exists(meta_path):
+        meta = json.loads(fsio.read_bytes(meta_path))
+        if not meta.get("compacted"):
+            meta["compacted"] = True
+            fsio.write_bytes_atomic(meta_path, json.dumps(meta).encode())
+
+
+def plan_groups(manifests: list[dict], target_bytes: int) -> list[list[int]]:
+    """Runs of CONSECUTIVE part ids whose file_bytes pack to about
+    target_bytes (consecutive = cluster_by key locality and zone
+    tightness survive the merge). Parts already >= target stand alone."""
+    by_pid = {int(m["part_id"]): int(m.get("file_bytes") or 0)
+              for m in manifests}
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_b = 0
+    for pid in sorted(by_pid):
+        sz = by_pid[pid]
+        if sz >= target_bytes:
+            if cur:
+                groups.append(cur)
+                cur, cur_b = [], 0
+            groups.append([pid])
+            continue
+        cur.append(pid)
+        cur_b += max(sz, 1)
+        if cur_b >= target_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_table(spark, out_dir: str, target_bytes: int = 64 << 20) -> dict:
+    """Merge small parts of a COMPLETE encoded table into ~target-size
+    parts. Returns a summary dict; no-op (and says so) when every part
+    already meets the target. See module docstring for semantics."""
+    check_format_version(out_dir)  # also refuses an interrupted compaction
+    manifests = read_all_manifests(out_dir)
+    if not manifests:
+        raise ValueError(f"compact_table: no manifests under {out_dir}")
+    not_done = [m["part_id"] for m in manifests if m.get("status") != "done"]
+    if not_done:
+        raise ValueError(
+            "compact_table requires a complete table — parts not done: "
+            f"{sorted(not_done)[:10]} (finish or re-run the encode first)")
+    pids = sorted(int(m["part_id"]) for m in manifests)
+    t0 = time.time()
+    groups = plan_groups(manifests, target_bytes)
+    merge = [g for g in groups if len(g) >= 2]
+    if not merge:
+        return {"n_parts_before": len(pids), "n_parts_after": len(pids),
+                "groups_merged": 0, "noop": True, "wall_s": 0.0}
+    next_pid = max(pids) + 1
+    plan = [(next_pid + i, g) for i, g in enumerate(merge)]
+    add = [p for p, _ in plan]
+    remove = [pid for _, g in plan for pid in g]
+
+    # phase 1: staging marker BEFORE any new file exists; the stale
+    # manifest list must not survive the mutation either way
+    fsio.write_bytes_atomic(_state_path(out_dir), json.dumps(
+        {"phase": "staging", "add": add, "remove": remove}).encode())
+    invalidate_manifest_list(out_dir)
+
+    pdf = spark.createDataFrame(
+        [(int(p), json.dumps(g)) for p, g in plan],
+        "new_pid int, src string").repartition(len(plan))
+    man_rows = pdf.mapInArrow(make_compact_kernel(out_dir),
+                              MANIFEST_SPARK_SCHEMA).collect()
+    if len(man_rows) != len(plan):
+        raise RuntimeError(
+            f"compact_table: {len(plan)} groups planned but "
+            f"{len(man_rows)} merged parts written — aborting before the "
+            "commit point (recover_compaction rolls the staging back)")
+
+    # phase 2: commit point — every merged part + manifest is on disk
+    fsio.write_bytes_atomic(_state_path(out_dir), json.dumps(
+        {"phase": "committed", "add": add, "remove": remove}).encode())
+    _remove_parts(out_dir, remove)
+    _stamp_compacted(out_dir)
+    all_m = read_all_manifests(out_dir)
+    write_manifest_list(out_dir, all_m)
+    fsio.remove(_state_path(out_dir))
+
+    before_files = len(pids)
+    after_files = len(all_m)
+    return {
+        "n_parts_before": before_files,
+        "n_parts_after": after_files,
+        "groups_merged": len(plan),
+        "parts_removed": len(remove),
+        "bytes_written": int(sum(r["file_bytes"] for r in man_rows)),
+        "noop": False,
+        "wall_s": round(time.time() - t0, 3),
+    }
+
+
+def recover_compaction(out_dir: str) -> str:
+    """Finish or undo an interrupted compact_table. Idempotent.
+
+    staging   -> roll BACK: delete any staged merged parts; originals
+                 are untouched by construction (removes only happen
+                 after the committed stamp).
+    committed -> roll FORWARD: every merged part is on disk; delete the
+                 source parts, stamp _meta.json, rebuild the list.
+    Returns 'clean' | 'rolled_back' | 'rolled_forward'.
+    """
+    sp = _state_path(out_dir)
+    if not fsio.exists(sp):
+        return "clean"
+    state = json.loads(fsio.read_bytes(sp))
+    if state.get("phase") == "staging":
+        _remove_parts(out_dir, state["add"])
+        write_manifest_list(out_dir, read_all_manifests(out_dir))
+        fsio.remove(sp)
+        return "rolled_back"
+    _remove_parts(out_dir, state["remove"])
+    _stamp_compacted(out_dir)
+    write_manifest_list(out_dir, read_all_manifests(out_dir))
+    fsio.remove(sp)
+    return "rolled_forward"

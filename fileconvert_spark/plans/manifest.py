@@ -76,6 +76,13 @@ def check_format_version(out_dir: str, meta: dict | None = None) -> None:
     schema/data checks — only an explicit older/newer stamp (or a legacy
     meta without one) fails here, before integrity verification runs.
     """
+    state = os.path.join(out_dir, "_compact_state.json")
+    if fsio.exists(state):
+        raise ValueError(
+            f"encoded table at {out_dir} has an interrupted compaction "
+            "(_compact_state.json present) — run "
+            "plans.compact.recover_compaction(out_dir) to roll it back "
+            "or forward before reading/writing the table")
     if meta is None:
         path = os.path.join(out_dir, "_meta.json")
         if not fsio.exists(path):
@@ -234,114 +241,7 @@ def make_write_kernel(out_dir: str,
                         pa.Table.from_pylist(new_rows,
                                              schema=ENC_ARROW_SCHEMA),
                     ])
-            data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
-            # Sort enc rows by (column, chunk_id) and align row groups to
-            # one COLUMN each (every chunk emits every column, so each
-            # column contributes exactly n_chunks rows): the row-group
-            # "column" statistics then let a projected decode
-            # (decode_table(columns=...)) skip non-selected columns'
-            # payload PAGES at the parquet layer instead of reading and
-            # discarding them — at 10 GB this took the 2-of-5-column
-            # decode from ~8.8 s (row-level filter, all bytes read) to
-            # page-skipping (see BENCH/SCALE_r4.md addendum 3).
-            tbl = tbl.sort_by([("column", "ascending"),
-                               ("chunk_id", "ascending")])
-            rows_per_col = len(set(tbl.column("chunk_id").to_pylist()))
-            # compression=NONE: our codecs, not parquet's, account for size;
-            # attempt-unique tmp + move (fsio) so speculative/zombie task
-            # attempts can never corrupt a part whose manifest says done.
-            # Footer discipline (r5, VERDICT item 3): statistics only on
-            # 'column' (the one filter that prunes row groups — part_id is
-            # constant per file and chunk_id stats span every chunk),
-            # dictionary encoding only for the two low-cardinality string
-            # columns (dictionary-encoding unique payload/sha blobs is
-            # pure page overhead), and per-COLUMN row groups only when
-            # the part holds >= 4 chunks: below that the page-skipping
-            # projection can save at most a few hundred KB while the
-            # extra per-row-group column-chunk metadata costs ~1 KB per
-            # row group — at real scale (many chunks/part) the footer
-            # amortizes and the projection win dominates.
-            per_col_rgs = rows_per_col >= 4
-            file_bytes = fsio.write_parquet_atomic(
-                tbl, data_path, compression="none",
-                row_group_size=rows_per_col if per_col_rgs else max(
-                    tbl.num_rows, 1),
-                write_statistics=["column"],
-                use_dictionary=["column", "codec"],
-            )
-
-            chunk_ids = tbl.column("chunk_id").to_pylist()
-            columns = tbl.column("column").to_pylist()
-            codecs_used = tbl.column("codec").to_pylist()
-            n_rows_per = tbl.column("n_rows").to_pylist()
-            raw_b = sum(tbl.column("raw_bytes").to_pylist())
-            enc_b = sum(tbl.column("enc_bytes").to_pylist())
-            shas = tbl.column("sha256_chunk").to_pylist()
-            n_chunks = len({cid for cid in chunk_ids
-                            if cid != PAGE_CHUNK_ID})
-            n_rows = sum(n for c, cid, n in zip(columns, chunk_ids,
-                                                n_rows_per)
-                         if c == columns[0] and cid != PAGE_CHUNK_ID)
-            codec_map = dict(Counter(f"{c}:{k}" for c, k in zip(columns, codecs_used)))
-            sha_part = hashlib.sha256(b"".join(shas)).hexdigest()
-            wall_ms = int((time.time() - t0) * 1000)
-            # part-level zone bounds (Iceberg manifest-pruning pattern):
-            # fold each zone column's per-chunk [min, max] into a CAPPED
-            # LIST OF MERGED INTERVALS and put it IN THE MANIFEST, so
-            # the decode driver can drop whole parts before they ever
-            # become tasks — at 10^5 parts a selective predicate must
-            # not schedule (or per-part meta-read) the 99% of parts it
-            # excludes. An interval LIST, not one envelope: buckets are
-            # HASH-keyed, so a part holds a few scattered key values
-            # whose single [min, max] envelope spans nearly the whole
-            # key range and never prunes (measured on the 10 GB corpus:
-            # 0 of 1024 parts pruned for a 0.16%-selective repo
-            # equality). With cluster_by the chunks are tight runs, the
-            # merged intervals ~= the part's distinct keys, and equality
-            # predicates prune exactly. A column with any chunk lacking
-            # bounds is omitted (absence = may-match, never prune).
-            zones: dict[str, list] = {}
-            col_iv: dict[str, list] = {}
-            complete: dict[str, bool] = {}
-            for c, cid, mj in zip(columns, chunk_ids,
-                                  tbl.column("meta").to_pylist()):
-                if cid == PAGE_CHUNK_ID:
-                    continue  # page rows carry no zone stats by design
-                meta_d = json.loads(mj)
-                zs = meta_d.get("zs")
-                if zs is None:
-                    complete[c] = False
-                    continue
-                complete.setdefault(c, True)
-                zsv = meta_d.get("zsv")
-                if zsv is not None:
-                    # low-cardinality chunk: each distinct value is a
-                    # degenerate [v, v] interval — exact equality pruning
-                    # even on hash-scattered keys
-                    col_iv.setdefault(c, []).extend([v, v] for v in zsv)
-                else:
-                    col_iv.setdefault(c, []).append([zs[0], zs[1]])
-            for c, ok in complete.items():
-                if ok and col_iv.get(c):
-                    zones[c] = _merge_intervals(col_iv[c], cap=32)
-            manifest = {
-                "part_id": pid,
-                "n_rows": int(n_rows),
-                "n_chunks": int(n_chunks),
-                "raw_bytes": int(raw_b),
-                "enc_bytes": int(enc_b),
-                "file_bytes": int(file_bytes),
-                "codec_map": codec_map,
-                "sha256_part": sha_part,
-                "wall_ms": wall_ms,
-                "status": "done",
-                "zones": zones,
-            }
-            fsio.write_bytes_atomic(
-                os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"),
-                json.dumps(manifest, indent=1).encode(),
-            )
-            rows.append({**manifest, "codec_map": json.dumps(codec_map)})
+            rows.append(write_part_file(out_dir, pid, tbl, t0))
 
         if rows:
             arrays = [pa.array([r[f.name] for r in rows], type=f.type)
@@ -349,6 +249,126 @@ def make_write_kernel(out_dir: str,
             yield pa.RecordBatch.from_arrays(arrays, schema=man_schema)
 
     return fn
+
+
+def write_part_file(out_dir: str, pid: int, tbl: pa.Table, t0: float,
+                    extra: dict | None = None) -> dict:
+    """Write one part's enc-row table + per-part manifest JSON; returns
+    the manifest as a flat dict (codec_map JSON-encoded) ready for a
+    MANIFEST_SPARK_SCHEMA row. Shared by the encode write kernel and
+    plans/compact.py so footer discipline and part-level zone folding
+    have one source of truth. ``extra`` keys are merged into the
+    manifest JSON only (lineage like src_parts)."""
+    data_path = os.path.join(out_dir, "data", f"part-{pid:05d}.parquet")
+    # Sort enc rows by (column, chunk_id) and align row groups to
+    # one COLUMN each (every chunk emits every column, so each
+    # column contributes exactly n_chunks rows): the row-group
+    # "column" statistics then let a projected decode
+    # (decode_table(columns=...)) skip non-selected columns'
+    # payload PAGES at the parquet layer instead of reading and
+    # discarding them — at 10 GB this took the 2-of-5-column
+    # decode from ~8.8 s (row-level filter, all bytes read) to
+    # page-skipping (see BENCH/SCALE_r4.md addendum 3).
+    tbl = tbl.sort_by([("column", "ascending"),
+                       ("chunk_id", "ascending")])
+    rows_per_col = len(set(tbl.column("chunk_id").to_pylist()))
+    # compression=NONE: our codecs, not parquet's, account for size;
+    # attempt-unique tmp + move (fsio) so speculative/zombie task
+    # attempts can never corrupt a part whose manifest says done.
+    # Footer discipline (r5, VERDICT item 3): statistics only on
+    # 'column' (the one filter that prunes row groups — part_id is
+    # constant per file and chunk_id stats span every chunk),
+    # dictionary encoding only for the two low-cardinality string
+    # columns (dictionary-encoding unique payload/sha blobs is
+    # pure page overhead), and per-COLUMN row groups only when
+    # the part holds >= 4 chunks: below that the page-skipping
+    # projection can save at most a few hundred KB while the
+    # extra per-row-group column-chunk metadata costs ~1 KB per
+    # row group — at real scale (many chunks/part) the footer
+    # amortizes and the projection win dominates.
+    per_col_rgs = rows_per_col >= 4
+    file_bytes = fsio.write_parquet_atomic(
+        tbl, data_path, compression="none",
+        row_group_size=rows_per_col if per_col_rgs else max(
+            tbl.num_rows, 1),
+        write_statistics=["column"],
+        use_dictionary=["column", "codec"],
+    )
+
+    chunk_ids = tbl.column("chunk_id").to_pylist()
+    columns = tbl.column("column").to_pylist()
+    codecs_used = tbl.column("codec").to_pylist()
+    n_rows_per = tbl.column("n_rows").to_pylist()
+    raw_b = sum(tbl.column("raw_bytes").to_pylist())
+    enc_b = sum(tbl.column("enc_bytes").to_pylist())
+    shas = tbl.column("sha256_chunk").to_pylist()
+    n_chunks = len({cid for cid in chunk_ids
+                    if cid != PAGE_CHUNK_ID})
+    n_rows = sum(n for c, cid, n in zip(columns, chunk_ids,
+                                        n_rows_per)
+                 if c == columns[0] and cid != PAGE_CHUNK_ID)
+    codec_map = dict(Counter(f"{c}:{k}" for c, k in zip(columns, codecs_used)))
+    sha_part = hashlib.sha256(b"".join(shas)).hexdigest()
+    wall_ms = int((time.time() - t0) * 1000)
+    # part-level zone bounds (Iceberg manifest-pruning pattern):
+    # fold each zone column's per-chunk [min, max] into a CAPPED
+    # LIST OF MERGED INTERVALS and put it IN THE MANIFEST, so
+    # the decode driver can drop whole parts before they ever
+    # become tasks — at 10^5 parts a selective predicate must
+    # not schedule (or per-part meta-read) the 99% of parts it
+    # excludes. An interval LIST, not one envelope: buckets are
+    # HASH-keyed, so a part holds a few scattered key values
+    # whose single [min, max] envelope spans nearly the whole
+    # key range and never prunes (measured on the 10 GB corpus:
+    # 0 of 1024 parts pruned for a 0.16%-selective repo
+    # equality). With cluster_by the chunks are tight runs, the
+    # merged intervals ~= the part's distinct keys, and equality
+    # predicates prune exactly. A column with any chunk lacking
+    # bounds is omitted (absence = may-match, never prune).
+    zones: dict[str, list] = {}
+    col_iv: dict[str, list] = {}
+    complete: dict[str, bool] = {}
+    for c, cid, mj in zip(columns, chunk_ids,
+                          tbl.column("meta").to_pylist()):
+        if cid == PAGE_CHUNK_ID:
+            continue  # page rows carry no zone stats by design
+        meta_d = json.loads(mj)
+        zs = meta_d.get("zs")
+        if zs is None:
+            complete[c] = False
+            continue
+        complete.setdefault(c, True)
+        zsv = meta_d.get("zsv")
+        if zsv is not None:
+            # low-cardinality chunk: each distinct value is a
+            # degenerate [v, v] interval — exact equality pruning
+            # even on hash-scattered keys
+            col_iv.setdefault(c, []).extend([v, v] for v in zsv)
+        else:
+            col_iv.setdefault(c, []).append([zs[0], zs[1]])
+    for c, ok in complete.items():
+        if ok and col_iv.get(c):
+            zones[c] = _merge_intervals(col_iv[c], cap=32)
+    manifest = {
+        "part_id": pid,
+        "n_rows": int(n_rows),
+        "n_chunks": int(n_chunks),
+        "raw_bytes": int(raw_b),
+        "enc_bytes": int(enc_b),
+        "file_bytes": int(file_bytes),
+        "codec_map": codec_map,
+        "sha256_part": sha_part,
+        "wall_ms": wall_ms,
+        "status": "done",
+        "zones": zones,
+    }
+    if extra:
+        manifest.update(extra)
+    fsio.write_bytes_atomic(
+        os.path.join(out_dir, "manifests", f"part-{pid:05d}.json"),
+        json.dumps(manifest, indent=1).encode(),
+    )
+    return {**manifest, "codec_map": json.dumps(codec_map)}
 
 
 def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
@@ -422,6 +442,12 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
     if resume and fsio.exists(meta_path):
         meta = json.loads(fsio.read_bytes(meta_path))
         check_format_version(out_dir, meta)  # never mix v1 parts with v2
+        if meta.get("compacted"):
+            raise ValueError(
+                f"encoded table at {out_dir} was compacted — the original "
+                "bucket->part mapping is gone, so resuming would re-encode "
+                "buckets whose rows already live inside merged parts "
+                "(duplicates); encode into a fresh directory instead")
         pinned = meta["n_buckets"]
         stats_sample_fraction = float(meta.get("stats_sample_fraction", 1.0))
         zc = meta.get("zone_cols", "none")
