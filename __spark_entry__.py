@@ -942,6 +942,49 @@ def dedup_store_roundtrip(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def enc_compact_roundtrip(spark, sf_dir):
+    """Compaction (plans/compact.py, SURVEY.md §2 B18 — Iceberg
+    rewrite_data_files parity): encode documents into deliberately tiny
+    parts, compact runs of consecutive small parts into ~1 MB targets
+    WITHOUT decoding values (dict pages expanded + re-consolidated
+    across the merged part), then decode and sha-compare every text.
+    Rows-only: a filesystem lifecycle operation, not SQL-expressible."""
+    _ensure_workers(spark)
+    import shutil
+    import tempfile
+
+    from fileconvert_spark.plans.compact import compact_table
+    from fileconvert_spark.plans.manifest import (
+        decode_table, encode_table, read_all_manifests)
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="fcs_compact_")
+    try:
+        out = base + "/enc"
+        encode_table(spark, docs, out, n_buckets=32, key_col="lang",
+                     salt_cols=("doc_id",), weight_col="text",
+                     cluster_by=("lang",))
+        n_before = len(read_all_manifests(out))
+        res = compact_table(spark, out, target_bytes=1 << 20)
+        dec = decode_table(spark, out)
+        o, d = docs.alias("o"), dec.alias("d")
+        row = o.join(d, F.col("o.doc_id") == F.col("d.doc_id"),
+                     "full_outer").agg(
+            F.count(F.col("o.doc_id")).alias("n"),
+            F.sum((~F.sha2(F.coalesce(F.col("o.text"), F.lit("")), 256)
+                   .eqNullSafe(F.sha2(F.coalesce(F.col("d.text"),
+                                                 F.lit("")), 256))
+                   ).cast("long")).alias("sha_mismatches")).first()
+        return spark.createDataFrame(
+            [(int(n_before), int(res["n_parts_after"]),
+              int(res["groups_merged"]), int(row["n"]),
+              int(row["sha_mismatches"]))],
+            "parts_before int, parts_after int, groups_merged int, "
+            "n long, sha_mismatches long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def dedup_minhash_docs(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.dedup import minhash_lsh_pairs
@@ -1583,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_container_stats": mp4_container_stats,        # new in r07
         "dedup_cosine_components": dedup_cosine_components,  # new in r07
         "dedup_store_roundtrip": dedup_store_roundtrip,       # new in r07
+        "enc_compact_roundtrip": enc_compact_roundtrip,       # new in r07
     }
 
 
