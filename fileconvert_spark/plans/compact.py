@@ -43,6 +43,15 @@ Scale shape: the driver plans groups from manifest metadata only (no data
 read); each group is one executor task that reads its run of small files
 and writes one — no shuffle of encoded bytes, parallelism = number of
 groups. This is exactly Iceberg's rewriteDataFiles bin-packing action.
+
+Known trade (measured, tools/scale_compact.py): part-LEVEL predicate
+pruning coarsens — a merged part's zone fold caps at 32 intervals over
+what used to be many parts' worth of key runs, so a selective predicate
+prunes fewer parts after compaction (Iceberg bin-packing has the same
+property). Chunk-level zone pruning inside surviving parts is unchanged
+(chunk metas move byte-identical). Pick target_bytes accordingly:
+compaction is for file-count pathology, not for read-path tuning of
+heavily predicate-scanned tables.
 """
 
 from __future__ import annotations

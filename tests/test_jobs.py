@@ -180,3 +180,44 @@ def test_predicate_split_respects_quotes_and_decimal_types():
         assert cast("amt", "3.50") == 3.5
         assert isinstance(cast("amt", "3.50"), float)
         assert cast("k", "007") == "007"
+
+
+def test_compact_job_usage_and_guards(tmp_path, monkeypatch):
+    """compact_job: usage errors, protected-root refusal, --recover on a
+    clean dir, and incomplete/missing table refusal — all before or
+    without mutating anything."""
+    import compact_job
+
+    # usage: no args
+    assert compact_job.main(["compact_job"]) == 2
+    # protected tree refused (monkeypatched so the real testdata is never
+    # named as a mutation target, same pattern as the encode/decode tests)
+    prot = tmp_path / "protected"
+    prot.mkdir()
+    monkeypatch.setenv("FCS_PROTECTED_ROOTS", str(prot))
+    assert compact_job.main(
+        ["compact_job", str(prot / "enc")]) == 2
+    # --recover on a clean dir reports 'clean' and exits 0
+    clean = tmp_path / "clean"
+    clean.mkdir()
+    assert compact_job.main(
+        ["compact_job", str(clean), "--recover"]) == 0
+
+
+def test_compact_job_end_to_end(spark, tmp_path):
+    """Full CLI pass on a real encoded dir (session reused — the job
+    keeps preexisting sessions alive by design)."""
+    import compact_job
+
+    from fileconvert_spark.corpus import make_codefiles
+    from fileconvert_spark.plans.manifest import (
+        decode_table, encode_table, read_all_manifests)
+
+    out = str(tmp_path / "enc")
+    df = spark.createDataFrame(make_codefiles(1500))
+    encode_table(spark, df, out, n_buckets=8)
+    n_before = len(read_all_manifests(out))
+    rc = compact_job.main(["compact_job", out, "--target-mb=1"])
+    assert rc == 0
+    assert len(read_all_manifests(out)) < n_before
+    assert decode_table(spark, out).count() == df.count()

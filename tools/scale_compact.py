@@ -1,0 +1,155 @@
+"""Compaction scale drive (plans/compact.py at the r5 tiny-part stress
+geometry): 10 GB corpus encoded into 8192 deliberately small parts, then
+compacted to ~64 MB targets. Measures what the operator claims:
+
+- compact wall + parts before/after + engine bytes before/after (cross-
+  part dictionary-page re-consolidation should RECOVER bytes the tiny
+  parts lost to per-part dictionaries);
+- full decode wall before vs after (fewer files = fewer footers/tasks,
+  on top of the existing decode-side task grouping);
+- multiset fingerprint verify post-compaction (the correctness gate);
+- selective predicate decode post-compaction (zones are rebuilt from
+  chunk metas at merge time — pruning must survive).
+
+    python tools/scale_compact.py [n_rows=7600000] [n_buckets=8192] \
+        [work_dir=/tmp/fcs_scale_compact] [--target-mb=64]
+
+Each phase appends one JSON line to <work_dir>/progress.jsonl immediately
+(NOTES_r7 ops trap: background runs die; partial lines are the record).
+Prints one consolidated JSON line at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _prog(work: str, phase: str, payload: dict) -> None:
+    with open(os.path.join(work, "progress.jsonl"), "a") as f:
+        f.write(json.dumps({"phase": phase, **payload}) + "\n")
+
+
+def main() -> int:
+    args = [a for a in sys.argv if not a.startswith("--")]
+    n_rows = int(args[1]) if len(args) > 1 else 7_600_000
+    n_buckets = int(args[2]) if len(args) > 2 else 8192
+    work = args[3] if len(args) > 3 else "/tmp/fcs_scale_compact"
+    target_mb = 64
+    for a in sys.argv:
+        if a.startswith("--target-mb="):
+            target_mb = int(a.split("=", 1)[1])
+    os.makedirs(work, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.session import get_spark
+    from fileconvert_spark.plans.compact import compact_table
+    from fileconvert_spark.plans.manifest import (
+        decode_table, encode_table, read_all_manifests)
+    from fileconvert_spark.operators.verify import multiset_roundtrip_report
+    from tools.scale_run import generate_corpus
+
+    out: dict = {"n_rows": n_rows, "n_buckets": n_buckets,
+                 "target_mb": target_mb}
+    spark = get_spark("scale-compact")
+
+    corpus_path = os.path.join(work, "corpus.parquet")
+    if not os.path.exists(corpus_path):
+        out["gen_wall_s"] = round(
+            generate_corpus(spark, corpus_path, n_rows), 1)
+    corpus = spark.read.parquet(corpus_path)
+    raw_bytes = corpus.select(
+        F.sum(F.octet_length("content")).alias("b")).first()["b"]
+    out["content_gb"] = round(raw_bytes / 1e9, 2)
+    _prog(work, "corpus", {"content_gb": out["content_gb"]})
+
+    enc_dir = os.path.join(work, "enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = encode_table(spark, corpus, enc_dir, n_buckets=n_buckets,
+                           cluster_by=("repo",))
+    out["encode"] = {"wall_s": round(time.time() - t0, 1),
+                     "n_parts": summary["n_parts"],
+                     "ratio": round(summary["ratio"], 4)}
+    _prog(work, "encode", out["encode"])
+
+    mans = read_all_manifests(enc_dir)
+    bytes_before = sum(int(m["file_bytes"]) for m in mans)
+    enc_bytes_before = sum(int(m["enc_bytes"]) for m in mans)
+    t0 = time.time()
+    n_dec = decode_table(spark, enc_dir).count()
+    out["decode_before"] = {"wall_s": round(time.time() - t0, 1),
+                            "rows": int(n_dec),
+                            "n_parts": len(mans),
+                            "file_bytes": bytes_before,
+                            "enc_bytes": enc_bytes_before}
+    _prog(work, "decode_before", out["decode_before"])
+
+    t0 = time.time()
+    res = compact_table(spark, enc_dir, target_bytes=target_mb << 20)
+    res["wall_s"] = round(time.time() - t0, 1)
+    out["compact"] = res
+    _prog(work, "compact", res)
+
+    mans2 = read_all_manifests(enc_dir)
+    bytes_after = sum(int(m["file_bytes"]) for m in mans2)
+    enc_bytes_after = sum(int(m["enc_bytes"]) for m in mans2)
+    out["bytes"] = {
+        "file_bytes_before": bytes_before, "file_bytes_after": bytes_after,
+        "enc_bytes_before": enc_bytes_before,
+        "enc_bytes_after": enc_bytes_after,
+        "enc_bytes_delta_pct": round(
+            100.0 * (enc_bytes_after - enc_bytes_before)
+            / max(enc_bytes_before, 1), 2)}
+    _prog(work, "bytes", out["bytes"])
+
+    t0 = time.time()
+    rep = multiset_roundtrip_report(
+        corpus, decode_table(spark, enc_dir)).collect()[0].asDict()
+    out["verify"] = {"wall_s": round(time.time() - t0, 1),
+                     "n_src": rep["n_src"], "n_dec": rep["n_dec"],
+                     "fingerprint_match": bool(rep["fingerprint_match"])}
+    _prog(work, "verify", out["verify"])
+
+    t0 = time.time()
+    n_dec2 = decode_table(spark, enc_dir).count()
+    out["decode_after"] = {"wall_s": round(time.time() - t0, 1),
+                           "rows": int(n_dec2),
+                           "n_parts": len(mans2)}
+    _prog(work, "decode_after", out["decode_after"])
+
+    # a SELECTIVE predicate value (~0.1%), not first() — first() lands on
+    # the Zipf-hottest repo (25% of the corpus), which measures filter
+    # overhead, not pruning
+    sel = (corpus.groupBy("repo").count()
+           .filter("count between 1000 and 20000").orderBy("count").first())
+    pval = sel["repo"]
+    t0 = time.time()
+    pred_rows = decode_table(spark, enc_dir,
+                             predicate=("repo", "=", pval)).count()
+    t_pred = time.time() - t0
+    want = corpus.filter(F.col("repo") == pval).count()
+    out["predicate_decode_after"] = {
+        "rows": int(pred_rows), "rows_expected": int(want),
+        "exact": bool(pred_rows == want), "wall_s": round(t_pred, 2),
+        "speedup_vs_full": round(
+            out["decode_after"]["wall_s"] / max(t_pred, 1e-9), 1)}
+    _prog(work, "predicate", out["predicate_decode_after"])
+
+    print(json.dumps(out))
+    spark.stop()
+    ok = (out["verify"]["fingerprint_match"]
+          and out["predicate_decode_after"]["exact"]
+          and n_dec == n_dec2 == n_rows)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
