@@ -703,7 +703,6 @@ def select_and_encode_int(vals: np.ndarray) -> tuple[str, bytes, bytes | None, d
 # bit-view int path. Pure NumPy, no per-row Python.
 
 _ALP_POW10 = 10.0 ** np.arange(19)     # 10^0 .. 10^18 (exact in float64)
-_ALP_IPOW10 = 10.0 ** -np.arange(19.0)
 _ALP_MAX_EXP = 18
 _ALP_SAFE = float(2**53)  # |d| bound: round exact + int64-safe
 
@@ -711,15 +710,22 @@ _ALP_SAFE = float(2**53)  # |d| bound: round exact + int64-safe
 def _alp_scale(v64: np.ndarray, e: int, orig: np.ndarray,
                f32: bool) -> tuple[np.ndarray, np.ndarray]:
     """(d, ok): d = round(v*10^e); ok where decode's exact expression
-    (int64 -> float64 multiply by 10^-e, cast for f32) restores orig's
-    bits. Correct by construction: the check IS the decode computation."""
+    (int64 -> float64 DIVIDE by 10^e, cast for f32) restores orig's
+    bits. Correct by construction: the check IS the decode computation.
+
+    Division, not multiply-by-10^-e: real-world decimal floats come from
+    string parsing or division, both correctly-rounded — d / 10^e (one
+    correctly-rounded IEEE divide by the exactly-representable power)
+    reproduces them bit-for-bit, while d * fl(10^-e) compounds the
+    inverse's own rounding error and threw ~13% of uniform 2-decimal
+    money values into the exception list (measured, tools/scale_floats)."""
     # + 0.0 normalizes -0.0 to +0.0 (IEEE): decode goes through int64,
     # which cannot carry a signed zero — so -0.0 must fail the check and
     # travel as an exception, not silently decode to +0.0
     d = np.round(v64 * _ALP_POW10[e]) + 0.0
     with np.errstate(invalid="ignore"):
         ok = np.abs(d) < _ALP_SAFE  # False for NaN/Inf too
-    rt = d * _ALP_IPOW10[e]
+    rt = d / _ALP_POW10[e]
     if f32:
         ok &= rt.astype(np.float32).view(np.int32) == orig.view(np.int32)
     else:
@@ -784,7 +790,7 @@ def alp_decode_values(inner_codec: str, inner_payload, inner_dict,
     """Inverse of try_alp_encode -> float array with orig's exact bits."""
     d = np.asarray(decode_int(inner_codec, inner_payload, inner_dict,
                               inner_meta, n), dtype=np.int64)
-    v = d.astype(np.float64) * _ALP_IPOW10[e]
+    v = d.astype(np.float64) / _ALP_POW10[e]  # see _alp_scale: division
     if f32:
         v = v.astype(np.float32)
     if n_exc:

@@ -244,6 +244,17 @@ def load():
         POINTER(c_uint8), c_int64,              # out, out_cap
         POINTER(c_uint32),                      # seg_bytes
     ]
+    lib.pack_bits.restype = c_int64
+    lib.pack_bits.argtypes = [
+        POINTER(c_uint64), c_int64, c_int64,    # v, n, width
+        POINTER(c_uint8), c_int64,              # out, out_cap
+    ]
+    lib.unpack_bits.restype = c_int64
+    lib.unpack_bits.argtypes = [
+        POINTER(c_uint8), c_int64,              # data, nbytes
+        c_int64, c_int64,                       # n, width
+        POINTER(c_uint64),                      # out
+    ]
     _LIB = lib
     return lib
 
@@ -545,3 +556,45 @@ def huff_encode(v, sym_len, codes, seg_syms: int):
     if rc < 0:
         return None
     return out[:rc].tobytes(), seg_bytes
+
+
+def pack_bits(vals, width: int):
+    """C fixed-width MSB-first bit-pack; returns bytes or None when the
+    kernel is unavailable. Byte-identical to bitpack.pack_uints's
+    np.packbits matrix path (property-tested)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.size
+    cap = (n * width + 7) // 8 + 8
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.pack_bits(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), int(n),
+        int(width), _u8p(out), int(cap))
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
+def unpack_bits(data, width: int, n: int):
+    """C inverse of pack_bits; returns uint64[n] or None when the kernel
+    is unavailable. Raises ValueError on a truncated payload, matching
+    bitpack.unpack_uints."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    rc = lib.unpack_bits(
+        _u8p(buf), int(buf.size), int(n), int(width),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+    if rc < 0:
+        raise ValueError(
+            f"bit-packed payload truncated: need {(n * width + 7) // 8} "
+            f"bytes for {n} x {width}-bit values, have {buf.size}")
+    return out[:n]

@@ -701,3 +701,73 @@ int64_t huff_encode(const int64_t *v, int64_t n,
     }
     return pos;
 }
+
+/* ------------------------------------------------------------------ *
+ * Fixed-width MSB-first bit pack/unpack — mirrors bitpack.pack_uints /
+ * unpack_uints (np.packbits over a bit matrix) byte-for-byte, without
+ * materializing the n x width bit matrix. Used by every int codec
+ * (FoR/delta deltas, dict/RLE code streams), where the NumPy matrix
+ * path was the dominant cost of encoding large int chunks.
+ *
+ * pack_bits: returns bytes written, -1 if out_cap is too small.
+ * unpack_bits: returns n, -1 if the payload is shorter than n*width.
+ * ------------------------------------------------------------------ */
+int64_t pack_bits(const uint64_t *v, int64_t n, int64_t width,
+                  uint8_t *out, int64_t out_cap)
+{
+    const int64_t need = (n * width + 7) / 8;
+    if (need > out_cap)
+        return -1;
+    uint8_t acc = 0;
+    int nbits = 0;
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const uint64_t val = v[i];
+        int rem = (int)width;
+        while (rem > 0) {
+            const int space = 8 - nbits;
+            const int take = rem < space ? rem : space;
+            const uint8_t chunk =
+                (uint8_t)((val >> (rem - take))
+                          & (uint8_t)((1u << take) - 1u));
+            acc = (uint8_t)((acc << take) | chunk);
+            nbits += take;
+            rem -= take;
+            if (nbits == 8) {
+                out[pos++] = acc;
+                acc = 0;
+                nbits = 0;
+            }
+        }
+    }
+    if (nbits > 0)
+        out[pos++] = (uint8_t)(acc << (8 - nbits));
+    return pos;
+}
+
+int64_t unpack_bits(const uint8_t *data, int64_t nbytes, int64_t n,
+                    int64_t width, uint64_t *out)
+{
+    const int64_t need = (n * width + 7) / 8;
+    if (need > nbytes)
+        return -1;
+    uint64_t bp = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t val = 0;
+        int rem = (int)width;
+        while (rem > 0) {
+            const int64_t b = (int64_t)(bp >> 3);
+            const int off = (int)(bp & 7u);
+            const int avail = 8 - off;
+            const int take = rem < avail ? rem : avail;
+            const uint8_t chunk =
+                (uint8_t)((data[b] >> (avail - take))
+                          & (uint8_t)((1u << take) - 1u));
+            val = (val << take) | chunk;
+            bp += (uint64_t)take;
+            rem -= take;
+        }
+        out[i] = val;
+    }
+    return n;
+}

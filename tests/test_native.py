@@ -352,3 +352,35 @@ def test_cache_dir_is_private_and_unsafe_files_refused(monkeypatch,
         assert (st.st_mode & 0o022) == 0
         assert native._safe_to_load(planted)
     monkeypatch.setattr(native, "_LIB", None)  # leave clean state
+
+
+@requires_native
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                max_size=300),
+       st.integers(min_value=1, max_value=64))
+def test_pack_bits_kernel_matches_numpy(vals, width):
+    """pack_bits/unpack_bits must be byte-identical to the NumPy
+    bit-matrix path at every width 1..64 (values masked into range)."""
+    v = np.array(vals, dtype=np.uint64)
+    if width < 64:
+        v &= (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    got = native.pack_bits(v, width)
+    # NumPy reference (the original pack_uints body)
+    if len(v) == 0:
+        want = b""
+    else:
+        shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+        bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        want = np.packbits(bits.ravel()).tobytes()
+    assert got == want
+    back = native.unpack_bits(got, width, len(v))
+    assert np.array_equal(back, v)
+
+
+@requires_native
+def test_unpack_bits_kernel_truncation_raises():
+    v = np.arange(100, dtype=np.uint64)
+    blob = native.pack_bits(v, 13)
+    with pytest.raises(ValueError, match="truncated"):
+        native.unpack_bits(blob[:-2], 13, 100)

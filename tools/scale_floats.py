@@ -1,0 +1,171 @@
+"""ALP float-codec scale drive: a deterministic 50M-row sensor/ledger
+table (the float-heavy profile the code corpus lacks), encoded through
+the full engine path. Measures what the ALP claim needs at scale:
+
+- per-column codec winners + ratios (ALP must win the decimal columns,
+  the bit-view path must keep the true-random column — no regression by
+  construction, but the HISTOGRAM is the evidence);
+- encode/decode walls at multi-GB scale;
+- multiset fingerprint verify (bit-exact floats through ALP exceptions);
+- a single-core try_alp_encode kernel micro (MB/s) for the codec table.
+
+    python tools/scale_floats.py [n_rows=50000000] [n_buckets=256] \
+        [work_dir=/tmp/fcs_scale_floats]
+
+Columns: id (sorted long — delta), ts_us (monotone with jitter — delta),
+sensor (16 values — dict), amount (money, 2 decimals — ALP), reading
+(gaussian rounded to 4 decimals — ALP), raw (full-entropy double — raw
+bit-view). Prints one JSON line; per-phase lines appended to
+<work_dir>/progress.jsonl immediately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROWS_PER_SHARD = 1_000_000
+
+
+def _prog(work: str, phase: str, payload: dict) -> None:
+    with open(os.path.join(work, "progress.jsonl"), "a") as f:
+        f.write(json.dumps({"phase": phase, **payload}) + "\n")
+
+
+def _shard_frame(shard: int, rows: int):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260818 + shard)
+    base = shard * ROWS_PER_SHARD
+    ids = np.arange(base, base + rows, dtype=np.int64)
+    ts = (1_700_000_000_000_000 + ids * 1000
+          + rng.integers(0, 900, rows))
+    sensor = np.array([f"sensor-{i:02d}" for i in range(16)])[
+        rng.integers(0, 16, rows)]
+    amount = rng.integers(0, 10_000_000, rows) / 100.0
+    reading = np.round(rng.standard_normal(rows) * 100, 4)
+    raw = rng.standard_normal(rows)
+    return pd.DataFrame({"id": ids, "ts_us": ts, "sensor": sensor,
+                         "amount": amount, "reading": reading,
+                         "raw": raw})
+
+
+def generate(spark, path: str, n_rows: int) -> float:
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    n_shards = max(1, (n_rows + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD)
+    schema = StructType([
+        StructField("id", LongType()), StructField("ts_us", LongType()),
+        StructField("sensor", StringType()),
+        StructField("amount", DoubleType()),
+        StructField("reading", DoubleType()),
+        StructField("raw", DoubleType())])
+
+    def gen(iterator):
+        for pdf in iterator:
+            for shard in pdf["shard"]:
+                shard = int(shard)
+                rows = min(ROWS_PER_SHARD, n_rows - shard * ROWS_PER_SHARD)
+                yield _shard_frame(shard, rows)
+
+    t0 = time.time()
+    spark.range(n_shards).withColumnRenamed("id", "shard") \
+        .repartition(n_shards).mapInPandas(gen, schema) \
+        .write.mode("overwrite").parquet(path)
+    return time.time() - t0
+
+
+def kernel_micro() -> dict:
+    """Single-core try_alp_encode rate on 10M money doubles."""
+    import numpy as np
+
+    from fileconvert_spark.functions.codecs import try_alp_encode
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 10_000_000, 10_000_000) / 100.0
+    try_alp_encode(v[:100_000])  # warm
+    t0 = time.time()
+    res = try_alp_encode(v)
+    dt = time.time() - t0
+    assert res is not None
+    return {"values": len(v), "wall_s": round(dt, 3),
+            "mb_s": round(v.nbytes / 1e6 / dt, 1),
+            "n_exc": res[1]}
+
+
+def main() -> int:
+    args = [a for a in sys.argv if not a.startswith("--")]
+    n_rows = int(args[1]) if len(args) > 1 else 50_000_000
+    n_buckets = int(args[2]) if len(args) > 2 else 256
+    work = args[3] if len(args) > 3 else "/tmp/fcs_scale_floats"
+    os.makedirs(work, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.operators.verify import multiset_roundtrip_report
+    from fileconvert_spark.plans.manifest import (
+        decode_table, encode_table, read_all_manifests)
+    from fileconvert_spark.session import get_spark
+
+    out: dict = {"n_rows": n_rows, "n_buckets": n_buckets}
+    out["kernel_micro_10M_money_f64"] = kernel_micro()
+    _prog(work, "micro", out["kernel_micro_10M_money_f64"])
+
+    spark = get_spark("scale-floats")
+    src_path = os.path.join(work, "src.parquet")
+    if not os.path.exists(src_path):
+        out["gen_wall_s"] = round(generate(spark, src_path, n_rows), 1)
+    src = spark.read.parquet(src_path)
+    raw_gb = n_rows * (8 * 5) / 1e9  # 5 fixed-width cols; sensor extra
+    out["raw_numeric_gb"] = round(raw_gb, 2)
+    _prog(work, "corpus", {"raw_numeric_gb": out["raw_numeric_gb"]})
+
+    enc_dir = os.path.join(work, "enc")
+    import shutil
+
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = encode_table(spark, src, enc_dir, n_buckets=n_buckets,
+                           key_col="sensor", salt_cols=("id",),
+                           weight_col="amount")
+    out["encode"] = {"wall_s": round(time.time() - t0, 1),
+                     "ratio": round(summary["ratio"], 4),
+                     "throughput_mb_s": round(
+                         summary["throughput_mb_s"] or 0, 1),
+                     "codec_histogram": summary["codec_histogram"]}
+    _prog(work, "encode", out["encode"])
+
+    # per-column codec winners + ratios from the manifests
+    per_col: dict[str, dict] = {}
+    for m in read_all_manifests(enc_dir):
+        cm = m["codec_map"]
+        cm = json.loads(cm) if isinstance(cm, str) else cm
+        for ck, n in cm.items():
+            col, codec = ck.split(":", 1)
+            d = per_col.setdefault(col, {})
+            d[codec] = d.get(codec, 0) + n
+    out["codec_winners_by_column"] = per_col
+    _prog(work, "winners", per_col)
+
+    t0 = time.time()
+    rep = multiset_roundtrip_report(
+        src, decode_table(spark, enc_dir)).collect()[0].asDict()
+    out["verify"] = {"wall_s": round(time.time() - t0, 1),
+                     "n_src": rep["n_src"], "n_dec": rep["n_dec"],
+                     "fingerprint_match": bool(rep["fingerprint_match"])}
+    _prog(work, "verify", out["verify"])
+
+    print(json.dumps(out))
+    spark.stop()
+    return 0 if out["verify"]["fingerprint_match"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
