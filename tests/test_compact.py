@@ -178,3 +178,31 @@ def test_merged_parts_reconsolidate_dict_pages(spark, encoded_small_parts):
     # the merged part carries its own dictionary-page rows (cross-part
     # consolidation) — dict-family codecs are present in this corpus
     assert "dictpage" in codecs_used
+
+
+def test_compact_dedup_store_subtables(spark, tmp_path):
+    """The dedup store composes encode_table for refs/ and blobs/, so
+    compact_table applies to each subtable directly — decode equality
+    through decode_table_dedup after compacting both."""
+    from fileconvert_spark.plans.dedup_store import (
+        decode_table_dedup, encode_table_dedup)
+
+    # corpus columns are (repo, path, commit, lang, content)
+    df = _corpus_df(spark, 1200)
+    from pyspark.sql import functions as F
+
+    dup = df.limit(200).withColumn("path", F.concat(F.col("path"),
+                                                    F.lit(".copy")))
+    src = df.unionAll(dup)  # guaranteed duplicated content
+    out = str(tmp_path / "store")
+    encode_table_dedup(spark, src, out, content_col="content",
+                       key_col="repo", salt_cols=("path",),
+                       n_buckets=8, blob_buckets=4)
+    before = _fingerprint(decode_table_dedup(spark, out))
+    import os as _os
+
+    for sub in ("refs", "blobs"):
+        res = compact_table(spark, _os.path.join(out, sub),
+                            target_bytes=1 << 20)
+        assert not res["noop"]
+    assert _fingerprint(decode_table_dedup(spark, out)) == before
