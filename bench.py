@@ -239,6 +239,22 @@ def _kernel_micro_bench() -> dict:
                        lengths=__import__("numpy").diff(offs))
     out["fsst_path_mb_s"] = round(raw / best(
         lambda: fsst.fsst_encode_array(arr, table)) / 1e6, 1)
+    # ALP decimal-float codec (r7) on 2M 2-decimal money doubles — the
+    # full try (exponent sample + scale + inner int encode); division-
+    # exact inputs so the exception path stays cold (its honest shape)
+    from fileconvert_spark.functions.codecs import try_alp_encode
+
+    money = np.random.Generator(np.random.PCG64(7)).integers(
+        0, 10_000_000, 2_000_000) / 100.0
+    out["alp_money_mb_s"] = round(money.nbytes / best(
+        lambda: try_alp_encode(money)) / 1e6, 1)
+    # fixed-width bit-pack kernel (r7 C path) at the dict-code shape
+    from fileconvert_spark.functions.bitpack import pack_uints
+
+    codes = np.random.Generator(np.random.PCG64(9)).integers(
+        0, 1 << 13, 4_000_000).astype(np.uint64)
+    out["bitpack13_mb_s"] = round(codes.nbytes / best(
+        lambda: pack_uints(codes, 13)) / 1e6, 1)
     return out
 
 

@@ -135,3 +135,33 @@ def test_alp_full_column_property(vals, nullmask):
     a = np.asarray(v, dtype=np.float64)[mask]
     b = np.asarray(out, dtype=np.float64)[mask]
     assert np.array_equal(a.view(np.int64), b.view(np.int64)), cf["codec"]
+
+
+def test_float_predicate_decode_on_alp_column(spark, tmp_path):
+    """Zone-map predicate decode on a float column that ALP encodes:
+    bounds come from _zone_stats on the ORIGINAL floats (codec-agnostic),
+    so pruning + the exact catalyst filter must agree with the source."""
+    import numpy as np
+    import pandas as pd
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "k": [f"g{i % 20}" for i in range(20_000)],
+        "amount": rng.integers(0, 1_000_000, 20_000) / 100.0,
+    })
+    df = spark.createDataFrame(pdf)
+    out = str(tmp_path / "enc")
+    encode_table(spark, df, out, n_buckets=8, key_col="k",
+                 salt_cols=("k",), weight_col="k",
+                 cluster_by=("amount",), zone_maps=("amount", "k"))
+    got = decode_table(spark, out,
+                       predicate=("amount", "<=", 123.45)).count()
+    want = df.filter(df.amount <= 123.45).count()
+    assert got == want > 0
+    got2 = decode_table(
+        spark, out,
+        predicate=("amount", "=", float(pdf["amount"][0]))).count()
+    want2 = int((pdf["amount"] == pdf["amount"][0]).sum())
+    assert got2 == want2 > 0
