@@ -879,13 +879,20 @@ def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
                    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                    part_id_col: str | None = None,
                    cache_ns: str | None = None,
-                   zone_cols: frozenset | None = None):
+                   zone_cols: frozenset | None = None,
+                   key_index_cols: frozenset | None = None,
+                   key_index_acc: dict | None = None):
     """Build the mapInArrow kernel: batches in -> enc record batches out.
 
     ``part_id_col``: optional column carrying the deterministic bucket id
     (B2 partitioning); it is popped from the data and used as part_id so
     checkpoint/resume is keyed by *bucket*, not by Spark's task numbering.
     ``cache_ns``: job/table namespace for the worker FSST cache.
+    ``key_index_cols`` + ``key_index_acc``: per-part distinct key-hash
+    accumulation for point-lookup sidecars (plans/keyindex.py) —
+    ``key_index_acc[pid][col]`` collects each flushed chunk's hashes;
+    the caller (make_write_kernel) drains it per part. Hashing runs on
+    chunk uniques inside the same task, so nothing extra shuffles.
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -908,6 +915,14 @@ def make_encode_fn(chunk_rows: int = DEFAULT_CHUNK_ROWS,
             cid = chunk_ids.get(pid, 0)
             out = encode_chunk_table(tbl, pid, cid, cache_ns=cache_ns,
                                      zone_cols=zone_cols)
+            if key_index_cols and key_index_acc is not None:
+                from ..plans import keyindex as _ki
+
+                for col in key_index_cols:
+                    if col in tbl.column_names:
+                        key_index_acc.setdefault(pid, {}).setdefault(
+                            col, set()).update(
+                            _ki.column_hashes(tbl.column(col)))
             chunk_ids[pid] = cid + 1
             bufs[pid], rows[pid], byts[pid] = [], 0, 0
             return out

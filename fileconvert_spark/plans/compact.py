@@ -128,8 +128,31 @@ def _expand_dict_pages(tbl: pa.Table, src_pid: int) -> list[dict]:
     return rows
 
 
+def _merge_sidecars(out_dir: str, new_pid: int, src_pids: list[int],
+                    ki_cols: list[str]) -> None:
+    """Union the source parts' key-index sidecars into the merged
+    part's. A missing/corrupt source sidecar skips that column entirely
+    (absence never prunes, so the merged part just loses pruning power
+    for it — never correctness)."""
+    from .keyindex import index_path, load_index, write_part_index
+
+    for col in ki_cols:
+        union: set[int] = set()
+        ok = True
+        for pid in src_pids:
+            try:
+                union.update(
+                    load_index(fsio.read_bytes(
+                        index_path(out_dir, pid, col))).tolist())
+            except (OSError, ValueError):
+                ok = False
+                break
+        if ok:
+            write_part_index(out_dir, new_pid, col, union)
+
+
 def _merge_group(out_dir: str, new_pid: int, src_pids: list[int],
-                 t0: float) -> dict:
+                 t0: float, ki_cols: list[str] | None = None) -> dict:
     """Executor-side: merge one run of source parts into part new_pid."""
     merged: list[dict] = []
     all_cols: set[str] = set()
@@ -159,11 +182,13 @@ def _merge_group(out_dir: str, new_pid: int, src_pids: list[int],
                 merged = [r for r in merged
                           if r["codec"] not in DICT_FAMILY] + new_rows
     tbl = pa.Table.from_pylist(merged, schema=ENC_ARROW_SCHEMA)
+    if ki_cols:
+        _merge_sidecars(out_dir, new_pid, src_pids, ki_cols)
     return write_part_file(out_dir, new_pid, tbl, t0,
                            extra={"src_parts": [int(p) for p in src_pids]})
 
 
-def make_compact_kernel(out_dir: str):
+def make_compact_kernel(out_dir: str, ki_cols: list[str] | None = None):
     man_schema = pa.schema([
         ("part_id", pa.int32()), ("n_rows", pa.int64()),
         ("n_chunks", pa.int32()), ("raw_bytes", pa.int64()),
@@ -179,7 +204,8 @@ def make_compact_kernel(out_dir: str):
             for i in range(b.num_rows):
                 new_pid = int(b.column(0)[i].as_py())
                 src_pids = json.loads(b.column(1)[i].as_py())
-                rows.append(_merge_group(out_dir, new_pid, src_pids, t0))
+                rows.append(_merge_group(out_dir, new_pid, src_pids, t0,
+                                         ki_cols=ki_cols))
         if rows:
             arrays = [pa.array([r[f.name] for r in rows], type=f.type)
                       for f in man_schema]
@@ -198,6 +224,12 @@ def _remove_parts(out_dir: str, pids: list[int]) -> None:
             p = os.path.join(out_dir, sub, f"part-{pid:05d}{ext}")
             if fsio.exists(p):
                 fsio.remove(p)
+    idx_dir = os.path.join(out_dir, "indexes")
+    if fsio.exists(idx_dir):
+        stems = tuple(f"part-{pid:05d}." for pid in pids)
+        for name in fsio.listdir(idx_dir):
+            if name.endswith(".idx") and name.startswith(stems):
+                fsio.remove(os.path.join(idx_dir, name))
 
 
 def _stamp_compacted(out_dir: str) -> None:
@@ -267,10 +299,15 @@ def compact_table(spark, out_dir: str, target_bytes: int = 64 << 20) -> dict:
         {"phase": "staging", "add": add, "remove": remove}).encode())
     invalidate_manifest_list(out_dir)
 
+    meta_path = os.path.join(out_dir, "_meta.json")
+    ki_cols: list[str] = []
+    if fsio.exists(meta_path):
+        ki_cols = list(json.loads(fsio.read_bytes(meta_path))
+                       .get("key_index_cols") or ())
     pdf = spark.createDataFrame(
         [(int(p), json.dumps(g)) for p, g in plan],
         "new_pid int, src string").repartition(len(plan))
-    man_rows = pdf.mapInArrow(make_compact_kernel(out_dir),
+    man_rows = pdf.mapInArrow(make_compact_kernel(out_dir, ki_cols),
                               MANIFEST_SPARK_SCHEMA).collect()
     if len(man_rows) != len(plan):
         raise RuntimeError(

@@ -1,0 +1,173 @@
+"""Per-part key indexes — point-lookup pruning on UNCLUSTERED columns.
+
+The gap this closes (measured honest since r6, BENCH/SCALE_r6.md §4):
+zone maps prune on the cluster/bucket key, but an equality predicate on
+any other column cannot prune at all — every part's [min, max] envelope
+spans the whole key range on hash-scattered data, so a point lookup
+decodes the entire table and filters. Parquet/Iceberg answer this with
+per-file bloom filters living IN the data files (never the manifest:
+filter bits scale with rows-per-file, so a driver-side manifest of them
+would grow with total ROWS, not parts).
+
+This implementation keeps the same placement economics but stores the
+EXACT sorted set of 64-bit key hashes (blake2b-8) per part as a sidecar
+file ``indexes/part-XXXXX.<col>.idx``, delta + bit-packed with the
+engine's own int codecs — typically ~2.5-3 bytes/distinct key, no false
+positives, and two indexes merge by plain set union (compaction rebuilds
+merged sidecars exactly; a bloom would need equal sizing to OR).
+
+Probe semantics mirror zone pruning: may-match only — equality/IN
+branches on an indexed column test hash membership; every other
+predicate shape, a missing sidecar, or an unindexed column keeps the
+part (absence of evidence never prunes). Exactness still comes from the
+catalyst filter on the decoded rows. Hash collisions (~n/2^64) can only
+KEEP a part, never drop one, so pruning stays correctness-free.
+
+Scale shape: the index is written by the part's own encode task and read
+by the part's decode task group (one small GET before the data file) —
+nothing driver-side grows with rows. At 10^5 parts a fully-scattered
+point lookup reads ~parts x index bytes instead of parts x part bytes.
+
+Only string and integer-family columns are indexable (equality on
+floats is ill-defined for lookup workloads); requesting another type
+fails at encode time, not silently at probe time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from . import fsio
+
+_MAGIC = b"FKI1"
+_U32 = struct.Struct("<I")
+_U64 = struct.Struct("<Q")
+
+
+def index_path(out_dir: str, pid: int, col: str) -> str:
+    return os.path.join(out_dir, "indexes", f"part-{pid:05d}.{col}.idx")
+
+
+def _hash_bytes(b: bytes) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(b, digest_size=8).digest(), "little")
+
+
+def value_hash(value) -> int:
+    """Hash of one probe value — must agree with column_hashes exactly.
+    Strings hash their utf-8 bytes; integer-family values their decimal
+    string (one canonical form across int widths)."""
+    if isinstance(value, str):
+        return _hash_bytes(value.encode("utf-8"))
+    if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
+        return _hash_bytes(str(int(value)).encode("ascii"))
+    raise TypeError(
+        f"key index: unsupported probe type {type(value).__name__} "
+        "(string and integer columns only)")
+
+
+def indexable_type(t: pa.DataType) -> bool:
+    return bool(pa.types.is_string(t) or pa.types.is_large_string(t)
+                or pa.types.is_integer(t))
+
+
+def column_hashes(arr: pa.Array) -> set[int]:
+    """Distinct 64-bit key hashes of a chunk column (nulls skipped).
+    Hashing runs over the chunk's UNIQUES only — a clustered chunk has
+    few; even unclustered chunks cap at chunk_rows."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    if not indexable_type(arr.type):
+        raise TypeError(
+            f"key index: column type {arr.type} is not indexable "
+            "(string and integer columns only)")
+    uniq = pc.unique(arr)
+    if pa.types.is_integer(uniq.type):
+        return {_hash_bytes(str(int(v)).encode("ascii"))
+                for v in uniq.to_pylist()}
+    return {_hash_bytes(v.encode("utf-8")) for v in uniq.to_pylist()}
+
+
+def index_bytes(hashes: set[int]) -> bytes:
+    """[FKI1][u32 n][u64 first][framed packed deltas] — sorted unique
+    uint64 hashes, delta + fixed-width bit-packed (C kernel underneath)."""
+    from ..functions.bitpack import pack_uints_framed
+
+    h = np.fromiter(hashes, dtype=np.uint64, count=len(hashes))
+    h.sort()
+    n = len(h)
+    if n == 0:
+        return _MAGIC + _U32.pack(0)
+    deltas = np.diff(h)
+    return (_MAGIC + _U32.pack(n) + _U64.pack(int(h[0]))
+            + pack_uints_framed(deltas))
+
+
+def load_index(blob: bytes | memoryview) -> np.ndarray:
+    """Inverse of index_bytes -> sorted uint64 array."""
+    from ..functions.bitpack import unpack_uints_framed
+
+    blob = memoryview(blob)
+    if bytes(blob[:4]) != _MAGIC:
+        raise ValueError("key index: bad magic (not an FKI1 sidecar)")
+    n = _U32.unpack_from(blob, 4)[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    first = _U64.unpack_from(blob, 8)[0]
+    deltas, _ = unpack_uints_framed(blob[16:])
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first
+    if n > 1:
+        np.cumsum(deltas, out=out[1:])
+        out[1:] += np.uint64(first)
+    return out
+
+
+def write_part_index(out_dir: str, pid: int, col: str,
+                     hashes: set[int]) -> int:
+    fsio.makedirs(os.path.join(out_dir, "indexes"))
+    blob = index_bytes(hashes)
+    fsio.write_bytes_atomic(index_path(out_dir, pid, col), blob)
+    return len(blob)
+
+
+def part_may_match(pred, out_dir: str, pid: int,
+                   indexed_cols: set[str]) -> bool:
+    """May-match of a normalized predicate tree against part pid's key
+    indexes. Only =/in leaves on indexed columns can refute; every other
+    leaf, a missing/corrupt sidecar, or an unindexable probe type keeps
+    the part. Collisions only keep. Mirrors manifest._may_match_part."""
+    if pred is None:
+        return True
+    if pred[0] == "and":
+        return all(part_may_match(k, out_dir, pid, indexed_cols)
+                   for k in pred[1])
+    if pred[0] == "or":
+        return any(part_may_match(k, out_dir, pid, indexed_cols)
+                   for k in pred[1])
+    _, col, op, value = pred  # ("leaf", col, op, value)
+    if col not in indexed_cols or op not in ("=", "in"):
+        return True
+    path = index_path(out_dir, pid, col)
+    try:
+        idx = load_index(fsio.read_bytes(path))
+    except (OSError, ValueError):
+        return True  # absent/corrupt sidecar never prunes
+    probes = value if op == "in" else [value]
+    try:
+        hs = np.array([value_hash(v) for v in probes], dtype=np.uint64)
+    except TypeError:
+        return True  # unhashable probe type: cannot refute
+    if len(idx) == 0:
+        return False  # empty part index + equality probe: impossible
+    pos = np.searchsorted(idx, hs)
+    pos = np.minimum(pos, len(idx) - 1)
+    return bool((idx[pos] == hs).any())

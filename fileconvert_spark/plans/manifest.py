@@ -188,12 +188,14 @@ def make_write_kernel(out_dir: str,
                       chunk_rows: int = DEFAULT_CHUNK_ROWS,
                       chunk_bytes: int = DEFAULT_CHUNK_BYTES,
                       part_id_col: str = "bucket",
-                      zone_cols: frozenset | None = None):
+                      zone_cols: frozenset | None = None,
+                      key_index_cols: frozenset | None = None):
     """mapInArrow kernel: encode + write per-bucket parquet + manifest,
-    yielding one manifest summary row per bucket."""
+    yielding one manifest summary row per bucket. ``key_index_cols``:
+    also write per-part key-hash sidecars (plans/keyindex.py) for
+    point-lookup pruning on unclustered columns — written BEFORE the
+    manifest so a done part always has its sidecars."""
 
-    encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col,
-                               cache_ns=out_dir, zone_cols=zone_cols)
     man_schema = pa.schema(
         [
             ("part_id", pa.int32()),
@@ -211,6 +213,15 @@ def make_write_kernel(out_dir: str,
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         t0 = time.time()
+        # per-call accumulator: a retried task starts a fresh one, so a
+        # failed attempt's hashes never leak into another attempt's
+        # sidecar (extra hashes would only weaken pruning, never decode
+        # wrongly — but fresh is fresh)
+        ki_acc: dict | None = {} if key_index_cols else None
+        encode_fn = make_encode_fn(chunk_rows, chunk_bytes, part_id_col,
+                                   cache_ns=out_dir, zone_cols=zone_cols,
+                                   key_index_cols=key_index_cols,
+                                   key_index_acc=ki_acc)
         per_part: dict[int, list[pa.RecordBatch]] = {}
         for enc_batch in encode_fn(batches):
             pid = int(enc_batch.column(0)[0].as_py())
@@ -241,6 +252,13 @@ def make_write_kernel(out_dir: str,
                         pa.Table.from_pylist(new_rows,
                                              schema=ENC_ARROW_SCHEMA),
                     ])
+            if key_index_cols:
+                from .keyindex import write_part_index
+
+                for col in key_index_cols:
+                    write_part_index(out_dir, pid, col,
+                                     (ki_acc.get(pid) or {}).get(col,
+                                                                 set()))
             rows.append(write_part_file(out_dir, pid, tbl, t0))
 
         if rows:
@@ -382,8 +400,19 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                  bpe_text_col: str | None = None,
                  bpe_merges: int = 128,
                  cluster_by: tuple[str, ...] | None = None,
-                 zone_maps: bool | tuple[str, ...] | None = None) -> dict:
+                 zone_maps: bool | tuple[str, ...] | None = None,
+                 key_index_cols: tuple[str, ...] | None = None) -> dict:
     """Encode a table to out_dir with manifests; returns job summary.
+
+    ``key_index_cols``: write per-part key-hash sidecar indexes
+    (plans/keyindex.py) for these string/integer columns — point-lookup
+    (``=``/``in``) predicate decode on UNCLUSTERED columns then skips
+    parts whose index lacks the probe hash, where zone maps cannot prune
+    at all (every part's envelope spans the key range on hash-scattered
+    data). Probed at TASK level, not the driver: index bytes scale with
+    rows-per-part (like Parquet/Iceberg bloom filters, and for the same
+    reason they live next to the data, not in the manifest). Pinned in
+    _meta.json like the other table-identity knobs.
 
     Plan shape: 1 small agg (stats pre-pass) + 1 broadcast join (bucket
     map) + 1 hash shuffle (repartition by bucket) + narrow encode/write.
@@ -439,6 +468,20 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         zone_cols = frozenset()
     else:
         zone_cols = frozenset(zone_maps)
+    ki_cols = frozenset(key_index_cols or ())
+    if ki_cols:
+        schema_by_name = {f.name: f for f in df.schema.fields}
+        for c in sorted(ki_cols):
+            if c not in schema_by_name:
+                raise ValueError(f"key_index_cols: no column {c!r}")
+            st = schema_by_name[c].dataType.simpleString()
+            if st not in ("string", "int", "bigint", "smallint",
+                          "tinyint"):
+                raise ValueError(
+                    f"key_index_cols: column {c!r} has type {st} — only "
+                    "string and integer columns are indexable (equality "
+                    "probes hash a canonical value form; see "
+                    "plans/keyindex.py)")
     if resume and fsio.exists(meta_path):
         meta = json.loads(fsio.read_bytes(meta_path))
         check_format_version(out_dir, meta)  # never mix v1 parts with v2
@@ -453,6 +496,7 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         zc = meta.get("zone_cols", "none")
         zone_cols = None if zc == "all" else frozenset(zc if zc != "none"
                                                        else ())
+        ki_cols = frozenset(meta.get("key_index_cols") or ())
 
     t_plan = time.time()
     dfb, plan_info = plan_buckets(df, pinned if pinned is not None else n_buckets,
@@ -468,7 +512,7 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         # must never leak into this table's manifests/decode — clear them
         # regardless of the resume flag
         invalidate_manifest_list(out_dir)
-        for sub in ("data", "manifests"):
+        for sub in ("data", "manifests", "indexes"):
             p = os.path.join(out_dir, sub)
             for name in fsio.listdir(p):
                 fsio.remove(os.path.join(p, name))
@@ -478,7 +522,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
              "salt_cols": list(salt_cols), "weight_col": weight_col,
              "stats_sample_fraction": stats_sample_fraction,
              "zone_cols": ("all" if zone_cols is None
-                           else sorted(zone_cols))}).encode())
+                           else sorted(zone_cols)),
+             "key_index_cols": sorted(ki_cols)}).encode())
     fsio.write_bytes_atomic(os.path.join(out_dir, "_schema.json"),
                             df.schema.json().encode())
     t_scan = time.time()
@@ -530,7 +575,8 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
                         .drop("_fcs_tie"))
     man_df = shuffled.mapInArrow(
         make_write_kernel(out_dir, chunk_rows, chunk_bytes, "bucket",
-                          zone_cols=zone_cols),
+                          zone_cols=zone_cols,
+                          key_index_cols=ki_cols or None),
         MANIFEST_SPARK_SCHEMA,
     )
     manifests = [r.asDict() for r in man_df.collect()]
@@ -809,9 +855,12 @@ def _warn_non_pruning_predicates(out_dir: str, pcols: list) -> None:
     meta = json.loads(fsio.read_bytes(meta_path))
     key_col = meta.get("key_col")
     zone_cols = meta.get("zone_cols")
+    indexed = set(meta.get("key_index_cols") or ())
     for pcol in pcols:
         if pcol == key_col:
             continue
+        if pcol in indexed:
+            continue  # point lookups prune via the key-index sidecars
         if zone_cols != "all" and pcol not in (zone_cols or []):
             warnings.warn(
                 f"decode_table: predicate column {pcol!r} has no zone "
@@ -1022,12 +1071,46 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                 paths = paths_val.as_py().split("\n")
                 yield from _decode_paths(paths, flt)
 
+    # key-index point-lookup pruning (plans/keyindex.py): active only
+    # when the table was encoded with key_index_cols AND the predicate
+    # has =/in leaves on one of them. Probed at TASK level inside
+    # _decode_paths — index bytes scale with rows-per-part, so a
+    # driver-side pass would re-grow the O(parts)-reads problem the
+    # manifest list solved (same placement economics as Parquet blooms).
+    ki_cols: frozenset = frozenset()
+    if pred:
+        meta_path = os.path.join(out_dir, "_meta.json")
+        if fsio.exists(meta_path):
+            tmeta = json.loads(fsio.read_bytes(meta_path))
+            declared = frozenset(tmeta.get("key_index_cols") or ())
+            if declared:
+                def _eq_cols(node):
+                    if node[0] in ("and", "or"):
+                        out = set()
+                        for s in node[1]:
+                            out |= _eq_cols(s)
+                        return out
+                    _, c, op, _v = node
+                    return {c} if op in ("=", "in") else set()
+
+                ki_cols = declared & frozenset(_eq_cols(pred))
+
     def _decode_paths(paths, flt):
         from ..operators.encode import decode_column
         from . import fsio as fsio2
+        from .keyindex import part_may_match
 
         for path in paths:
             part_flt = list(flt) if flt else None
+            if ki_cols:
+                stem = os.path.basename(path)
+                try:
+                    pid = int(stem.split("-")[1].split(".")[0])
+                except (IndexError, ValueError):
+                    pid = None
+                if pid is not None and not part_may_match(
+                        pred, out_dir, pid, ki_cols):
+                    continue  # no probe hash in this part's key set
             if pred:
                 # zone-map pass: the predicate columns' meta rows are
                 # tiny; excluded chunks are dropped via the chunk_id

@@ -5,12 +5,16 @@ Launch (the north-rule launch mode, BASELINE.json line 14):
     spark-submit --py-files /tmp/fileconvert_spark_pyfiles.zip \
         jobs/encode_job.py <src_parquet> <out_dir> [n_buckets] \
         [key_col] [salt_cols] [weight_col] [stats_sample_fraction] \
-        [--cluster-by=a,b]
+        [--cluster-by=a,b] [--key-index=c,d]
 
 ``--cluster-by``: within-bucket sort on those columns (zone-map
 clustering; they also get per-chunk zone bounds, enabling
 decode_table(predicate=...) part/chunk pruning — the Iceberg
 sort-order economics, see encode_table).
+
+``--key-index``: per-part key-hash sidecar indexes on those
+string/integer columns — point-lookup (=/in) predicate decode prunes
+parts on UNCLUSTERED columns where zone maps cannot (plans/keyindex.py).
 
 On a real cluster, --master/--num-executors come from spark-submit and
 <out_dir> must be a shared filesystem. The job is idempotent: re-running
@@ -45,11 +49,14 @@ def _ship_package(spark) -> None:
 
 def main(argv: list[str]) -> int:
     cluster_by: tuple[str, ...] | None = None
+    key_index_cols: tuple[str, ...] | None = None
     flags = [a for a in argv if a.startswith("--")]
     argv = [a for a in argv if not a.startswith("--")]
     for f in flags:
         if f.startswith("--cluster-by="):
             cluster_by = tuple(f.split("=", 1)[1].split(","))
+        elif f.startswith("--key-index="):
+            key_index_cols = tuple(f.split("=", 1)[1].split(","))
         else:
             print(f"encode_job: unknown flag {f}", file=sys.stderr)
             return 2
@@ -92,8 +99,8 @@ def main(argv: list[str]) -> int:
     from fileconvert_spark.plans.manifest import encode_table
 
     df = spark.read.parquet(src)
-    missing = ({key_col, weight_col, *salt_cols, *(cluster_by or ())}
-               - set(df.columns))
+    missing = ({key_col, weight_col, *salt_cols, *(cluster_by or ()),
+                *(key_index_cols or ())} - set(df.columns))
     if missing:
         print(f"columns {sorted(missing)} not in {df.columns}; pass "
               f"[key_col] [salt_cols] [weight_col] for this schema",
@@ -103,7 +110,8 @@ def main(argv: list[str]) -> int:
                            key_col=key_col, salt_cols=salt_cols,
                            weight_col=weight_col,
                            stats_sample_fraction=stats_sample_fraction,
-                           cluster_by=cluster_by)
+                           cluster_by=cluster_by,
+                           key_index_cols=key_index_cols)
     print(json.dumps(summary))
     if not preexisting:  # embedded callers keep their session
         spark.stop()

@@ -1,0 +1,127 @@
+"""Key-index scale drive: point lookups on an UNCLUSTERED column at
+10 GB. The case zone maps cannot touch (BENCH/SCALE_r6.md §4): an
+equality predicate on `path` against a repo-bucketed table decodes the
+whole corpus and filters. With per-part key-hash sidecars the decode
+task group probes each part's index (a few hundred KB total) and reads
+only matching parts.
+
+    python tools/scale_keyindex.py [n_rows=7600000] [n_buckets=1024] \
+        [work_dir=/tmp/fcs_scale_keyindex]
+
+Reuses the 10 GB corpus of tools/scale_run.py (generated if absent).
+Phases -> progress.jsonl immediately; one JSON line at the end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _prog(work: str, phase: str, payload: dict) -> None:
+    with open(os.path.join(work, "progress.jsonl"), "a") as f:
+        f.write(json.dumps({"phase": phase, **payload}) + "\n")
+
+
+def main() -> int:
+    args = [a for a in sys.argv if not a.startswith("--")]
+    n_rows = int(args[1]) if len(args) > 1 else 7_600_000
+    n_buckets = int(args[2]) if len(args) > 2 else 1024
+    work = args[3] if len(args) > 3 else "/tmp/fcs_scale_keyindex"
+    os.makedirs(work, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+    from fileconvert_spark.session import get_spark
+    from tools.scale_run import generate_corpus
+
+    out: dict = {"n_rows": n_rows, "n_buckets": n_buckets}
+    spark = get_spark("scale-keyindex")
+
+    corpus_path = os.path.join(work, "corpus.parquet")
+    # reuse the scale_compact corpus when present (identical generator)
+    alt = "/tmp/fcs_scale_compact/corpus.parquet"
+    if not os.path.exists(corpus_path) and os.path.exists(alt):
+        corpus_path = alt
+    if not os.path.exists(corpus_path):
+        out["gen_wall_s"] = round(
+            generate_corpus(spark, corpus_path, n_rows), 1)
+    corpus = spark.read.parquet(corpus_path)
+    out["content_gb"] = round(corpus.select(
+        F.sum(F.octet_length("content"))).first()[0] / 1e9, 2)
+    _prog(work, "corpus", {"content_gb": out["content_gb"]})
+
+    enc_dir = os.path.join(work, "enc")
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    t0 = time.time()
+    summary = encode_table(spark, corpus, enc_dir, n_buckets=n_buckets,
+                           cluster_by=("repo",),
+                           key_index_cols=("path",))
+    idx_bytes = sum(
+        os.path.getsize(os.path.join(enc_dir, "indexes", f))
+        for f in os.listdir(os.path.join(enc_dir, "indexes")))
+    out["encode"] = {"wall_s": round(time.time() - t0, 1),
+                     "ratio": round(summary["ratio"], 4),
+                     "throughput_mb_s": round(
+                         summary["throughput_mb_s"] or 0, 1),
+                     "index_bytes_total": idx_bytes,
+                     "index_pct_of_enc": round(
+                         100 * idx_bytes / summary["enc_bytes"], 2)}
+    _prog(work, "encode", out["encode"])
+
+    t0 = time.time()
+    full_rows = decode_table(spark, enc_dir).count()
+    t_full = time.time() - t0
+    out["decode_full"] = {"wall_s": round(t_full, 1), "rows": full_rows}
+    _prog(work, "decode_full", out["decode_full"])
+
+    # point lookup: one specific path value (unique by construction)
+    pv = corpus.select("path").limit(1).collect()[0][0]
+    t0 = time.time()
+    hit = decode_table(spark, enc_dir, predicate=("path", "=", pv)).count()
+    t_hit = time.time() - t0
+    want = corpus.filter(F.col("path") == pv).count()
+    out["point_lookup_hit"] = {
+        "rows": int(hit), "rows_expected": int(want),
+        "exact": bool(hit == want), "wall_s": round(t_hit, 2),
+        "speedup_vs_full": round(t_full / max(t_hit, 1e-9), 1)}
+    _prog(work, "hit", out["point_lookup_hit"])
+
+    # absent key: pure probe cost over every part's sidecar
+    t0 = time.time()
+    miss = decode_table(spark, enc_dir,
+                        predicate=("path", "=", "no/such/file.xyz")).count()
+    t_miss = time.time() - t0
+    out["point_lookup_miss"] = {"rows": int(miss),
+                                "wall_s": round(t_miss, 2)}
+    _prog(work, "miss", out["point_lookup_miss"])
+
+    # IN-list of 8 scattered paths
+    pvals = [r[0] for r in corpus.select("path").limit(2000).collect()
+             [::250]]
+    t0 = time.time()
+    got_in = decode_table(spark, enc_dir,
+                          predicate=("path", "in", pvals)).count()
+    t_in = time.time() - t0
+    want_in = corpus.filter(F.col("path").isin(pvals)).count()
+    out["point_lookup_in8"] = {
+        "rows": int(got_in), "rows_expected": int(want_in),
+        "exact": bool(got_in == want_in), "wall_s": round(t_in, 2)}
+    _prog(work, "in8", out["point_lookup_in8"])
+
+    print(json.dumps(out))
+    spark.stop()
+    ok = (out["point_lookup_hit"]["exact"] and miss == 0
+          and out["point_lookup_in8"]["exact"])
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
