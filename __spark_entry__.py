@@ -985,6 +985,41 @@ def enc_compact_roundtrip(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def enc_keyindex_lookup(spark, sf_dir):
+    """Per-part key indexes (plans/keyindex.py, SURVEY.md §2 B20):
+    encode documents with a key index on the UNCLUSTERED doc_id column,
+    then run point lookups — a present key (1 row), an absent key
+    (0 rows, every part refuted by its sidecar without reading data),
+    and an IN-list. Rows-only: sidecar lifecycle, not SQL-expressible."""
+    _ensure_workers(spark)
+    import shutil
+    import tempfile
+
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+    docs = _t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="fcs_ki_")
+    try:
+        out = base + "/enc"
+        encode_table(spark, docs, out, n_buckets=16, key_col="lang",
+                     salt_cols=("doc_id",), weight_col="text",
+                     key_index_cols=("doc_id",))
+        probe = docs.select("doc_id").first()[0]
+        hit = decode_table(spark, out,
+                           predicate=("doc_id", "=", int(probe))).count()
+        miss = decode_table(spark, out,
+                            predicate=("doc_id", "=", -987654321)).count()
+        inl = decode_table(
+            spark, out,
+            predicate=("doc_id", "in",
+                       [int(probe), -1, -2])).count()
+        return spark.createDataFrame(
+            [(int(hit), int(miss), int(inl))],
+            "hit_rows long, miss_rows long, in_rows long")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def dedup_minhash_docs(spark, sf_dir):
     _ensure_workers(spark)
     from fileconvert_spark.operators.dedup import minhash_lsh_pairs
@@ -1627,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_components": dedup_cosine_components,  # new in r07
         "dedup_store_roundtrip": dedup_store_roundtrip,       # new in r07
         "enc_compact_roundtrip": enc_compact_roundtrip,       # new in r07
+        "enc_keyindex_lookup": enc_keyindex_lookup,           # new in r07
     }
 
 
