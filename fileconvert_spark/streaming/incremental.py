@@ -280,3 +280,54 @@ def incremental_encode(spark: SparkSession, src_dir: str, out_dir: str,
         .start()
     )
     q.awaitTermination()
+
+
+def compact_epochs(spark: SparkSession, out_dir: str,
+                   target_bytes: int = 64 << 20) -> dict:
+    """Sweep an incremental-encode output tree and compact every
+    COMPLETE epoch table (plans/compact.py) — the end of the streaming
+    small-file story: micro-batches accrete per-epoch dirs of small
+    parts; this merges each epoch's runs into ~target-size parts
+    without decoding a value. Epochs are independent encode_table dirs,
+    so each compaction is the standard crash-safe two-phase swap; an
+    epoch whose table is incomplete (a batch mid-write or torn) is
+    SKIPPED and reported, never touched. An interrupted prior
+    compaction in an epoch is recovered first (roll back/forward per
+    its state file) and then re-attempted.
+
+    Returns {"epochs": {name: summary-or-skip-reason}, "parts_before",
+    "parts_after"}.
+    """
+    import os
+
+    from ..plans import fsio
+    from ..plans.compact import (COMPACT_STATE, compact_table,
+                                 recover_compaction)
+    from ..plans.manifest import read_all_manifests
+
+    out: dict = {"epochs": {}, "parts_before": 0, "parts_after": 0}
+    for name in sorted(fsio.listdir(out_dir)):
+        if not name.startswith("epoch="):
+            continue
+        epoch_dir = os.path.join(out_dir, name)
+        if fsio.exists(os.path.join(epoch_dir, COMPACT_STATE)):
+            out["epochs"][name] = {"recovered": recover_compaction(
+                epoch_dir)}
+        mans = read_all_manifests(epoch_dir)
+        n_before = len(mans)
+        out["parts_before"] += n_before
+        if not mans or any(m.get("status") != "done" for m in mans):
+            out["epochs"][name] = {"skipped": "incomplete table"}
+            out["parts_after"] += n_before
+            continue
+        try:
+            res = compact_table(spark, epoch_dir,
+                                target_bytes=target_bytes)
+        except ValueError as e:
+            out["epochs"][name] = {"skipped": str(e)}
+            out["parts_after"] += n_before
+            continue
+        prev = out["epochs"].get(name) or {}
+        out["epochs"][name] = {**prev, **res}
+        out["parts_after"] += res["n_parts_after"]
+    return out

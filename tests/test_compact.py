@@ -206,3 +206,44 @@ def test_compact_dedup_store_subtables(spark, tmp_path):
                             target_bytes=1 << 20)
         assert not res["noop"]
     assert _fingerprint(decode_table_dedup(spark, out)) == before
+
+
+def test_compact_epochs_sweep(spark, tmp_path):
+    """compact_epochs: compacts every complete epoch dir of an
+    incremental-encode tree; decode over all epochs is value-identical,
+    epoch count and rows survive, incomplete epochs are skipped."""
+    from fileconvert_spark.plans.manifest import invalidate_manifest_list
+    from fileconvert_spark.streaming.incremental import (
+        compact_epochs, incremental_encode)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    df = _corpus_df(spark, 1200)
+    df.limit(600).write.mode("overwrite").parquet(str(src / "b1"))
+    out = str(tmp_path / "enc")
+    incremental_encode(spark, str(src / "b1"), out, df.schema,
+                       str(tmp_path / "ckpt"))
+    epochs = [e for e in os.listdir(out) if e.startswith("epoch=")]
+    assert epochs
+    before = {e: _fingerprint(decode_table(spark, os.path.join(out, e)))
+              for e in epochs}
+    # forge one INCOMPLETE epoch the sweep must skip untouched
+    bad = os.path.join(out, "epoch=999")
+    import shutil
+
+    shutil.copytree(os.path.join(out, epochs[0]), bad)
+    m = json.loads(fsio.read_bytes(
+        os.path.join(bad, "manifests", "part-00000.json")))
+    m["status"] = "running"
+    fsio.write_bytes_atomic(
+        os.path.join(bad, "manifests", "part-00000.json"),
+        json.dumps(m).encode())
+    invalidate_manifest_list(bad)
+
+    res = compact_epochs(spark, out, target_bytes=1 << 20)
+    assert res["epochs"]["epoch=999"] == {"skipped": "incomplete table"}
+    for e in epochs:
+        assert not res["epochs"][e].get("noop", False)
+        assert _fingerprint(decode_table(spark, os.path.join(out, e))) \
+            == before[e]
+    assert res["parts_after"] < res["parts_before"]
