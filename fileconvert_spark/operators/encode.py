@@ -460,12 +460,21 @@ def encode_column(arr: pa.Array, cache_key: str | None = None,
             if alp is not None:
                 ae, nx, ic, ip, idict, im, posb, excb = alp
                 alp_payload = _pack_frames(ip, idict or b"", posb, excb)
-                std = len(payload) + (len(dict_blob) if dict_blob else 0)
-                if len(alp_payload) < std:
-                    codec, payload, dict_blob = "alp", alp_payload, None
-                    meta = {"vt": "alp", "ic": ic, "im": im, "ae": ae,
+                alp_meta = {"vt": "alp", "ic": ic, "im": im, "ae": ae,
                             "nx": nx, "id": idict is not None,
                             "f32": adapter == "f32"}
+                # compare TOTALS including the serialized metas — ALP's
+                # meta (nested inner meta + exception fields) is bigger
+                # than the int path's, so a payload-only compare could
+                # still regress a near-tie chunk by a few bytes
+                dumps = json.dumps
+                std = (len(payload) + (len(dict_blob) if dict_blob else 0)
+                       + len(dumps(meta, separators=(",", ":"))))
+                alp_total = (len(alp_payload)
+                             + len(dumps(alp_meta, separators=(",", ":"))))
+                if alp_total < std:
+                    codec, payload, dict_blob = "alp", alp_payload, None
+                    meta = alp_meta
     meta["ot"] = orig_type
     if zone_stats:
         zs, zsv = _zone_stats(clean, t)

@@ -101,6 +101,18 @@ def _expand_dict_pages(tbl: pa.Table, src_pid: int) -> list[dict]:
     keep = [i for i, cid in enumerate(chunk_ids) if cid != PAGE_CHUNK_ID]
     rows = tbl.take(keep).to_pylist()
     for r in rows:
+        # verify EVERY chunk's integrity envelope before any byte is
+        # rewritten: compaction recomputes shas for rewritten chunks, so
+        # skipping this would LAUNDER at-rest corruption into chunks
+        # that then pass every future decode check (review finding, r7)
+        got = chunk_integrity_sha(r["payload"], r["dict"], r["validity"],
+                                  r["meta"])
+        if got != bytes(r["sha256_chunk"]):
+            raise ValueError(
+                f"compact: integrity sha mismatch in part {src_pid} "
+                f"chunk {r['chunk_id']} column {r['column']!r} — bytes "
+                "corrupted at rest; refusing to rewrite (decode the "
+                "part to get the full DecodeError context)")
         meta = json.loads(r["meta"])
         if meta.get("dp") != 1:
             continue
@@ -226,9 +238,17 @@ def _remove_parts(out_dir: str, pids: list[int]) -> None:
                 fsio.remove(p)
     idx_dir = os.path.join(out_dir, "indexes")
     if fsio.exists(idx_dir):
-        stems = tuple(f"part-{pid:05d}." for pid in pids)
+        doomed = {int(p) for p in pids}
         for name in fsio.listdir(idx_dir):
-            if name.endswith(".idx") and name.startswith(stems):
+            # names are part-XXXXX.<col>.idx — parse the pid once
+            # instead of prefix-scanning (O(files x pids) at 8192 parts)
+            if not name.endswith(".idx"):
+                continue
+            try:
+                pid = int(name.split("-", 1)[1].split(".", 1)[0])
+            except (IndexError, ValueError):
+                continue
+            if pid in doomed:
                 fsio.remove(os.path.join(idx_dir, name))
 
 

@@ -139,33 +139,73 @@ def write_part_index(out_dir: str, pid: int, col: str,
     return len(blob)
 
 
+def probe_hashes(probes, col_type: str | None) -> np.ndarray | None:
+    """Hashes of probe values under the COLUMN's canonical form, or None
+    when any probe cannot be canonicalized safely — in which case the
+    caller must keep the part. Catalyst's filter casts across types
+    ('0123' = int column matches 123; int 123 = string column matches
+    '0123'), so a probe whose type doesn't match the column exactly (or
+    a string int-probe that isn't already canonical) can never refute
+    (review finding, r7: the untyped version wrongly pruned those)."""
+    hs: list[int] = []
+    for v in probes:
+        if isinstance(v, bool):
+            return None
+        if col_type == "string":
+            if not isinstance(v, str):
+                return None
+            hs.append(_hash_bytes(v.encode("utf-8")))
+        elif col_type == "int":
+            if isinstance(v, (int, np.integer)):
+                hs.append(_hash_bytes(str(int(v)).encode("ascii")))
+            elif isinstance(v, str) and v.lstrip("-").isdigit() \
+                    and str(int(v)) == v:
+                hs.append(_hash_bytes(v.encode("ascii")))
+            else:
+                return None
+        else:
+            return None
+    return np.array(hs, dtype=np.uint64)
+
+
 def part_may_match(pred, out_dir: str, pid: int,
-                   indexed_cols: set[str]) -> bool:
+                   indexed_cols: set[str],
+                   col_types: dict[str, str],
+                   _cache: dict | None = None) -> bool:
     """May-match of a normalized predicate tree against part pid's key
-    indexes. Only =/in leaves on indexed columns can refute; every other
-    leaf, a missing/corrupt sidecar, or an unindexable probe type keeps
-    the part. Collisions only keep. Mirrors manifest._may_match_part."""
+    indexes. Only =/in leaves on indexed columns whose probe values
+    canonicalize under the column's type (probe_hashes) can refute;
+    every other leaf, a missing/corrupt sidecar, or a cross-type probe
+    keeps the part. Collisions only keep. ``col_types`` maps indexed
+    column -> 'string' | 'int' (from the table schema). Sidecar loads
+    are cached per call so an OR of k leaves on one column costs one
+    read, not k. Mirrors manifest._may_match_part."""
     if pred is None:
         return True
+    if _cache is None:
+        _cache = {}
     if pred[0] == "and":
-        return all(part_may_match(k, out_dir, pid, indexed_cols)
-                   for k in pred[1])
+        return all(part_may_match(k, out_dir, pid, indexed_cols,
+                                  col_types, _cache) for k in pred[1])
     if pred[0] == "or":
-        return any(part_may_match(k, out_dir, pid, indexed_cols)
-                   for k in pred[1])
+        return any(part_may_match(k, out_dir, pid, indexed_cols,
+                                  col_types, _cache) for k in pred[1])
     _, col, op, value = pred  # ("leaf", col, op, value)
     if col not in indexed_cols or op not in ("=", "in"):
         return True
-    path = index_path(out_dir, pid, col)
-    try:
-        idx = load_index(fsio.read_bytes(path))
-    except (OSError, ValueError):
-        return True  # absent/corrupt sidecar never prunes
     probes = value if op == "in" else [value]
-    try:
-        hs = np.array([value_hash(v) for v in probes], dtype=np.uint64)
-    except TypeError:
-        return True  # unhashable probe type: cannot refute
+    hs = probe_hashes(probes, col_types.get(col))
+    if hs is None:
+        return True  # cross-type / uncanonical probe: cannot refute
+    path = index_path(out_dir, pid, col)
+    if path not in _cache:
+        try:
+            _cache[path] = load_index(fsio.read_bytes(path))
+        except (OSError, ValueError):
+            _cache[path] = None  # absent/corrupt sidecar never prunes
+    idx = _cache[path]
+    if idx is None:
+        return True
     if len(idx) == 0:
         return False  # empty part index + equality probe: impossible
     pos = np.searchsorted(idx, hs)

@@ -512,6 +512,13 @@ def encode_table(spark, df, out_dir: str, n_buckets: int | None = None,
         # must never leak into this table's manifests/decode — clear them
         # regardless of the resume flag
         invalidate_manifest_list(out_dir)
+        # a stale compaction state file from the wiped table must die
+        # with it: recover_compaction() against a FRESH table would
+        # delete newly-encoded parts whose ids collide with the old
+        # state's remove-list (review finding, r7) — silent data loss
+        state = os.path.join(out_dir, "_compact_state.json")
+        if fsio.exists(state):
+            fsio.remove(state)
         for sub in ("data", "manifests", "indexes"):
             p = os.path.join(out_dir, sub)
             for name in fsio.listdir(p):
@@ -1078,6 +1085,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
     # driver-side pass would re-grow the O(parts)-reads problem the
     # manifest list solved (same placement economics as Parquet blooms).
     ki_cols: frozenset = frozenset()
+    ki_types: dict = {}
     if pred:
         meta_path = os.path.join(out_dir, "_meta.json")
         if fsio.exists(meta_path):
@@ -1094,6 +1102,19 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                     return {c} if op in ("=", "in") else set()
 
                 ki_cols = declared & frozenset(_eq_cols(pred))
+                # column -> canonical probe type ('string'|'int') from
+                # the table schema: probes that don't match the column
+                # type exactly can never refute (keyindex.probe_hashes)
+                _int_t = {"integer", "long", "short", "byte"}
+                full_schema = StructType.fromJson(json.loads(
+                    fsio.read_bytes(os.path.join(out_dir,
+                                                 "_schema.json"))))
+                for f in full_schema.fields:
+                    if f.name in ki_cols:
+                        tn = f.dataType.typeName()
+                        ki_types[f.name] = ("string" if tn == "string"
+                                            else "int" if tn in _int_t
+                                            else tn)
 
     def _decode_paths(paths, flt):
         from ..operators.encode import decode_column
@@ -1109,7 +1130,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                 except (IndexError, ValueError):
                     pid = None
                 if pid is not None and not part_may_match(
-                        pred, out_dir, pid, ki_cols):
+                        pred, out_dir, pid, ki_cols, ki_types):
                     continue  # no probe hash in this part's key set
             if pred:
                 # zone-map pass: the predicate columns' meta rows are

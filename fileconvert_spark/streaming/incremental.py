@@ -317,7 +317,8 @@ def compact_epochs(spark: SparkSession, out_dir: str,
         n_before = len(mans)
         out["parts_before"] += n_before
         if not mans or any(m.get("status") != "done" for m in mans):
-            out["epochs"][name] = {"skipped": "incomplete table"}
+            prev = out["epochs"].get(name) or {}
+            out["epochs"][name] = {**prev, "skipped": "incomplete table"}
             out["parts_after"] += n_before
             continue
         try:

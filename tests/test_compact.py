@@ -247,3 +247,44 @@ def test_compact_epochs_sweep(spark, tmp_path):
         assert _fingerprint(decode_table(spark, os.path.join(out, e))) \
             == before[e]
     assert res["parts_after"] < res["parts_before"]
+
+
+def test_fresh_reencode_clears_stale_compact_state(spark, tmp_path):
+    """Review finding (r7, data-loss path): a fresh re-encode over a dir
+    with a stale _compact_state.json must remove the state file —
+    otherwise recover_compaction against the NEW table deletes
+    newly-encoded parts whose ids collide with the old remove-list."""
+    out = str(tmp_path / "enc")
+    df = _corpus_df(spark, 800)
+    encode_table(spark, df, out, n_buckets=4)
+    # stale committed-phase state naming current pids as removes
+    fsio.write_bytes_atomic(os.path.join(out, COMPACT_STATE), json.dumps(
+        {"phase": "committed", "add": [99], "remove": [0, 1]}).encode())
+    os.remove(os.path.join(out, "_meta.json"))  # wiped table scenario
+    encode_table(spark, df, out, n_buckets=4, resume=False)
+    assert not fsio.exists(os.path.join(out, COMPACT_STATE))
+    assert recover_compaction(out) == "clean"
+    assert decode_table(spark, out).count() == df.count()
+
+
+def test_compact_refuses_corrupted_chunk(spark, tmp_path):
+    """Review finding (r7, integrity laundering): compaction recomputes
+    chunk shas, so it must VERIFY every chunk envelope before rewriting
+    — an at-rest bit flip fails compaction loudly instead of being
+    re-sealed under a fresh sha that passes every future decode."""
+    import pyarrow.parquet as _pq
+
+    out = str(tmp_path / "enc")
+    df = _corpus_df(spark, 800)
+    encode_table(spark, df, out, n_buckets=4)
+    path = os.path.join(out, "data", "part-00001.parquet")
+    t = _pq.read_table(path)
+    payloads = t.column("payload").to_pylist()
+    payloads[0] = bytes([payloads[0][0] ^ 0xFF]) + payloads[0][1:]
+    t = t.set_column(t.schema.get_field_index("payload"), "payload",
+                     [payloads])
+    _pq.write_table(t, path, compression="none")
+    with pytest.raises(Exception, match="integrity sha mismatch"):
+        compact_table(spark, out, target_bytes=1 << 20)
+    # the torn staging rolls back cleanly; originals are untouched
+    assert recover_compaction(out) in ("rolled_back", "clean")

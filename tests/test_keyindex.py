@@ -40,7 +40,8 @@ def test_part_may_match_semantics(tmp_path):
                                          ki.value_hash("c/d.py")})
 
     def probe(p):
-        return ki.part_may_match(normalize_predicate(p), out, 7, {"path"})
+        return ki.part_may_match(normalize_predicate(p), out, 7, {"path"},
+                                 {"path": "string"})
 
     assert probe(("path", "=", "a/b.py"))
     assert not probe(("path", "=", "nope.py"))
@@ -57,16 +58,52 @@ def test_part_may_match_semantics(tmp_path):
                              ("path", "=", "also-nope")]))
     # missing sidecar (unknown part) keeps the part
     assert ki.part_may_match(
-        normalize_predicate(("path", "=", "nope.py")), out, 99, {"path"})
+        normalize_predicate(("path", "=", "nope.py")), out, 99, {"path"},
+        {"path": "string"})
     # float probe on an indexed column cannot refute
     assert probe(("path", "=", 1.5))
+    # cross-type probe (int against a string column) cannot refute:
+    # Catalyst casts the COLUMN, so '0123' would match int 123
+    assert probe(("path", "=", 123))
+
+
+def test_probe_hashes_typed_canonicalization(tmp_path):
+    """Review finding (r7): type-mismatched probes must never refute.
+    int column: canonical-string probes refute, non-canonical keep."""
+    out = str(tmp_path)
+    ki.write_part_index(out, 1, "doc_id", {ki.value_hash(123)})
+
+    def probe(p):
+        return ki.part_may_match(normalize_predicate(p), out, 1,
+                                 {"doc_id"}, {"doc_id": "int"})
+
+    assert probe(("doc_id", "=", 123))
+    assert not probe(("doc_id", "=", 124))
+    assert probe(("doc_id", "=", "123"))       # canonical string form
+    assert not probe(("doc_id", "=", "124"))
+    # NON-canonical string int: Catalyst's cast would match 123, so the
+    # index must keep the part, never prune on the raw-bytes hash
+    assert probe(("doc_id", "=", "0123"))
+    assert probe(("doc_id", "=", " 123"))
+    assert probe(("doc_id", "=", True))        # bool never refutes
+    assert probe(("doc_id", "=", 1.5))
+    # unknown column type -> never refute
+    assert ki.part_may_match(
+        normalize_predicate(("doc_id", "=", 124)), out, 1, {"doc_id"},
+        {"doc_id": "double"})
+    # negative canonical form
+    ki.write_part_index(out, 2, "n", {ki.value_hash(-5)})
+    assert ki.part_may_match(
+        normalize_predicate(("n", "=", "-5")), out, 2, {"n"},
+        {"n": "int"})
 
 
 def test_empty_index_refutes_equality(tmp_path):
     out = str(tmp_path)
     ki.write_part_index(out, 3, "k", set())
     assert not ki.part_may_match(
-        normalize_predicate(("k", "=", "x")), out, 3, {"k"})
+        normalize_predicate(("k", "=", "x")), out, 3, {"k"},
+        {"k": "string"})
 
 
 @pytest.fixture(scope="module")
