@@ -10,7 +10,8 @@ filter bits scale with rows-per-file, so a driver-side manifest of them
 would grow with total ROWS, not parts).
 
 This implementation keeps the same placement economics but stores the
-EXACT sorted set of 64-bit key hashes (blake2b-8) per part as a sidecar
+EXACT sorted set of 64-bit key hashes (blake2b-8 for strings, vectorized
+splitmix64 for ints — zero per-row Python) per part as a sidecar
 file ``indexes/part-XXXXX.<col>.idx``, delta + bit-packed with the
 engine's own int codecs — typically ~2.5-3 bytes/distinct key, no false
 positives, and two indexes merge by plain set union (compaction rebuilds
@@ -58,14 +59,28 @@ def _hash_bytes(b: bytes) -> int:
         hashlib.blake2b(b, digest_size=8).digest(), "little")
 
 
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (Steele/Lea/Flood, public domain)
+    — the int-column hash. A NumPy expression over the whole array, so
+    indexing a unique-int column (the flagship point-lookup workload)
+    adds zero per-row Python to the encode task (review finding, r7:
+    the decimal-string + hashlib form was a Python loop per unique)."""
+    z = v.astype(np.uint64, copy=True)
+    z += np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def value_hash(value) -> int:
     """Hash of one probe value — must agree with column_hashes exactly.
-    Strings hash their utf-8 bytes; integer-family values their decimal
-    string (one canonical form across int widths)."""
+    Strings hash their utf-8 bytes (blake2b-8); integer-family values
+    hash via vectorized splitmix64 over the int64 two's-complement
+    bits (one canonical form across int widths)."""
     if isinstance(value, str):
         return _hash_bytes(value.encode("utf-8"))
     if isinstance(value, (int, np.integer)) and not isinstance(value, bool):
-        return _hash_bytes(str(int(value)).encode("ascii"))
+        return int(_splitmix64(np.array([np.int64(value)]))[0])
     raise TypeError(
         f"key index: unsupported probe type {type(value).__name__} "
         "(string and integer columns only)")
@@ -91,8 +106,8 @@ def column_hashes(arr: pa.Array) -> set[int]:
             "(string and integer columns only)")
     uniq = pc.unique(arr)
     if pa.types.is_integer(uniq.type):
-        return {_hash_bytes(str(int(v)).encode("ascii"))
-                for v in uniq.to_pylist()}
+        vals = uniq.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return set(_splitmix64(vals).tolist())
     return {_hash_bytes(v.encode("utf-8")) for v in uniq.to_pylist()}
 
 
@@ -156,11 +171,12 @@ def probe_hashes(probes, col_type: str | None) -> np.ndarray | None:
                 return None
             hs.append(_hash_bytes(v.encode("utf-8")))
         elif col_type == "int":
-            if isinstance(v, (int, np.integer)):
-                hs.append(_hash_bytes(str(int(v)).encode("ascii")))
+            if isinstance(v, (int, np.integer)) \
+                    and -(2**63) <= int(v) < 2**63:
+                hs.append(value_hash(int(v)))
             elif isinstance(v, str) and v.lstrip("-").isdigit() \
-                    and str(int(v)) == v:
-                hs.append(_hash_bytes(v.encode("ascii")))
+                    and str(int(v)) == v and -(2**63) <= int(v) < 2**63:
+                hs.append(value_hash(int(v)))
             else:
                 return None
         else:

@@ -26,10 +26,11 @@ def test_index_bytes_roundtrip_property(hashes):
 def test_value_hash_types():
     assert ki.value_hash("abc") == ki.value_hash("abc")
     assert ki.value_hash(42) == ki.value_hash(np.int64(42))
-    # ints hash their decimal string: "42" and 42 share one canonical
-    # form BY DESIGN — a cross-type alias can only KEEP a part
-    # (may-match), and a string-typed probe against an int column works
-    assert ki.value_hash("42") == ki.value_hash(42)
+    # ints hash via splitmix64 over int64 bits, strings via blake2b over
+    # utf-8: the schemes are independent because probes are canonicalized
+    # under the COLUMN's type first (probe_hashes) — a canonical string
+    # int probe against an int column converts to int before hashing
+    assert ki.probe_hashes(["42"], "int")[0] == ki.value_hash(42)
     with pytest.raises(TypeError):
         ki.value_hash(1.5)
 
