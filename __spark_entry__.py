@@ -86,6 +86,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q1_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # r8: the sf parquet files are single-row-group, so the scan is ONE
+    # task and the decimal-heavy partial aggregation runs serially (guide
+    # §2.5, unsplittable-input skew: "repartition immediately after the
+    # read"). Spread it over the cores only when the scan itself cannot
+    # parallelize (split estimate from file sizes — cheaper than an
+    # .rdd materialization) — at real scale the files split into >=
+    # cores tasks and this branch never fires, so no extra exchange is
+    # added. The aggregation is exact decimal (order-independent), so
+    # the result is bit-identical either way.
+    cores = spark.sparkContext.defaultParallelism
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                   str(128 << 20)).rstrip("b"))
+    n_splits = sum(
+        -(-os.path.getsize(p.removeprefix("file:")) // max_split)
+        for p in li.inputFiles())
+    if n_splits < max(cores // 2, 2):
+        li = li.repartition(cores)
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")

@@ -104,6 +104,16 @@ def unpack_uints_framed(buf: memoryview) -> tuple[np.ndarray, int]:
 
 # ------------------------------------------------------- hybrid packed ints
 
+def _entropy_floor_bytes(counts: np.ndarray, n: int) -> int:
+    """floor(order-0 entropy of ``counts`` in bytes) — a lower bound on
+    any Huffman-coded body of the stream (length-limited or not), used
+    only to PRUNE hopeless Huffman trials; never changes a winner."""
+    nz = counts[counts > 0].astype(np.float64)
+    p = nz / float(n)
+    bits = -(p * np.log2(p)).sum() * n
+    return int(bits // 8)
+
+
 def pack_uints_auto(vals: np.ndarray) -> bytes:
     """Self-describing packed ints, choosing plain fixed-width or a
     two-stream hybrid: a b-bit stream for all positions (code 2^b-1 =
@@ -143,7 +153,15 @@ def pack_uints_auto(vals: np.ndarray) -> bytes:
     plain_total = 2 + plain_sz
     hybrid_total = 3 + best[0] if best is not None else plain_total
     if (counts is not None and w > 1 and vmax < _HUFF_MAX_K
-            and n >= _HUFF_MIN_N):
+            and n >= _HUFF_MIN_N
+            # r8: order-0 entropy is a true lower bound on ANY Huffman
+            # body (even before the lens-table overhead), so when the
+            # bound already loses to plain/hybrid the expensive
+            # code_lengths construction (a Python two-queue merge, ~4 ms
+            # at 4k symbols, called per int stream) is skipped with ZERO
+            # effect on the chosen bytes — the trial only ran to lose.
+            and 1 + _entropy_floor_bytes(counts, n) < min(plain_total,
+                                                          hybrid_total)):
         from . import huffman
 
         lens = huffman.code_lengths(counts)

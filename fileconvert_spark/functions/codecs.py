@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 from . import fsst, huffman
 from .bitpack import (
     U32,
+    _entropy_floor_bytes,
     bitwidth_for,
     freq_remap,
     pack_uints,
@@ -278,6 +279,10 @@ def enc_fsst_str(arr: pa.Array, table: list[bytes] | None = None):
     if len(enc) >= 4096:
         b = np.frombuffer(enc, dtype=np.uint8)
         counts = np.bincount(b, minlength=256)
+        # entropy floor prunes hopeless trials (see bitpack): identical
+        # winners, no code_lengths pass on near-uniform code streams
+        if _entropy_floor_bytes(counts, len(b)) >= len(enc):
+            return payload, table_blob, {}
         hlens = huffman.code_lengths(counts)
         if huffman.exact_size(counts, hlens, len(b)) < len(enc):
             body = huffman.encode(b.astype(np.uint64), hlens)
@@ -567,9 +572,29 @@ def select_and_encode_str(arr: pa.Array,
         kk = max(pre["k"], 1)
         if uniq_bytes >= _FSST_BLOB_MIN:
             # trial-FSST the segment dictionary (same sampling optimism as
-            # the fsst candidate's own estimate, so the comparison is fair)
-            blob_ratio, _tbl = fsst.estimate_ratio(pre["uniques"],
-                                                   _EST_SAMPLE_ROWS)
+            # the fsst candidate's own estimate, so the comparison is
+            # fair). r8: the trial table goes through the worker cache
+            # under the SAME key the winner's blob encode uses — so (a)
+            # later chunks of the column estimate without retraining, and
+            # (b) a winning linedict/pathdict blob encode is a cache hit
+            # instead of a second training pass on the same uniques
+            # (guide §4.5: amortize heavyweight init; training was ~45%
+            # of the measured per-chunk kernel cost). The poor-fit
+            # retrain guard mirrors the fsst candidate's (and
+            # _flagged_blob_encode keeps its own 0.85 drift check), so a
+            # stale table can only cost a retrain, never the ratio.
+            bkey = (f"{cache_key}/{'ld' if name == 'linedict' else 'pd'}"
+                    if cache_key else None)
+            cached = cache.get(bkey) if cache and bkey else None
+            blob_ratio, tbl = fsst.estimate_ratio(
+                pre["uniques"], _EST_SAMPLE_ROWS, table=cached)
+            if cached is not None and blob_ratio > 0.75:
+                r2, t2 = fsst.estimate_ratio(pre["uniques"],
+                                             _EST_SAMPLE_ROWS)
+                if r2 < blob_ratio:
+                    blob_ratio, tbl, cached = r2, t2, None
+            if cache and bkey and cached is None and tbl:
+                cache.put(bkey, tbl)
             blob = uniq_bytes * min(blob_ratio, 1.0)
         else:
             blob = float(uniq_bytes)

@@ -465,7 +465,8 @@ def simhash_components(df: DataFrame, id_col: str, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         small_graph_edges: int | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph -> (id, component),
     component = min node id in the cluster. This is the keeper-selection
     step of dedup: keep ``id == component``, drop the rest.
@@ -479,13 +480,33 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     counted by one cheap aggregate over the localCheckpoint — no extra join
     and no extra shuffle). Each iteration is checkpointed to keep the plan
     from growing.
+
+    ``small_graph_edges`` (r8): edge-count threshold below which the
+    whole (already materialized) edge set is labeled in ONE task by a
+    vectorized NumPy min-label kernel instead of the distributed loop —
+    the same adaptive-algorithm trade as Spark's broadcast-join
+    threshold. Each distributed iteration costs a fixed 2+ jobs (two
+    joins, a localCheckpoint, an aggregate) regardless of size, so on a
+    small pair graph the loop is pure scheduling overhead (measured at
+    the sf0.1 bench: 2.7 s for a graph of a few hundred edges -> ~0.3 s
+    single-task). Results are identical by construction: both paths
+    compute component = min node id. Default 1<<21 edges (~32 MB of
+    (src, dst) int64 pairs in one task — comfortably executor-sized);
+    env FCS_CC_SMALL_EDGES overrides, 0 disables (always iterate).
     """
+    import os
     import warnings
+
+    if small_graph_edges is None:
+        small_graph_edges = int(os.environ.get("FCS_CC_SMALL_EDGES",
+                                               1 << 21))
 
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst")))
     sym = sym.localCheckpoint()
+    if small_graph_edges and sym.count() <= small_graph_edges:
+        return _cc_single_task(sym)
     labels = (sym.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     # Constraint propagation OFF for the iteration (restored after):
@@ -516,6 +537,47 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             f"({changed} labels still changing) — components may be split; "
             "raise max_iter for graphs with very long chains", RuntimeWarning)
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def _cc_single_task(sym: DataFrame) -> DataFrame:
+    """Small-graph fast path of connected_components: one task runs the
+    SAME min-label + pointer-doubling fixpoint as the distributed loop,
+    vectorized in NumPy over the dense-remapped node ids — O(E) per pass,
+    O(log diameter) passes, no per-edge Python. The edge set is already
+    bounded by the caller's ``small_graph_edges`` check."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fast(batches):
+        srcs: list[np.ndarray] = []
+        dsts: list[np.ndarray] = []
+        for b in batches:
+            srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        # np.unique sorts ascending, so index order == id order and the
+        # min label INDEX is the min node ID — same fixpoint as the
+        # distributed loop's F.least over ids
+        ids, inv = np.unique(np.concatenate([src, dst]),
+                             return_inverse=True)
+        a, b_ = inv[: len(src)], inv[len(src):]
+        labels = np.arange(len(ids), dtype=np.int64)
+        while True:
+            nl = labels.copy()
+            np.minimum.at(nl, a, labels[b_])   # neighbor minimum
+            nl = np.minimum(nl, nl[nl])        # pointer doubling
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(ids, type=pa.int64()),
+             pa.array(ids[labels], type=pa.int64())],
+            names=["id", "component"])
+
+    return sym.coalesce(1).mapInArrow(fast, "id long, component long")
 
 
 def _cc_iterate(sym: DataFrame, labels: DataFrame,
@@ -795,11 +857,20 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
             f"{id_type.simpleString()}; an integral id is required "
             "(map non-numeric ids to a long key first)")
 
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    if dim_row is None:  # empty input -> empty pair frame
+    # one probe job for both decisions (r8: was two — a first() for the
+    # dimension and a limit+count for the path choice; each is a full
+    # job-launch round trip on small inputs): count and dimension come
+    # from the same bounded limit scan. first(size) matches the old
+    # first-row probe — the hyperplane matrix needs ONE representative
+    # dimension, exactly as before.
+    probe = (df.limit(brute_force_below + 1)
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.first(F.size(vec_col)).alias("d")).first())
+    if not probe["n"]:  # empty input -> empty pair frame
         return df.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cosine double")
-    small = df.limit(brute_force_below + 1).count() <= brute_force_below
+    dim_row = {"d": probe["d"]}
+    small = int(probe["n"]) <= brute_force_below
 
     base = df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(vec_col).alias("vec"))

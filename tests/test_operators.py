@@ -1086,16 +1086,41 @@ def test_connected_components_warns_on_non_convergence():
     from fileconvert_spark.session import get_spark
 
     spark = get_spark()
-    # a 12-node chain cannot converge in one iteration
+    # a 12-node chain cannot converge in one iteration — force the
+    # distributed loop (small_graph_edges=0), which the r8 small-graph
+    # fast path would otherwise bypass (it always converges)
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with _pt.warns(RuntimeWarning, match="did not converge"):
-        connected_components(pairs, max_iter=1)
+        connected_components(pairs, max_iter=1, small_graph_edges=0)
     # and with the default budget the same chain resolves without warning
     with _w.catch_warnings():
         _w.simplefilter("error", RuntimeWarning)
-        out = connected_components(pairs, max_iter=25).collect()
+        out = connected_components(pairs, max_iter=25,
+                                   small_graph_edges=0).collect()
     assert {r["component"] for r in out} == {0}
+
+
+def test_connected_components_fast_path_matches_iterative(spark):
+    """The r8 small-graph single-task fast path must produce exactly the
+    distributed loop's labeling: component = min node id. Checked on a
+    mixed topology (long chain + star + 2-cliques + isolated edge)."""
+    from fileconvert_spark.operators.dedup import connected_components
+
+    edges = ([(i, i + 1) for i in range(100, 140)]          # chain
+             + [(0, k) for k in range(1, 9)]                # star
+             + [(200, 201), (201, 202), (300, 301)]         # small comps
+             + [(400, 500)])
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r["id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    slow = {(r["id"], r["component"])
+            for r in connected_components(
+                pairs, small_graph_edges=0).collect()}
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[139] == 100 and comp[8] == 0 and comp[202] == 200
+    assert comp[500] == 400
 
 
 def test_embedding_near_dups_lsh_path_with_bucket_splits(spark):

@@ -1,0 +1,78 @@
+"""r8: capture .explain('formatted') for bench queries into plans/r08/."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QNAMES = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
+    "window_topk_orders", "window_lag_runs", "dedup_exact_docs",
+    "dedup_minhash_docs", "dedup_cluster_embeddings",
+    "boilerplate_ngrams_docs", "knn_bruteforce",
+    "enc_roundtrip_documents", "enc_roundtrip_embeddings",
+]
+
+
+def main() -> None:
+    suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
+    outdir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r08")
+    os.makedirs(outdir, exist_ok=True)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+
+    from fileconvert_spark.session import get_spark
+    spark = get_spark("plans-r8", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    import __spark_entry__ as E
+    qmap = E.queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in QNAMES:
+        try:
+            df = qmap[name](spark, sf_dir)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(buf.getvalue())
+            print("ok", name)
+        except Exception as e:  # noqa: BLE001
+            print("FAIL", name, type(e).__name__, e)
+    # the encode/decode corpus paths: plan of the encode job's shuffled
+    # frame and of decode_table's mapInArrow frame
+    corpus_path = "/tmp/fcs_bench_corpus_100000.parquet"
+    if os.path.exists(corpus_path):
+        from fileconvert_spark.operators.partitioning import (
+            plan_buckets, repartition_by_bucket)
+        from fileconvert_spark.plans.manifest import decode_table, encode_table
+
+        corpus = spark.read.parquet(corpus_path)
+        dfb, info = plan_buckets(corpus, None, stats_sample_fraction=0.25)
+        shuffled = repartition_by_bucket(dfb, info["n_buckets"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            shuffled.explain("formatted")
+        with open(os.path.join(outdir, f"encode_corpus_{suffix}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        enc_dir = "/tmp/fcs_plans_enc_r8"
+        import shutil
+        shutil.rmtree(enc_dir, ignore_errors=True)
+        encode_table(spark, corpus, enc_dir, n_buckets=None, resume=False,
+                     stats_sample_fraction=0.25)
+        dec = decode_table(spark, enc_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            dec.explain("formatted")
+        with open(os.path.join(outdir,
+                               f"decode_verify_corpus_{suffix}.txt"), "w") as f:
+            f.write(buf.getvalue())
+        print("ok encode/decode corpus plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""r8: quick A/B experiments on the slow paths (idle host, min of 3)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fileconvert_spark.session import get_spark  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def t(label, fn, n=3):
+    best = 1e9
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    print(f"{label:48s} {best:.3f}s", flush=True)
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark("exp-r8", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+
+    which = set(sys.argv[1:]) or {"stream", "q1", "verify", "boiler", "cc"}
+
+    if "stream" in which:
+        from fileconvert_spark.streaming.incremental import (
+            windowed_event_counts)
+        schema = spark.read.parquet(os.path.join(SF, "events.parquet")).schema
+        ev = os.path.join(SF, "events.parquet")
+
+        def run():
+            windowed_event_counts(spark, ev, schema)
+        t("stream: windowed_event_counts (as-is)", run)
+
+        def run_lowparts():
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            try:
+                windowed_event_counts(spark, ev, schema)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+        t("stream: shuffle.partitions=8", run_lowparts)
+
+        def run_batch_equiv():
+            df = spark.read.parquet(ev).withColumn(
+                "ts", F.col("ts").cast("timestamp"))
+            (df.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+               .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+               .collect())
+        t("stream: pure-batch equivalent agg", run_batch_equiv)
+
+    if "q1" in which:
+        li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+
+        def q1(df):
+            return (df.filter(F.col("l_shipdate") <= "1998-09-02")
+                    .groupBy("l_returnflag", "l_linestatus")
+                    .agg(F.sum(F.expr("cast(l_quantity as decimal(30,8))")).cast("double"),
+                         F.sum(F.expr("cast(l_extendedprice as decimal(30,8))")).cast("double"),
+                         F.sum(F.expr("cast(l_extendedprice*(1-l_discount) as decimal(30,8))")).cast("double"),
+                         F.sum(F.expr("cast(l_extendedprice*(1-l_discount)*(1+l_tax) as decimal(30,8))")).cast("double"),
+                         F.count("*"))
+                    .orderBy("l_returnflag", "l_linestatus").collect())
+        t("q1 as-is", lambda: q1(li))
+        t("q1 repartition(32) after read", lambda: q1(li.repartition(cpus)))
+        t("q1 scan+count only", lambda: li.filter(
+            F.col("l_shipdate") <= "1998-09-02").count())
+
+    if "verify" in which:
+        from fileconvert_spark.operators.verify import assert_roundtrip
+        from fileconvert_spark.plans.manifest import decode_table, encode_table
+        corpus = spark.read.parquet("/tmp/fcs_bench_corpus_100000.parquet")
+        corpus.persist().count()
+        enc_dir = "/tmp/fcs_prof_enc4"
+        import shutil
+        shutil.rmtree(enc_dir, ignore_errors=True)
+        encode_table(spark, corpus, enc_dir, n_buckets=None, resume=False,
+                     stats_sample_fraction=0.25)
+        t("verify: decode noop", lambda: decode_table(spark, enc_dir)
+          .write.format("noop").mode("overwrite").save())
+        t("verify: full assert_roundtrip", lambda: assert_roundtrip(
+            corpus, decode_table(spark, enc_dir), ["repo", "path", "commit"]))
+
+        # key-uniqueness pre-check alone
+        def uniq():
+            (corpus.groupBy("repo", "path", "commit").count()
+             .filter(F.col("count") > 1).limit(1).isEmpty())
+        t("verify: key-uniqueness check", uniq)
+
+        # hash projection of src alone (no decode)
+        from fileconvert_spark.operators.verify import _hash_projection
+        t("verify: src hash projection agg", lambda: _hash_projection(
+            corpus, ["repo", "path", "commit"], "content")
+          .agg(F.count("*")).collect())
+
+    if "boiler" in which:
+        from fileconvert_spark.functions.text import boilerplate_ngrams
+        d = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+        t("boilerplate as-is", lambda: boilerplate_ngrams(
+            d, n=8, min_docs=2, top_k=10).collect())
+
+    if "cc" in which:
+        from fileconvert_spark.operators.dedup import (
+            connected_components, embedding_near_dups)
+        e = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+        t("cc: embedding_near_dups only", lambda: embedding_near_dups(
+            e, threshold=0.5).count())
+        pairs = embedding_near_dups(e, threshold=0.5)
+        t("cc: connected_components", lambda: connected_components(
+            pairs).count())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

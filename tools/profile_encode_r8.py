@@ -1,0 +1,92 @@
+"""r8 optimization round: profile where encode_table wall time goes.
+
+Two views:
+  1. in-process cProfile of the encode kernel (no Spark) on a bench-shaped
+     slice of the corpus — per-function cost of the codec machinery;
+  2. a phase-timed encode_table run (driver-side phases from the summary
+     plus total wall) at the bench shape.
+
+Usage: python tools/profile_encode_r8.py [kernel|table|both]
+"""
+
+from __future__ import annotations
+
+import cProfile
+import io
+import os
+import pstats
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CORPUS = "/tmp/fcs_bench_corpus_100000.parquet"
+
+
+def profile_kernel() -> None:
+    import pyarrow.parquet as pq
+
+    from fileconvert_spark.operators.encode import make_encode_fn
+
+    tbl = pq.read_table(CORPUS)
+    n = tbl.num_rows
+    # one bucket's worth at bench shape: 100k rows / 32 buckets ~ 3125 rows
+    rows_per_bucket = n // 32
+    sl = tbl.slice(0, rows_per_bucket)
+    content_b = sum(len(v) for v in sl.column("content").to_pylist()
+                    if v is not None)
+    print(f"kernel slice: {sl.num_rows} rows, {content_b/1e6:.1f} MB content")
+
+    fn = make_encode_fn(cache_ns="prof")
+
+    def run():
+        out = list(fn(iter(sl.to_batches(max_chunksize=10000))))
+        return out
+
+    # warm once (fsst table cache, imports)
+    t0 = time.time()
+    run()
+    print(f"warm pass: {time.time()-t0:.3f}s "
+          f"({content_b/1e6/(time.time()-t0):.1f} MB/s single-core)")
+
+    pr = cProfile.Profile()
+    pr.enable()
+    run()
+    pr.disable()
+    s = io.StringIO()
+    ps = pstats.Stats(pr, stream=s).sort_stats("cumulative")
+    ps.print_stats(45)
+    print(s.getvalue())
+
+
+def profile_table() -> None:
+    from fileconvert_spark.session import get_spark
+    from fileconvert_spark.plans.manifest import encode_table
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark("prof-encode", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    corpus = spark.read.parquet(CORPUS)
+    corpus.persist().count()
+    enc_dir = "/tmp/fcs_prof_enc"
+    for label in ("cold", "warm"):
+        shutil.rmtree(enc_dir, ignore_errors=True)
+        t0 = time.time()
+        s = encode_table(spark, corpus, enc_dir, n_buckets=None,
+                         resume=False, stats_sample_fraction=0.25)
+        wall = time.time() - t0
+        print(f"{label}: total={wall:.2f}s plan={s['plan_wall_s']}s "
+              f"resume_scan={s['resume_scan_wall_s']}s "
+              f"rollup={s['manifest_rollup_wall_s']}s "
+              f"job_wall={s['wall_s']:.2f}s ratio={s['ratio']:.4f} "
+              f"n_parts={s['n_parts']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    if mode in ("kernel", "both"):
+        profile_kernel()
+    if mode in ("table", "both"):
+        profile_table()

@@ -1,0 +1,87 @@
+"""r8: step-level timing of the encode_table pipeline at bench shape."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from fileconvert_spark.session import get_spark  # noqa: E402
+
+CORPUS = "/tmp/fcs_bench_corpus_100000.parquet"
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark("prof-steps", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    corpus = spark.read.parquet(CORPUS)
+    corpus.persist().count()
+
+    from fileconvert_spark.operators.partitioning import (
+        plan_buckets, repartition_by_bucket)
+
+    def t(label, fn, n=3):
+        best = 1e9
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        print(f"{label:42s} {best:.3f}s")
+
+    # --- plan_buckets sub-actions
+    w = F.coalesce(F.length(F.col("content")), F.lit(0)).cast("long")
+    stats_src = corpus.sample(fraction=0.25, seed=7)
+    sizes = stats_src.groupBy("repo").agg((F.sum(w) * F.lit(4.0)).cast("long").alias("bytes"))
+    t("plan: sizes agg (total)", lambda: sizes.agg(F.sum("bytes"), F.count("*")).collect())
+    t("plan: heavy collect", lambda: sizes.filter(F.col("bytes") >= 1)
+      .orderBy(F.desc("bytes"), F.asc("repo")).limit(65536).collect())
+    t("plan_buckets full", lambda: plan_buckets(
+        corpus, None, stats_sample_fraction=0.25))
+
+    dfb, info = plan_buckets(corpus, None, stats_sample_fraction=0.25)
+    nb = info["n_buckets"]
+    print("n_buckets:", nb, "heavy:", info["heavy"], "salted:", info["salted"])
+
+    # --- shuffle + IPC without encode: pass-through mapInArrow
+    shuffled = repartition_by_bucket(dfb, nb)
+
+    def passthrough(batches):
+        yield from batches
+
+    schema_str = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in dfb.schema.fields)
+    t("shuffle only (noop write)",
+      lambda: shuffled.write.format("noop").mode("overwrite").save())
+    t("shuffle + py passthrough (noop)",
+      lambda: shuffled.mapInArrow(passthrough, schema_str)
+      .write.format("noop").mode("overwrite").save())
+
+    # --- encode kernel WITHOUT file writes (encode_df over the shuffle)
+    from fileconvert_spark.operators.encode import (ENC_SPARK_SCHEMA,
+                                                    make_encode_fn)
+    t("shuffle + encode kernel (noop)",
+      lambda: shuffled.mapInArrow(
+          make_encode_fn(part_id_col="bucket", cache_ns="profstep"),
+          ENC_SPARK_SCHEMA).write.format("noop").mode("overwrite").save())
+
+    # --- full encode_table
+    from fileconvert_spark.plans.manifest import encode_table
+    enc_dir = "/tmp/fcs_prof_enc2"
+
+    def full():
+        shutil.rmtree(enc_dir, ignore_errors=True)
+        encode_table(spark, corpus, enc_dir, n_buckets=None, resume=False,
+                     stats_sample_fraction=0.25)
+
+    t("encode_table full", full)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""r8: per-query warm timings (min of N) on an idle host, matching the
+bench methodology (collect / count), plus decode+verify step timings."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QNAMES = [
+    "q1_pricing_summary", "q3_top_revenue_orders", "q5_revenue_by_nation",
+    "window_topk_orders", "window_lag_runs", "dedup_exact_docs",
+    "dedup_minhash_docs", "dedup_cluster_embeddings",
+    "boilerplate_ngrams_docs", "knn_bruteforce", "stream_window_counts",
+    "enc_roundtrip_documents", "enc_roundtrip_embeddings",
+]
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    reps = int(os.environ.get("REPS", 3))
+    from fileconvert_spark.session import get_spark
+    spark = get_spark("prof-queries", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    import __spark_entry__ as E
+    qmap = E.queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only = sys.argv[1:] or QNAMES
+    for name in only:
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            df = qmap[name](spark, sf_dir)
+            df.collect() if name != "dedup_minhash_docs" else df.count()
+            best = min(best, time.time() - t0)
+        print(f"{name:30s} {best:.3f}s")
+
+    if os.environ.get("SKIP_CORPUS"):
+        spark.stop()
+        return
+    # decode+verify steps
+    from fileconvert_spark.operators.verify import assert_roundtrip
+    from fileconvert_spark.plans.manifest import decode_table, encode_table
+    corpus = spark.read.parquet("/tmp/fcs_bench_corpus_100000.parquet")
+    corpus.persist().count()
+    enc_dir = "/tmp/fcs_prof_enc3"
+    shutil.rmtree(enc_dir, ignore_errors=True)
+    encode_table(spark, corpus, enc_dir, n_buckets=None, resume=False,
+                 stats_sample_fraction=0.25)
+    for _ in range(reps):
+        t0 = time.time()
+        dec = decode_table(spark, enc_dir)
+        dec.write.format("noop").mode("overwrite").save()
+        print(f"decode only (noop)             {time.time()-t0:.3f}s")
+    for _ in range(reps):
+        t0 = time.time()
+        dec = decode_table(spark, enc_dir)
+        assert_roundtrip(corpus, dec, ["repo", "path", "commit"])
+        print(f"decode + verify                {time.time()-t0:.3f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
