@@ -573,28 +573,25 @@ def select_and_encode_str(arr: pa.Array,
         if uniq_bytes >= _FSST_BLOB_MIN:
             # trial-FSST the segment dictionary (same sampling optimism as
             # the fsst candidate's own estimate, so the comparison is
-            # fair). r8: the trial table goes through the worker cache
-            # under the SAME key the winner's blob encode uses — so (a)
-            # later chunks of the column estimate without retraining, and
-            # (b) a winning linedict/pathdict blob encode is a cache hit
-            # instead of a second training pass on the same uniques
-            # (guide §4.5: amortize heavyweight init; training was ~45%
-            # of the measured per-chunk kernel cost). The poor-fit
-            # retrain guard mirrors the fsst candidate's (and
-            # _flagged_blob_encode keeps its own 0.85 drift check), so a
-            # stale table can only cost a retrain, never the ratio.
+            # fair). r8: when the worker cache already holds the
+            # WINNER's full-trained table for this column's blob
+            # ("/ld"/"/pd", put there by _flagged_blob_encode on an
+            # earlier chunk), estimate with THAT table — it is the very
+            # table the winning encode will reuse, so the estimate is
+            # more faithful than a fresh sample trial AND the ~25 ms
+            # per-chunk training pass disappears (guide §4.5: amortize
+            # heavyweight init; training was ~45% of the measured
+            # per-chunk kernel cost). The estimate never writes the
+            # cache: the first chunk still trains a throwaway sample
+            # table here and the winner's encode still trains full and
+            # populates the slot, so encoded bytes match the uncached
+            # behavior (reusing the 64-row estimate table for actual
+            # encodes was tried first and cost +5.6% engine bytes).
             bkey = (f"{cache_key}/{'ld' if name == 'linedict' else 'pd'}"
                     if cache_key else None)
-            cached = cache.get(bkey) if cache and bkey else None
-            blob_ratio, tbl = fsst.estimate_ratio(
+            cached = cache.tables.get(bkey) if cache and bkey else None
+            blob_ratio, _tbl = fsst.estimate_ratio(
                 pre["uniques"], _EST_SAMPLE_ROWS, table=cached)
-            if cached is not None and blob_ratio > 0.75:
-                r2, t2 = fsst.estimate_ratio(pre["uniques"],
-                                             _EST_SAMPLE_ROWS)
-                if r2 < blob_ratio:
-                    blob_ratio, tbl, cached = r2, t2, None
-            if cache and bkey and cached is None and tbl:
-                cache.put(bkey, tbl)
             blob = uniq_bytes * min(blob_ratio, 1.0)
         else:
             blob = float(uniq_bytes)

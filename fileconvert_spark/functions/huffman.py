@@ -59,7 +59,25 @@ def code_lengths(counts: np.ndarray, max_len: int = MAX_LEN) -> np.ndarray:
     adjustment of ITU-T T.81 K.3: repeatedly take a pair from the longest
     over-limit length, move one code up and rebalance, which preserves the
     Kraft equality while capping depth.
+
+    Hot path is a compiled C kernel (native/kernels.c
+    ``huff_code_lengths``, r8 — the two-queue merge is a data-dependent
+    sequential chain, unvectorizable in NumPy); this Python body is the
+    always-available fallback and the kernel's reference semantics
+    (byte-identical, property-tested in tests/test_native.py).
     """
+    from .. import native
+
+    nat = native.huff_code_lengths(counts, max_len)
+    if nat is not None:
+        return nat
+    return _code_lengths_py(counts, max_len)
+
+
+def _code_lengths_py(counts: np.ndarray,
+                     max_len: int = MAX_LEN) -> np.ndarray:
+    """Pure-Python reference body of code_lengths (the native kernel's
+    semantics and the no-toolchain fallback)."""
     counts = np.asarray(counts, dtype=np.int64)
     k = len(counts)
     present = np.flatnonzero(counts > 0)

@@ -244,6 +244,12 @@ def load():
         POINTER(c_uint8), c_int64,              # out, out_cap
         POINTER(c_uint32),                      # seg_bytes
     ]
+    lib.huff_code_lengths.restype = c_int64
+    lib.huff_code_lengths.argtypes = [
+        POINTER(c_int64), c_int64,              # counts, k
+        c_int64,                                # max_len
+        POINTER(c_uint8),                       # lens_out
+    ]
     lib.pack_bits.restype = c_int64
     lib.pack_bits.argtypes = [
         POINTER(c_uint64), c_int64, c_int64,    # v, n, width
@@ -556,6 +562,27 @@ def huff_encode(v, sym_len, codes, seg_syms: int):
     if rc < 0:
         return None
     return out[:rc].tobytes(), seg_bytes
+
+
+def huff_code_lengths(counts, max_len: int):
+    """C two-queue merge + T.81 K.3 Adjust_BITS code-length construction;
+    returns uint8[k] lens or None when unavailable. Byte-identical to
+    the NumPy/Python path in huffman.code_lengths (property-tested) —
+    the merge is a data-dependent sequential chain, so the Python loop
+    was ~4 ms/call at 4k symbols on the encode hot path (r8)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(counts, dtype=np.int64)
+    lens = np.zeros(max(c.size, 1), dtype=np.uint8)
+    rc = lib.huff_code_lengths(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), int(c.size),
+        int(max_len), _u8p(lens))
+    if rc < 0:
+        return None
+    return lens[: c.size]
 
 
 def pack_bits(vals, width: int):

@@ -771,3 +771,107 @@ int64_t unpack_bits(const uint8_t *data, int64_t nbytes, int64_t n,
     }
     return n;
 }
+
+/* ---------------------------------------------------------------------
+ * Huffman code-length construction, length-limited per ITU-T T.81 K.3 —
+ * mirrors huffman.code_lengths exactly: stable count-sort of the present
+ * alphabet (ties by symbol index, which equals NumPy's stable argsort
+ * over the ascending-index present list), two-queue merge, root-down
+ * depth walk, Adjust_BITS, then shortest lengths assigned
+ * most-frequent-first. The merge is a data-dependent sequential chain —
+ * unvectorizable in NumPy, hence this kernel (r8: ~4 ms/call in Python
+ * at 4k symbols, called once per eligible int stream on the encode hot
+ * path). Fills lens_out[k] (0 = unused symbol); returns the number of
+ * present symbols, or -1 on allocation failure (caller falls back).
+ */
+typedef struct { int64_t w; int64_t idx; } hclw;
+
+static int hclw_cmp(const void *a, const void *b) {
+    const hclw *x = (const hclw *)a, *y = (const hclw *)b;
+    if (x->w != y->w) return x->w < y->w ? -1 : 1;
+    return x->idx < y->idx ? -1 : (x->idx > y->idx ? 1 : 0);
+}
+
+int64_t huff_code_lengths(const int64_t *counts, int64_t k,
+                          int64_t max_len, uint8_t *lens_out) {
+    int64_t m = 0, i;
+    for (i = 0; i < k; i++) { lens_out[i] = 0; if (counts[i] > 0) m++; }
+    if (m == 0) return 0;
+    if (m == 1) {
+        for (i = 0; i < k; i++) if (counts[i] > 0) { lens_out[i] = 1; break; }
+        return 1;
+    }
+    hclw *order = (hclw *)malloc((size_t)m * sizeof(hclw));
+    int64_t *leaf_w = (int64_t *)malloc((size_t)m * sizeof(int64_t));
+    int64_t *node_w = (int64_t *)malloc((size_t)(m - 1) * sizeof(int64_t));
+    int64_t *kid0 = (int64_t *)malloc((size_t)(m - 1) * sizeof(int64_t));
+    int64_t *kid1 = (int64_t *)malloc((size_t)(m - 1) * sizeof(int64_t));
+    int64_t *depth = (int64_t *)calloc((size_t)(m - 1), sizeof(int64_t));
+    int64_t *raw = (int64_t *)calloc((size_t)m, sizeof(int64_t));
+    int64_t *bits = NULL;
+    int64_t ret = -1;
+    if (!order || !leaf_w || !node_w || !kid0 || !kid1 || !depth || !raw)
+        goto done;
+    {
+        int64_t j = 0;
+        for (i = 0; i < k; i++)
+            if (counts[i] > 0) { order[j].w = counts[i]; order[j].idx = i; j++; }
+    }
+    qsort(order, (size_t)m, sizeof(hclw), hclw_cmp);
+    for (i = 0; i < m; i++) leaf_w[i] = order[i].w;
+    {   /* two-queue merge: FIFO node queue stays weight-sorted */
+        int64_t li = 0, nh = 0, nt = 0, t, s;
+        for (t = 0; t < m - 1; t++) {
+            int64_t pw[2], pi[2];
+            for (s = 0; s < 2; s++) {
+                int take_leaf = (li < m)
+                    && (nh >= nt || leaf_w[li] <= node_w[nh]);
+                if (take_leaf) { pw[s] = leaf_w[li]; pi[s] = li; li++; }
+                else { pw[s] = node_w[nh]; pi[s] = m + nh; nh++; }
+            }
+            node_w[nt] = pw[0] + pw[1];
+            kid0[nt] = pi[0]; kid1[nt] = pi[1]; nt++;
+        }
+    }
+    {   /* leaf depths: walk nodes root-down (last node is the root) */
+        int64_t t, c, d;
+        for (t = m - 2; t >= 0; t--) {
+            d = depth[t] + 1;
+            c = kid0[t];
+            if (c >= m) depth[c - m] = d; else raw[c] = d;
+            c = kid1[t];
+            if (c >= m) depth[c - m] = d; else raw[c] = d;
+        }
+    }
+    {   /* BITS histogram + T.81 K.3 Adjust_BITS length limit */
+        int64_t max_raw = 0, t, bits_n;
+        for (t = 0; t < m; t++) if (raw[t] > max_raw) max_raw = raw[t];
+        bits_n = (max_raw > max_len ? max_raw : max_len) + 1;
+        bits = (int64_t *)calloc((size_t)bits_n, sizeof(int64_t));
+        if (!bits) goto done;
+        for (t = 0; t < m; t++) bits[raw[t]]++;
+        i = max_raw;
+        while (i > max_len) {
+            while (bits[i] > 0) {
+                int64_t j = i - 2;
+                while (bits[j] == 0) j--;
+                bits[i] -= 2; bits[i - 1] += 1;
+                bits[j + 1] += 2; bits[j] -= 1;
+            }
+            i--;
+        }
+        {   /* shortest lengths to the most frequent symbols */
+            int64_t pos = 0, length, c2;
+            for (length = 1; length <= max_len; length++)
+                for (c2 = 0; c2 < bits[length]; c2++) {
+                    lens_out[order[m - 1 - pos].idx] = (uint8_t)length;
+                    pos++;
+                }
+        }
+    }
+    ret = m;
+done:
+    free(order); free(leaf_w); free(node_w); free(kid0); free(kid1);
+    free(depth); free(raw); free(bits);
+    return ret;
+}

@@ -22,6 +22,15 @@ _NULL_SENTINEL = "\u0000<null>\u0000"
 def _hash_projection(df: DataFrame, key_cols: list[str],
                      sha_col: str | None) -> DataFrame:
     value_cols = [c for c in df.columns if c not in key_cols]
+    # r8: the sha column has its own dedicated hash channel (_sha_hash)
+    # below — including it in the row hash as well sha256'd the heaviest
+    # column TWICE per side (the two expressions differ by a cast, so
+    # codegen subexpression elimination cannot merge them; content is
+    # ~97% of the corpus bytes). Detection power is unchanged: a
+    # corrupted sha column trips sha_mismatches, every other column
+    # trips value_mismatches, and assert_roundtrip fails on either.
+    if sha_col is not None and sha_col in df.columns:
+        value_cols = [c for c in value_cols if c != sha_col]
     per_col = [
         F.sha2(F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL)), 256)
         for c in value_cols

@@ -215,14 +215,26 @@ def test_verify_catches_corruption(spark, corpus_df):
     and extra rows — not just pass on identity."""
     from fileconvert_spark.operators.verify import roundtrip_report
 
+    first_path = corpus_df.select("path").first()["path"]
+    hit = F.col("path") == first_path
+    # content corruption lands in the DEDICATED sha channel (r8: the sha
+    # column is no longer double-hashed into the row hash as well)
     mutated = corpus_df.withColumn(
         "content",
-        F.when(F.col("path") == corpus_df.select("path").first()["path"],
-               F.concat(F.col("content"), F.lit("X"))).otherwise(F.col("content")),
+        F.when(hit, F.concat(F.col("content"), F.lit("X")))
+        .otherwise(F.col("content")),
     )
     row = roundtrip_report(corpus_df, mutated, KEYS).collect()[0]
-    assert row["value_mismatches"] >= 1
     assert row["sha_mismatches"] >= 1
+    # a non-sha value column corruption lands in value_mismatches
+    mutated2 = corpus_df.withColumn(
+        "lang",
+        F.when(hit, F.concat(F.col("lang"), F.lit("X")))
+        .otherwise(F.col("lang")),
+    )
+    row = roundtrip_report(corpus_df, mutated2, KEYS).collect()[0]
+    assert row["value_mismatches"] >= 1
+    assert row["sha_mismatches"] == 0
 
     dropped = corpus_df.filter(F.col("lang").isNotNull())
     row = roundtrip_report(corpus_df, dropped, KEYS).collect()[0]

@@ -384,3 +384,35 @@ def test_unpack_bits_kernel_truncation_raises():
     blob = native.pack_bits(v, 13)
     with pytest.raises(ValueError, match="truncated"):
         native.unpack_bits(blob[:-2], 13, 100)
+
+
+@requires_native
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=100000),
+                max_size=600),
+       st.integers(min_value=5, max_value=16))
+def test_huff_code_lengths_kernel_matches_python(counts, max_len):
+    """huff_code_lengths (r8) must reproduce the Python two-queue +
+    T.81 Adjust_BITS construction exactly — same lengths for every
+    symbol, including stable tie-breaking on equal counts."""
+    from fileconvert_spark.functions import huffman
+
+    c = np.array(counts, dtype=np.int64)
+    got = native.huff_code_lengths(c, max_len)
+    want = huffman._code_lengths_py(c, max_len)
+    assert np.array_equal(got, want)
+
+
+@requires_native
+def test_huff_code_lengths_kernel_skewed_large_alphabet():
+    """A 4096-symbol Zipf-ish histogram (the dictionary-index shape that
+    triggers the length limit) must match the Python path exactly."""
+    from fileconvert_spark.functions import huffman
+
+    rng = np.random.default_rng(11)
+    c = (100000 / (1 + np.arange(4096))).astype(np.int64)
+    c[rng.integers(0, 4096, 64)] = 0
+    got = native.huff_code_lengths(c, 16)
+    want = huffman._code_lengths_py(c, 16)
+    assert np.array_equal(got, want)
+    assert int(got.max()) <= 16
