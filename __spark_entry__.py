@@ -37,8 +37,26 @@ def _ensure_workers(spark: SparkSession) -> None:
         pass  # already added
 
 
+_T_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Table reader. r8: memoizes the LAZY DataFrame per (session, path)
+    — `spark.read.parquet` costs ~70 ms of driver-side file listing +
+    footer schema read per call, paid dozens of times across the query
+    suite for the same static files. Only the unevaluated plan object is
+    reused (scans still read the parquet files on every action — nothing
+    materialized is cached); keyed by applicationId so a new session
+    never sees another session's plan objects."""
+    key = (spark.sparkContext.applicationId,
+           os.path.abspath(os.path.join(sf_dir, f"{name}.parquet")))
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(key[1])
+        if len(_T_CACHE) > 256:
+            _T_CACHE.clear()
+        _T_CACHE[key] = df
+    return df
 
 
 # --------------------------------------------------------------- flagship
