@@ -87,8 +87,13 @@ def value_hash(value) -> int:
 
 
 def indexable_type(t: pa.DataType) -> bool:
+    # uint64 is excluded (r8, ADVICE r7): values >= 2^63 cannot take the
+    # canonical int64 form the probe hash uses — admitting the type would
+    # fail deep inside an encode task (ArrowInvalid on cast) instead of
+    # at declaration. Unreachable via Spark SQL schemas (no uint64), but
+    # direct Arrow callers now get the loud TypeError here/column_hashes.
     return bool(pa.types.is_string(t) or pa.types.is_large_string(t)
-                or pa.types.is_integer(t))
+                or (pa.types.is_integer(t) and not pa.types.is_uint64(t)))
 
 
 def column_hashes(arr: pa.Array) -> set[int]:

@@ -844,7 +844,22 @@ def _pred_may_match(zs, op: str, value) -> bool:
     return True
 
 
-def _warn_non_pruning_predicates(out_dir: str, pcols: list) -> None:
+def _pred_ops_by_col(node, acc: dict | None = None) -> dict:
+    """column -> set of leaf ops appearing for it in a predicate tree."""
+    if acc is None:
+        acc = {}
+    if node is None:
+        return acc
+    if node[0] == "leaf":
+        acc.setdefault(node[1], set()).add(node[2])
+        return acc
+    for s in node[1]:
+        _pred_ops_by_col(s, acc)
+    return acc
+
+
+def _warn_non_pruning_predicates(out_dir: str, pcols: list,
+                                 pred=None) -> None:
     """One-line runtime warning (VERDICT r6 item 6) when a predicate
     column structurally cannot prune at PART level, so the user learns
     the sort-order guidance where it matters instead of from BENCH
@@ -863,11 +878,15 @@ def _warn_non_pruning_predicates(out_dir: str, pcols: list) -> None:
     key_col = meta.get("key_col")
     zone_cols = meta.get("zone_cols")
     indexed = set(meta.get("key_index_cols") or ())
+    ops_by_col = _pred_ops_by_col(pred)
     for pcol in pcols:
         if pcol == key_col:
             continue
-        if pcol in indexed:
-            continue  # point lookups prune via the key-index sidecars
+        if pcol in indexed and ops_by_col.get(pcol, set()) <= {"=", "in"}:
+            # point lookups prune via the key-index sidecars — but ONLY
+            # =/in leaves do (r8, ADVICE r7): a range op on an indexed,
+            # unzoned column still scans every part and keeps its warning
+            continue
         if zone_cols != "all" and pcol not in (zone_cols or []):
             warnings.warn(
                 f"decode_table: predicate column {pcol!r} has no zone "
@@ -890,6 +909,16 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
                  predicate: tuple | list | None = None,
                  task_target_bytes: int | None = None):
     """Read an encoded table directory back as the original DataFrame.
+
+    Concurrency contract (ADVICE r7): the table directory is
+    single-writer. A decode whose check_format_version ran before a
+    concurrent compact_table wrote _compact_state.json can race the
+    compaction's part removal and fail mid-read with file-not-found —
+    LOUD and retriable (re-run the decode after the compaction
+    finishes), never silently wrong data; the manifest-list cross-check
+    narrows but does not close the window. Serialize compaction against
+    readers, or treat a missing-part read error during a known
+    compaction as "compaction in progress — retry".
 
     narrow=True (default): one task per part file, each decoding its own
     chunks in place — NO shuffle at all; decode parallelism = number of
@@ -991,7 +1020,7 @@ def decode_table(spark, out_dir: str, narrow: bool = True,
         if f.endswith(".parquet")
     ]
     if pred:
-        _warn_non_pruning_predicates(out_dir, pcols_all)
+        _warn_non_pruning_predicates(out_dir, pcols_all, pred)
         # manifest pruning (Iceberg pattern, r5): every part manifest
         # carries part-level zone bounds per zone column; one driver-side
         # read of the (consolidated) manifest list drops excluded parts
