@@ -63,6 +63,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE coalesce shuffles UNDER cached plans too (r8): with the
+        # default false, persisting a post-aggregation frame materializes
+        # every raw shuffle partition as its own cache-build task —
+        # measured at 10 GB/1024 shuffle partitions: plan_buckets'
+        # persisted per-key size table cost 6-12 s vs 3.7 s with this on
+        # (the 201-row cache was paying 1024 task launches)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # content rows are KBs; cap Arrow batches by bytes, not just rows,
