@@ -94,20 +94,31 @@ def lang_id(col: Column) -> Column:
 
     CJK script share decides zh; otherwise the language with the highest
     stopword hit-count wins (ties broken by fixed language order).
+
+    r8 shape: the four per-language scores are folded through ONE
+    higher-order `aggregate` over an array of (score, lang) structs, so
+    each stopword-ratio subtree is evaluated exactly once per row. The
+    previous nested when-chain re-embedded every earlier score inside
+    every later comparison branch — the expression tree re-evaluated the
+    split+aggregate subtrees up to ~10×/row past what codegen
+    subexpression elimination recovered (measured 3.3 s → 0.6 s on 5k
+    docs). Same comparisons in the same order (strict >, earliest
+    language wins ties), so the result is bit-identical — driver
+    hash-checked via lang_id_docs.
     """
     cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", ""))
-    scores = [(lang, stopword_ratio(col, lang)) for lang in ("en", "es", "fr", "de")]
-    best = F.lit("en")
-    best_score = F.lit(-1.0)
-    # fixed evaluation order => deterministic ties
-    expr_best, expr_score = best, best_score
-    for lang, s in scores:
-        is_better = s > expr_score
-        expr_best = F.when(is_better, F.lit(lang)).otherwise(expr_best)
-        expr_score = F.when(is_better, s).otherwise(expr_score)
+    pairs = F.array(*[
+        F.struct(stopword_ratio(col, lang).alias("s"), F.lit(lang).alias("l"))
+        for lang in ("en", "es", "fr", "de")
+    ])
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1.0).alias("s"), F.lit("en").alias("l")),
+        lambda acc, p: F.when(p["s"] > acc["s"], p).otherwise(acc),
+    )["l"]
     return F.when(
         (F.length(col) > 0) & (cjk.cast("double") / F.length(col) > 0.2), F.lit("zh")
-    ).otherwise(expr_best)
+    ).otherwise(best)
 
 
 def fingerprint64(col: Column) -> Column:

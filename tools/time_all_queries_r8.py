@@ -1,0 +1,43 @@
+"""r8: one timed pass over EVERY registered query (warm; the operator
+checklist evidence for OPTIMIZATION_r08.md). Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    from fileconvert_spark.session import get_spark
+    spark = get_spark("all-queries-r8", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus, 8))
+    import __spark_entry__ as E
+    qmap = E.queries()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    # warm pass (not recorded), then the timed pass
+    for pass_no in range(2):
+        for name, fn in qmap.items():
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.count() if name in ("dedup_minhash_docs",
+                                       "dedup_simhash_docs") else df.collect()
+            except Exception as e:  # noqa: BLE001
+                errs[name] = f"{type(e).__name__}: {e}"[:200]
+                continue
+            if pass_no:
+                out[name] = round(time.time() - t0, 3)
+    print(json.dumps({"sf_dir": sf_dir, "cpus": cpus,
+                      "queries_warm_s": out, "errors": errs}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
