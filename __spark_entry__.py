@@ -312,11 +312,17 @@ def window_lag_runs(spark, sf_dir):
     w = Window.partitionBy("l_suppkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
     )
+    # r8: materialize the lag ONCE — referencing F.lag(...).over(w) twice
+    # in the when() left two identical window expressions in the plan
+    # (_we0/_we1; Spark does not dedupe them), each with its own frame
+    # evaluator. Same rows, ~10% faster (plans/r08, A/B identical).
     flagged = li.withColumn(
+        "_prev", F.lag("l_returnflag").over(w)
+    ).withColumn(
         "run_start",
         F.when(
-            F.lag("l_returnflag").over(w).isNull()
-            | (F.col("l_returnflag") != F.lag("l_returnflag").over(w)),
+            F.col("_prev").isNull()
+            | (F.col("l_returnflag") != F.col("_prev")),
             1,
         ).otherwise(0),
     )
@@ -857,10 +863,14 @@ def sessionization(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # r8: one lag window expression instead of two (see window_lag_runs)
     flagged = e.withColumn(
+        "_gap",
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
+    ).withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        F.when(F.col("_gap").isNull() | (F.col("_gap") > 1800), 1)
+        .otherwise(0),
     )
     return (
         flagged.groupBy("user_id")
