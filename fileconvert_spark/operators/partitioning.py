@@ -68,50 +68,58 @@ def plan_buckets(
     scale = 1.0 if frac >= 1.0 else 1.0 / frac
     sizes = stats_src.groupBy(key_col).agg(
         (F.sum(w) * F.lit(scale)).cast("long").alias("bytes"))
-    # the per-key size table feeds TWO actions (total/count, then the
-    # heavy-key top-k) — persist it so the weight scan over the corpus
-    # content runs once, not once per action (r8; guide §5: cache exactly
-    # the reused intermediate). The cached frame is the post-aggregation
-    # key table (n_keys rows, bytes-bounded), never the corpus itself,
-    # and it is dropped before the encode shuffle starts.
-    sizes.persist()
-    try:
-        total_row = sizes.agg(
-            F.sum("bytes").alias("total"), F.count("*").alias("n_keys")
-        ).collect()[0]
+    # ONE stats action in the common case (r8): collect the top
+    # driver_cap keys by (bytes desc, key asc). Whenever the key count
+    # fits under the cap — every corpus measured so far, incl. 201 keys
+    # at 10 GB — the collected list IS the complete key table, so total,
+    # n_keys and the heavy set all derive driver-side from the same
+    # single TakeOrdered job (the previous shape paid a second full
+    # weight scan, or a persisted cache, for the total). Only past the
+    # cap (10^8-repo territory) does the exact total need its own
+    # aggregate; that branch persists `sizes` so the weight scan still
+    # runs once. Determinism is unchanged: the ordering is total on
+    # (bytes, key), and the heavy threshold filter applied driver-side
+    # selects exactly the rows the old filter-then-limit collected.
+    driver_cap = 65536
+    top = (sizes.orderBy(F.desc("bytes"), F.asc(key_col))
+           .limit(driver_cap + 1))
+    rows = top.collect()
+    if len(rows) <= driver_cap:
+        total = sum(int(r["bytes"]) for r in rows)
+        n_keys = len(rows)
+        all_rows = rows
+    else:
+        # key count exceeds the driver cap: pay the exact-total aggregate
+        # on a persisted frame (scan-once), keep the capped top list
+        sizes.persist()
+        try:
+            total_row = sizes.agg(
+                F.sum("bytes").alias("total"),
+                F.count("*").alias("n_keys")).collect()[0]
+        finally:
+            sizes.unpersist()
         total = int(total_row["total"] or 0)
         n_keys = int(total_row["n_keys"])
+        all_rows = rows[:driver_cap]
 
-        if n_buckets is None:
-            cores = spark.sparkContext.defaultParallelism
-            by_size = max(1, total // target_bucket_bytes)
-            n_buckets = int(max(cores, min(cores * 4, by_size)))
-        if total == 0 or n_keys == 0:
-            return df.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64(F.col(key_col)),
-                       F.lit(n_buckets)).cast("int")
-            ), {"total_bytes": 0, "heavy": 0, "salted": 0,
-                "n_buckets": n_buckets}
+    if n_buckets is None:
+        cores = spark.sparkContext.defaultParallelism
+        by_size = max(1, total // target_bucket_bytes)
+        n_buckets = int(max(cores, min(cores * 4, by_size)))
+    if total == 0 or n_keys == 0:
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(key_col)),
+                   F.lit(n_buckets)).cast("int")
+        ), {"total_bytes": 0, "heavy": 0, "salted": 0,
+            "n_buckets": n_buckets}
 
-        # collect every key heavier than a small fraction of a bucket for
-        # exact LPT; the long tail below the threshold is hashed.
-        # driver_cap bounds driver memory at extreme key counts
-        # (10^8 repos -> top 64k only).
-        driver_cap = 65536
-        heavy_thr = max(total // (16 * n_buckets), 1)
-        bucket_cap = total / n_buckets
-        # deterministic ordering INCLUDING ties: bucket assignment must be
-        # byte-identical across runs or resume would drop/duplicate rows of
-        # equal-weight keys (key_col is the unambiguous tiebreaker)
-        heavy = (
-            sizes.filter(F.col("bytes") >= heavy_thr)
-            .orderBy(F.desc("bytes"), F.asc(key_col))
-            .limit(driver_cap)
-            .collect()
-        )
-    finally:
-        sizes.unpersist()
+    # keys heavier than a small fraction of a bucket get exact LPT; the
+    # long tail below the threshold is hashed. driver_cap bounds driver
+    # memory at extreme key counts (10^8 repos -> top 64k only).
+    heavy_thr = max(total // (16 * n_buckets), 1)
+    bucket_cap = total / n_buckets
+    heavy = [r for r in all_rows if int(r["bytes"]) >= heavy_thr]
 
     heavy_bytes = sum(int(r["bytes"]) for r in heavy)
     light_share = (total - heavy_bytes) / n_buckets  # expected hash share
