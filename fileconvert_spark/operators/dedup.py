@@ -173,6 +173,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             dtype="float64",
         )
 
+    # r8, guide §4.4: filtering on the UDF-computed column makes the
+    # optimizer evaluate the UDF TWICE — once below the pushed filter
+    # and again in the output projection (two ArrowEvalPython nodes in
+    # the captured plan). The function is pure; the nondeterministic
+    # mark is only the documented optimizer fence that yields a single
+    # evaluation of the heaviest UDF in this pipeline.
+    jac = jac.asNondeterministic()
+
     return (
         with_texts.withColumn("jaccard", jac("text_a", "text_b"))
         .filter(F.col("jaccard") >= jaccard_threshold)
